@@ -1,0 +1,269 @@
+"""Numpy CSR kernels — the compute core of the engine, Spark-free.
+
+The reference packs each rank's adjacency into three parallel arrays
+(``row_index`` / ``column_index`` / ``weights``, /root/reference/src/graph.h:115-117,
+built by ``Graph::sparsify`` /root/reference/src/graph.cpp:51-63) and runs the
+Louvain local-move sweep as a sequential scan over vertices
+(/root/reference/src/community.cpp:64-102).  These kernels reproduce that
+behavior bit-for-bit where the golden tests pin it, and are invoked from
+Spark via ``applyInPandas`` over Arrow batches (one call per partition
+block).  Keeping them free of any Spark import makes them unit-testable in
+microseconds.
+
+Semantics pinned by the reference (see SURVEY.md §1.5, §2.4):
+
+- adjacency is symmetrized and deduplicated on exact ``(neighbor, weight)``
+  pairs (``std::set`` semantics, src/graph.h:25); parallel edges with
+  *different* weights survive;
+- CSR rows are sorted by (src, dst, weight) — the golden CSR test
+  (tests/main_test.cpp:23-30) pins this order;
+- ``ecount`` = CSR entries // 2 (src/graph.cpp:51-63) — an edge COUNT;
+  modularity uses ``m2 = 2 * ecount`` (src/community.cpp:51);
+- ``weighted_degree`` sums the CSR row, so a self-loop counts ONCE
+  (src/graph.cpp:238-247);
+- per-vertex move: compute weights to neighbor communities excluding
+  self-loops (src/community.cpp:122-148), remove from current community,
+  argmax of ``gain = w(v->c) - tot[c]*deg(v)/m2`` with the *current
+  community first* in candidate order and strict ``>`` (ties keep the
+  earlier candidate — src/community.cpp:106-118), re-insert;
+- sweep order is ascending vertex id; the pass loop ends when a full sweep
+  makes zero moves (src/community.cpp:69-101).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class CSR(NamedTuple):
+    """Columnar adjacency for a dense vertex range ``[0, n)``."""
+
+    row_index: np.ndarray  # int64, len n+1
+    column_index: np.ndarray  # int64, len = entries
+    weights: np.ndarray  # float64, len = entries
+    ecount: int  # undirected edge count = entries // 2
+
+
+def symmetrize_dedup_edges(
+    src: np.ndarray, dst: np.ndarray, weight: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Emit both directions of each edge, dedup exact (src, dst, weight)
+    triples, sorted by (src, dst, weight).
+
+    Mirrors ``Graph::Graph(const EdgeList&)`` (src/graph.cpp:78-85): the
+    ``std::set`` collapses exact duplicates while parallel edges with
+    different weights survive.  A self-loop symmetrizes onto itself, so it
+    contributes ONE CSR entry.
+    """
+    s = np.concatenate([src, dst]).astype(np.int64)
+    d = np.concatenate([dst, src]).astype(np.int64)
+    w = np.concatenate([weight, weight]).astype(np.float64)
+    order = np.lexsort((w, d, s))
+    s, d, w = s[order], d[order], w[order]
+    if len(s):
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1]) | (w[1:] != w[:-1])
+        s, d, w = s[keep], d[keep], w[keep]
+    return s, d, w
+
+
+def pack_csr(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    n: int | None = None,
+    assume_symmetric: bool = False,
+) -> CSR:
+    """Pack a (symmetric, deduped) edge array into CSR over dense ids 0..n-1."""
+    if not assume_symmetric:
+        src, dst, weight = symmetrize_dedup_edges(src, dst, weight)
+    else:
+        order = np.lexsort((weight, dst, src))
+        src, dst, weight = src[order], dst[order], weight[order]
+    if n is None:
+        n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 if len(src) else 0
+    counts = np.bincount(src, minlength=n)
+    row_index = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_index[1:])
+    return CSR(row_index, dst.astype(np.int64), weight.astype(np.float64), len(dst) // 2)
+
+
+def weighted_degrees(csr: CSR) -> np.ndarray:
+    """Per-vertex sum of CSR row weights (self-loops count once —
+    src/graph.cpp:238-247)."""
+    n = len(csr.row_index) - 1
+    if len(csr.column_index) == 0:
+        return np.zeros(n)
+    # row id of every CSR entry, then segment-sum
+    rows = np.repeat(np.arange(n), np.diff(csr.row_index))
+    return np.bincount(rows, weights=csr.weights, minlength=n)
+
+
+def modularity(in_w: np.ndarray, total: np.ndarray, m2: float) -> float:
+    """Q = Σ_{c: tot>0} in[c]/m2 − (tot[c]/m2)²  (src/community.cpp:49-60)."""
+    mask = total > 0
+    t = total[mask] / m2
+    return float(np.sum(in_w[mask] / m2 - t * t))
+
+
+def louvain_sequential(
+    csr: CSR,
+    m2: float | None = None,
+    max_sweeps: int = 1000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[float], bool]:
+    """One level of sequential-semantics Louvain, faithful to
+    ``Communities::iterate`` (src/community.cpp:64-102).
+
+    Returns ``(node_to_comm, in_w, total, modularity_per_sweep, improved)``.
+    ``m2`` defaults to ``2 * ecount`` (reference's m-is-a-count quirk,
+    SURVEY.md §1.5); pass ``2 * Σw`` for standard semantics on weighted /
+    coarsened graphs.
+    """
+    n = len(csr.row_index) - 1
+    deg = weighted_degrees(csr)
+    if m2 is None:
+        m2 = 2.0 * csr.ecount
+    node_comm = np.arange(n, dtype=np.int64)
+    total = deg.copy()
+    in_w = np.zeros(n)
+    row_index, col, w = csr.row_index, csr.column_index, csr.weights
+
+    q_per_sweep: list[float] = []
+    total_moves = 0
+    improvement = False
+    for _ in range(max_sweeps):
+        prev_moves = total_moves
+        for node in range(n):
+            nc = int(node_comm[node])
+            lo, hi = row_index[node], row_index[node + 1]
+            nbrs = col[lo:hi]
+            ws = w[lo:hi]
+            # weights to neighboring communities, self-loops excluded,
+            # candidate order: current community first, then first-occurrence
+            # order over the (sorted) adjacency — src/community.cpp:122-148
+            w_to: dict[int, float] = {nc: 0.0}
+            for nb, cw in zip(nbrs.tolist(), ws.tolist()):
+                if nb == node:
+                    continue
+                c = int(node_comm[nb])
+                w_to[c] = w_to.get(c, 0.0) + cw
+            d_node = deg[node]
+            # remove (src/community.cpp:41-45)
+            total[nc] -= d_node
+            in_w[nc] -= 2.0 * w_to[nc]
+            # argmax, strict >, current community first (src/community.cpp:106-118)
+            best_c, best_inc = nc, 0.0
+            for c, dnc in w_to.items():
+                inc = dnc - total[c] * d_node / m2
+                if inc > best_inc:
+                    best_c, best_inc = c, inc
+            # insert (src/community.cpp:33-37)
+            total[best_c] += d_node
+            in_w[best_c] += 2.0 * w_to[best_c]
+            node_comm[node] = best_c
+            if best_c != nc:
+                total_moves += 1
+        if total_moves > 0:
+            improvement = True
+        q_per_sweep.append(modularity(in_w, total, m2))
+        if total_moves == prev_moves:
+            break
+    return node_comm, in_w, total, q_per_sweep, improvement
+
+
+def louvain_sequential_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    m2: float | None = None,
+    max_sweeps: int = 1000,
+) -> tuple[np.ndarray, np.ndarray, int, float]:
+    """Run a full Louvain level to convergence on a raw (possibly
+    non-dense, non-symmetric) edge array.
+
+    Densifies ids locally, symmetrizes + dedups, packs CSR, runs
+    :func:`louvain_sequential`, and maps community labels back to original
+    id space (a community is labeled by the original id of its
+    representative vertex).  Returns ``(vertices, communities, sweeps, Q)``.
+
+    This is the single-``applyInPandas``-call fast path: one Spark job per
+    *level* instead of one per sweep, used once coarsening has shrunk the
+    graph below the superstep threshold.  Returns
+    ``(vertices, communities, sweeps, Q, improved)``.
+    """
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    csr = pack_csr(s, d, weight, n=len(ids))
+    if m2 is None:
+        m2 = float(csr.weights.sum())
+    comm, _in, _tot, qs, imp = louvain_sequential(csr, m2=m2, max_sweeps=max_sweeps)
+    return ids, ids[comm], len(qs), (qs[-1] if qs else 0.0), imp
+
+
+def louvain_block_moves(
+    src: np.ndarray,
+    src_comm: np.ndarray,
+    src_deg: np.ndarray,
+    dst: np.ndarray,
+    dst_comm: np.ndarray,
+    weight: np.ndarray,
+    tot_by_comm: dict[int, float],
+    m2: float,
+    min_gain: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One sequential local-move sweep over a partition block.
+
+    Input is the block's adjacency in COO form, sorted by src: one row per
+    (src, dst) with the *current global* community of both endpoints and the
+    current global community totals for every community touched by the block
+    (``tot_by_comm``).  Vertices outside the block are frozen (their
+    communities are read, never written) — the Spark superstep re-joins and
+    re-aggregates globally between sweeps, so staleness is bounded by one
+    sweep, replacing the reference's per-vertex MPI barrier protocol
+    (src/distcommunity.cpp:212-385) with bulk-synchronous rounds.
+
+    Community totals are updated locally as vertices move, so moves within a
+    block observe each other (the reference's sequential property, per
+    block).  Returns ``(vertices, new_comms)`` for the block's vertices.
+    """
+    # (src, dst) sort reproduces the reference's sorted-adjacency candidate
+    # order (std::set, src/graph.h:25), which the strict-> argmax tie-break
+    # depends on
+    order = np.lexsort((dst, src))
+    src, src_comm, src_deg = src[order], src_comm[order], src_deg[order]
+    dst, dst_comm, weight = dst[order], dst_comm[order], weight[order]
+
+    uniq, starts = np.unique(src, return_index=True)
+    bounds = np.append(starts, len(src))
+    tot = dict(tot_by_comm)
+    comm_of: dict[int, int] = {}  # moved-this-sweep overrides (block-local)
+    n_vtx = len(uniq)
+    out_v = np.empty(n_vtx, dtype=np.int64)
+    out_c = np.empty(n_vtx, dtype=np.int64)
+
+    for i in range(n_vtx):
+        node = int(uniq[i])
+        lo, hi = bounds[i], bounds[i + 1]
+        nc = comm_of.get(node, int(src_comm[lo]))
+        d_node = float(src_deg[lo])
+        w_to: dict[int, float] = {nc: 0.0}
+        for j in range(lo, hi):
+            nb = int(dst[j])
+            if nb == node:
+                continue
+            c = comm_of.get(nb, int(dst_comm[j]))
+            w_to[c] = w_to.get(c, 0.0) + float(weight[j])
+        tot[nc] = tot.get(nc, d_node) - d_node
+        best_c, best_inc = nc, min_gain
+        for c, dnc in w_to.items():
+            inc = dnc - tot.get(c, 0.0) * d_node / m2
+            if inc > best_inc:
+                best_c, best_inc = c, inc
+        tot[best_c] = tot.get(best_c, 0.0) + d_node
+        comm_of[node] = best_c
+        out_v[i] = node
+        out_c[i] = best_c
+    return out_v, out_c

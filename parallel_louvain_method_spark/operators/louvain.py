@@ -1,0 +1,430 @@
+"""Louvain community detection as bulk-synchronous Spark supersteps.
+
+Replaces the reference's per-vertex MPI barrier protocol
+(/root/reference/src/distcommunity.cpp:212-385 — Isend/Iprobe per move) with
+the one semantic redesign SURVEY.md §7 calls for: each sweep is
+
+1. ``edges ⋈ assign`` on dst (the ghost exchange, now a shuffle join),
+2. join src-side state (community, degree) and community totals,
+3. ``groupBy(block).applyInPandas`` — a sequential local-move sweep per
+   partition block (numpy kernel, reference semantics within the block),
+4. recompute community totals by aggregation (no incremental mutation —
+   reference src/community.cpp:33-45 mutates; recompute is order-free and
+   shuffle-parallel),
+5. ``moves.count()`` drives convergence (reference src/community.cpp:98:
+   a full sweep with zero moves ends the level).
+
+With ``n_blocks=1`` the kernel sees the whole graph and reproduces the
+reference's *sequential* semantics exactly (ascending visit order, strict->
+argmax, current-community-first tie break) — that is what the golden tests
+pin (tests/main_test.cpp:64-81).  With many blocks, vertices move against
+communities at most one sweep stale; convergence still requires a full
+zero-move sweep, so the fixed point is identical in quality class.
+
+Scale notes:
+- the per-sweep dst-join is THE shuffle; edges are persisted partitioned by
+  dst so only the assignment side moves;
+- community totals shrink every level -> joined via broadcast when small
+  (AQE auto-converts; we hint explicitly below a row threshold);
+- lineage is truncated with localCheckpoint every few sweeps, otherwise the
+  iterative plan grows unboundedly (the reference has no such concern; Spark
+  does);
+- per-level state is parquet-checkpointed for resume (north rule:
+  "resumable from checkpoint with per-partition lineage + metrics";
+  reference left this as a TODO, src/distcommunity.cpp:899).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from parallel_louvain_method_spark.functions import kernels
+from parallel_louvain_method_spark.operators.graph import (
+    degrees as degrees_op,
+    symmetric_edges,
+)
+
+ASSIGN_SCHEMA = "vtx long, comm long"
+
+
+@dataclass
+class LevelStats:
+    level: int
+    n_vertices: int
+    n_edges_sym: int
+    sweeps: int = 0
+    moves_per_sweep: list[int] = field(default_factory=list)
+    modularity: float = float("nan")
+    wall_sec: float = 0.0
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame  # vtx -> final community (original vertex ids)
+    modularity: float
+    levels: list[LevelStats]
+
+    @property
+    def n_communities(self) -> int:
+        return self.assignment.select("comm").distinct().count()
+
+
+def comm_totals(assign: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-community degree totals: ``tot[c] = Σ degree(v), v ∈ c``
+    (recompute-by-aggregation form of src/community.cpp:33-45)."""
+    return (
+        assign.join(deg, "vtx")
+        .groupBy("comm")
+        .agg(F.sum("degree").alias("tot"), F.count("*").alias("size"))
+    )
+
+
+def modularity_df(
+    sym_edges: DataFrame,
+    assign: DataFrame,
+    deg: DataFrame,
+    m2: float,
+    include_self_loops: bool = True,
+) -> float:
+    """Q = Σ_c in[c]/m2 − (tot[c]/m2)² (src/community.cpp:49-60).
+
+    ``in[c]`` counts each internal undirected edge twice (both directions of
+    the symmetric table).  Self-loops appear once in the deduped symmetric
+    table; on coarse graphs they carry the community's internal weight
+    (already doubled by :func:`coarsen`), so they MUST count toward ``in``
+    or coarse-level modularity collapses.  The reference never adds
+    self-loop weight to ``in`` (compute_neighbors skips them,
+    src/community.cpp:134, and init zeroes ``in``) — pass
+    ``include_self_loops=False`` to reproduce that quirk; on the golden
+    level-0 graphs (no self-loops) both settings agree to 1e-15.
+    """
+    a_src = assign.select(F.col("vtx").alias("src"), F.col("comm").alias("c_src"))
+    a_dst = assign.select(F.col("vtx").alias("dst"), F.col("comm").alias("c_dst"))
+    internal = (
+        sym_edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+    )
+    if not include_self_loops:
+        internal = internal.filter(F.col("src") != F.col("dst"))
+    in_c = internal.groupBy(F.col("c_src").alias("comm")).agg(
+        F.sum("weight").alias("in_w")
+    )
+    tot_c = comm_totals(assign, deg)
+    row = (
+        tot_c.join(in_c, "comm", "left")
+        .na.fill({"in_w": 0.0})
+        .filter(F.col("tot") > 0)
+        .select(
+            F.sum(
+                F.col("in_w") / F.lit(m2) - F.pow(F.col("tot") / F.lit(m2), F.lit(2.0))
+            ).alias("q")
+        )
+        .first()
+    )
+    return float(row["q"]) if row["q"] is not None else 0.0
+
+
+def _make_block_udf(m2: float, min_gain: float):
+    def block_moves(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"vtx": pd.Series(dtype="int64"), "comm": pd.Series(dtype="int64")})
+        tot_by_comm: dict[int, float] = {}
+        for c, t in zip(pdf["dst_comm"].to_numpy(), pdf["tot_dst"].to_numpy()):
+            tot_by_comm[int(c)] = float(t)
+        for c, t in zip(pdf["src_comm"].to_numpy(), pdf["tot_src"].to_numpy()):
+            tot_by_comm[int(c)] = float(t)
+        out_v, out_c = kernels.louvain_block_moves(
+            pdf["src"].to_numpy(),
+            pdf["src_comm"].to_numpy(),
+            pdf["src_deg"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            pdf["dst_comm"].to_numpy(),
+            pdf["weight"].to_numpy(),
+            tot_by_comm,
+            m2,
+            min_gain,
+        )
+        return pd.DataFrame({"vtx": out_v, "comm": out_c})
+
+    return block_moves
+
+
+def _local_level_udf(m2: float, max_sweeps: int):
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        v, c, sweeps, q, improved = kernels.louvain_sequential_edges(
+            pdf["src"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            pdf["weight"].to_numpy(),
+            m2=m2,
+            max_sweeps=max_sweeps,
+        )
+        return pd.DataFrame(
+            {"vtx": v, "comm": c, "sweeps": sweeps, "moved": int(improved)}
+        )
+
+    return run
+
+
+def louvain_level(
+    spark: SparkSession,
+    sym_edges: DataFrame,
+    n_blocks: int = 1,
+    m2: float | None = None,
+    max_sweeps: int = 100,
+    anneal: bool = False,
+    level_no: int = 0,
+    mode: str = "auto",
+    local_threshold: int = 2_000_000,
+) -> tuple[DataFrame, DataFrame, float, LevelStats]:
+    """One Louvain level.  Returns (assign, deg, m2_used, stats).
+
+    ``sym_edges`` must already be symmetric + deduped.  ``m2`` defaults to
+    Σ degree = total symmetric weight, which equals the reference's
+    ``2·ecount`` on unit-weight simple graphs (SURVEY.md §1.5) and is the
+    standard 2m on weighted/coarse graphs.
+
+    ``mode``:
+    - ``"superstep"`` — bulk-synchronous sweeps, one shuffle join + block
+      kernel per sweep (the at-scale path);
+    - ``"local"`` — the whole level runs to convergence inside ONE
+      ``applyInPandas`` call (sequential reference semantics, ascending
+      visit order).  One Spark job per level instead of per sweep — per-job
+      overhead dominates below ~10^6 edges, and coarsening shrinks every
+      real graph into this regime after a level or two;
+    - ``"auto"`` — local iff the symmetric table has ≤ ``local_threshold``
+      rows.
+    """
+    t0 = time.monotonic()
+    sym_edges = sym_edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = degrees_op(sym_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if m2 is None:
+        m2 = float(deg.agg(F.sum("degree")).first()[0] or 0.0)
+    n_vertices = deg.count()
+    n_edges_sym = sym_edges.count()
+    stats = LevelStats(level=level_no, n_vertices=n_vertices, n_edges_sym=n_edges_sym)
+
+    if mode == "auto":
+        mode = "local" if n_edges_sym <= local_threshold else "superstep"
+
+    if mode == "local":
+        out = (
+            sym_edges.groupBy(F.lit(0).alias("g"))
+            .applyInPandas(
+                _local_level_udf(m2, max_sweeps),
+                schema="vtx long, comm long, sweeps int, moved int",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        meta = out.agg(F.max("sweeps"), F.max("moved")).first()
+        stats.sweeps = int(meta[0] or 0)
+        any_moved = bool(meta[1])
+        assign = out.select("vtx", "comm").localCheckpoint(eager=True)
+        out.unpersist()
+        stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+        # kernel-internal sweeps aren't individually observable; record the
+        # level's total move signal so the multilevel driver can stop
+        stats.moves_per_sweep = [1 if any_moved else 0] * stats.sweeps
+        stats.wall_sec = time.monotonic() - t0
+        return assign, deg, m2, stats
+
+    # singleton init (src/community.cpp:25-29)
+    assign = deg.select(F.col("vtx"), F.col("vtx").alias("comm")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    assign.count()
+
+    # Parallel-move oscillation breaker (SURVEY.md §7.3 hard part (a)): when
+    # n_blocks > 1, two adjacent vertices in different blocks can swap into
+    # each other's communities forever.  Alternating parities makes each
+    # sweep's frozen set a vertex cover of the cross-block edges, so no
+    # symmetric swap can oscillate.  Convergence requires BOTH parities to
+    # make zero moves (a full zero-move "super sweep").
+    zero_streak_needed = 1 if n_blocks == 1 else 2
+    zero_streak = 0
+    for sweep in range(max_sweeps):
+        min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
+        tot = comm_totals(assign, deg).select("comm", "tot")
+
+        a_dst = assign.select(F.col("vtx").alias("dst"), F.col("comm").alias("dst_comm"))
+        a_src = assign.select(F.col("vtx").alias("src"), F.col("comm").alias("src_comm"))
+        d_src = deg.select(F.col("vtx").alias("src"), F.col("degree").alias("src_deg"))
+        t_dst = tot.select(F.col("comm").alias("dst_comm"), F.col("tot").alias("tot_dst"))
+        t_src = tot.select(F.col("comm").alias("src_comm"), F.col("tot").alias("tot_src"))
+
+        joined = (
+            sym_edges.join(a_dst, "dst")
+            .join(a_src, "src")
+            .join(d_src, "src")
+            .join(t_dst, "dst_comm")
+            .join(t_src, "src_comm")
+        )
+        if n_blocks > 1:
+            # xxhash64 decorrelates the parity from the hash() block key
+            joined = joined.filter(
+                F.pmod(F.xxhash64("src") + F.lit(sweep), F.lit(2)) == 0
+            )
+        joined = joined.withColumn("block", F.pmod(F.hash("src"), F.lit(n_blocks)))
+        proposals = joined.groupBy("block").applyInPandas(
+            _make_block_udf(m2, min_gain), schema=ASSIGN_SCHEMA
+        )
+        new_assign = (
+            assign.withColumnRenamed("comm", "old_comm")
+            .join(proposals.withColumnRenamed("comm", "prop_comm"), "vtx", "left")
+            .select(
+                "vtx",
+                F.coalesce(F.col("prop_comm"), F.col("old_comm")).alias("comm"),
+                "old_comm",
+            )
+            # truncate lineage EVERY sweep: the sweep plan references assign
+            # ~5x, so without truncation the logical plan grows 5^k nodes and
+            # analysis time explodes (state is tiny next to the edge table,
+            # so an eager localCheckpoint per sweep is cheap)
+            .localCheckpoint(eager=True)
+        )
+        moves = new_assign.filter(F.col("comm") != F.col("old_comm")).count()
+        stats.moves_per_sweep.append(moves)
+        stats.sweeps = sweep + 1
+
+        old = assign
+        assign = new_assign.select("vtx", "comm")
+        old.unpersist()
+
+        zero_streak = zero_streak + 1 if moves == 0 else 0
+        if zero_streak >= zero_streak_needed:
+            break
+
+    stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+    stats.wall_sec = time.monotonic() - t0
+    return assign, deg, m2, stats
+
+
+def coarsen(sym_edges: DataFrame, assign: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the community graph (src/community.cpp:162-201 /
+    src/distcommunity.cpp:766-915): communities renumbered dense 0..k-1 by
+    sorted id (prefix-sum renumbering W2), edge weights summed, internal
+    edges becoming self-loops whose weight is 2× internal weight (each
+    internal edge contributes both directions).
+
+    Returns (coarse_sym_edges, comm_renumber_map[comm, new_id]).
+    """
+    from parallel_louvain_method_spark.operators.graph import dense_ids
+
+    cmap = dense_ids(assign.select(F.col("comm").alias("v"))).withColumnsRenamed(
+        {"v": "comm", "new_id": "new_comm"}
+    )
+    a = assign.join(cmap, "comm").select("vtx", F.col("new_comm").alias("comm"))
+    a_src = a.select(F.col("vtx").alias("src"), F.col("comm").alias("c_src"))
+    a_dst = a.select(F.col("vtx").alias("dst"), F.col("comm").alias("c_dst"))
+    coarse = (
+        sym_edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return coarse, cmap
+
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_blocks: int = 1,
+    max_levels: int = 20,
+    max_sweeps: int = 100,
+    min_q_gain: float = 1e-6,
+    anneal: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    mode: str = "auto",
+    local_threshold: int = 2_000_000,
+) -> LouvainResult:
+    """Multi-level Louvain over an arbitrary edge table.
+
+    The flat assignment (original vtx -> final community) is maintained by
+    composing each level's coarsening map.  When ``checkpoint_dir`` is set,
+    each level's coarse edges + flat assignment + metrics land in
+    ``<dir>/level=<k>/`` and ``resume=True`` restarts after the last
+    complete level (S7; the reference's unimplemented TODO,
+    src/distcommunity.cpp:899).
+    """
+    from parallel_louvain_method_spark.sources.checkpoint import (
+        latest_level,
+        load_level,
+        save_level,
+    )
+
+    sym = symmetric_edges(edges)
+    flat: DataFrame | None = None
+    levels: list[LevelStats] = []
+    q_prev = -math.inf
+    start_level = 0
+
+    if checkpoint_dir and resume:
+        lvl = latest_level(spark, checkpoint_dir)
+        if lvl is not None:
+            sym, flat, meta = load_level(spark, checkpoint_dir, lvl)
+            q_prev = meta["modularity"]
+            start_level = lvl + 1
+
+    final_q = q_prev if q_prev != -math.inf else float("nan")
+    for level_no in range(start_level, max_levels):
+        assign, deg, m2, stats = louvain_level(
+            spark,
+            sym,
+            n_blocks=n_blocks,
+            max_sweeps=max_sweeps,
+            anneal=anneal,
+            level_no=level_no,
+            mode=mode,
+            local_threshold=local_threshold,
+        )
+        levels.append(stats)
+        moved = sum(stats.moves_per_sweep) > 0
+        coarse, cmap = coarsen(sym, assign)
+        relabeled = assign.join(
+            cmap.withColumnRenamed("new_comm", "final_comm"), "comm"
+        ).select("vtx", F.col("final_comm").alias("comm"))
+        if flat is None:
+            flat = relabeled
+        else:
+            flat = (
+                flat.withColumnRenamed("comm", "mid")
+                .join(relabeled.withColumnRenamed("vtx", "mid"), "mid")
+                .select("vtx", "comm")
+            )
+        flat = flat.localCheckpoint(eager=True)
+        final_q = stats.modularity
+
+        if checkpoint_dir:
+            save_level(
+                spark,
+                checkpoint_dir,
+                level_no,
+                coarse,
+                flat,
+                {
+                    "level": level_no,
+                    "modularity": stats.modularity,
+                    "sweeps": stats.sweeps,
+                    "moves_per_sweep": stats.moves_per_sweep,
+                    "n_vertices": stats.n_vertices,
+                    "n_edges_sym": stats.n_edges_sym,
+                    "wall_sec": stats.wall_sec,
+                },
+            )
+
+        if not moved or (stats.modularity - q_prev) <= min_q_gain:
+            break
+        q_prev = stats.modularity
+        sym = coarse.localCheckpoint(eager=True)
+
+    assert flat is not None
+    return LouvainResult(assignment=flat, modularity=final_q, levels=levels)

@@ -1,0 +1,82 @@
+"""Golden + property tests for the Spark Louvain path (SURVEY.md §5.1-2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_louvain_method_spark.operators import graph as G
+from parallel_louvain_method_spark.operators.louvain import (
+    coarsen,
+    louvain,
+    louvain_level,
+    modularity_df,
+)
+from tests.conftest import (
+    EPS,
+    GOLDEN16_N_COMMUNITIES,
+    GOLDEN16_Q_FINAL,
+    GOLDEN16_Q_INITIAL,
+)
+
+
+def test_golden16_single_block(spark, golden16_df):
+    sym = G.symmetric_edges(golden16_df)
+    assert sym.count() // 2 == 28
+    deg = G.degrees(sym)
+    m2 = float(deg.agg(F.sum("degree")).first()[0])
+    assert m2 == pytest.approx(56.0)
+
+    # initial modularity with singleton communities
+    assign0 = deg.select("vtx", F.col("vtx").alias("comm"))
+    q0 = modularity_df(sym, assign0, deg, m2)
+    assert q0 == pytest.approx(GOLDEN16_Q_INITIAL, abs=EPS)
+
+    assign, deg, m2u, stats = louvain_level(spark, sym, n_blocks=1)
+    assert stats.modularity == pytest.approx(GOLDEN16_Q_FINAL, abs=EPS)
+    assert assign.select("comm").distinct().count() == GOLDEN16_N_COMMUNITIES
+
+
+def test_golden16_multiblock_converges(spark, golden16_df):
+    sym = G.symmetric_edges(golden16_df)
+    assign, deg, m2, stats = louvain_level(spark, sym, n_blocks=4, mode="superstep")
+    # bulk-synchronous multi-block must still converge (0-move sweep) and
+    # land in the same quality class as the sequential result
+    assert stats.moves_per_sweep[-1] == 0
+    assert stats.modularity >= 0.30
+
+
+def test_golden16_coarsen(spark, golden16_df):
+    sym = G.symmetric_edges(golden16_df)
+    assign, deg, m2, stats = louvain_level(spark, sym, n_blocks=1)
+    coarse, cmap = coarsen(sym, assign)
+    # 4 communities -> coarse graph has 4 vertices, ids dense 0..3
+    verts = sorted(r["v"] for r in G.vertex_ids(coarse).collect())
+    assert verts == list(range(GOLDEN16_N_COMMUNITIES))
+    # total coarse weight = total original symmetric weight (mass conserved)
+    tot_coarse = coarse.agg(F.sum("weight")).first()[0]
+    assert tot_coarse == pytest.approx(56.0)
+    # self-loop weight = 2x internal weight: sum of self-loops + inter = 56
+    selfw = coarse.filter("src = dst").agg(F.sum("weight")).first()[0]
+    assert selfw > 0
+
+
+def test_multilevel_louvain(spark, golden16_df):
+    res = louvain(spark, golden16_df, n_blocks=1)
+    assert res.modularity >= GOLDEN16_Q_FINAL - EPS
+    assert res.n_communities <= GOLDEN16_N_COMMUNITIES
+    # every original vertex keeps exactly one assignment
+    assert res.assignment.count() == 16
+    assert res.assignment.select("vtx").distinct().count() == 16
+
+
+def test_checkpoint_resume(spark, golden16_df, tmp_path):
+    ck = str(tmp_path / "ck")
+    res1 = louvain(spark, golden16_df, n_blocks=1, checkpoint_dir=ck)
+    from parallel_louvain_method_spark.sources.checkpoint import latest_level
+
+    lvl = latest_level(spark, ck)
+    assert lvl is not None
+    res2 = louvain(spark, golden16_df, n_blocks=1, checkpoint_dir=ck, resume=True)
+    # resume from the final level converges immediately to the same Q class
+    assert res2.modularity >= res1.modularity - 1e-9
