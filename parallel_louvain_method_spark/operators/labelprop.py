@@ -1,0 +1,80 @@
+"""Label propagation (LPA) community detection — SURVEY.md A12, [NR].
+
+Synchronous weighted LPA with deterministic semantics:
+- per round, each active vertex adopts the label with the largest total
+  incident edge weight among its neighbors; ties break to the LOWEST label
+  (``max_by(label, struct(w, -label))``) so results are reproducible —
+  Spark ordering is otherwise nondeterministic (SURVEY.md §7.3);
+- fully synchronous LPA oscillates on bipartite structure, so rounds
+  alternate vertex parities (same oscillation breaker as the Louvain
+  supersteps, operators/louvain.py);
+- stops when a full parity pair changes nothing or after ``max_iter``.
+
+Everything is built-in DataFrame ops: one join + two aggregations per
+round, label table localCheckpoint'ed per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from parallel_louvain_method_spark.operators.graph import (
+    exclude_self_loops,
+    symmetric_edges,
+    vertex_ids,
+)
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 20, weighted: bool = True
+) -> DataFrame:
+    """Returns ``DataFrame[vtx: long, label: long]``."""
+    sym = (
+        exclude_self_loops(symmetric_edges(edges))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        vertex_ids(edges)
+        .withColumnRenamed("v", "vtx")
+        .select("vtx", F.col("vtx").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+
+    zero_streak = 0
+    for it in range(max_iter):
+        # weight to each neighboring label, for this round's active parity
+        active = sym.filter(F.pmod(F.xxhash64("src") + F.lit(it), F.lit(2)) == 0)
+        label_w = (
+            active.join(labels.withColumnRenamed("vtx", "dst"), "dst")
+            .groupBy(F.col("src").alias("vtx"), F.col("label"))
+            .agg(F.sum(wcol).alias("w"))
+        )
+        # argmax with deterministic tie-break: highest w, then lowest label
+        best = label_w.groupBy("vtx").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("w"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        new_labels = (
+            labels.join(best, "vtx", "left")
+            .select(
+                "vtx",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "nl")
+            .join(labels, "vtx")
+            .filter(F.col("nl") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        zero_streak = zero_streak + 1 if changed == 0 else 0
+        if zero_streak >= 2:  # both parities quiescent
+            break
+
+    sym.unpersist()
+    return labels

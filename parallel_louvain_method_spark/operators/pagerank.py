@@ -1,0 +1,105 @@
+"""PageRank over the canonical edge table (SURVEY.md A10, [NR] north rule).
+
+Pure DataFrame loop — no Python row code.  Each iteration is one shuffle
+join (ranks onto edges by src) + one aggregation (sum contributions by dst);
+the rank table is localCheckpoint'ed per iteration to keep the logical plan
+flat (iterative-lineage rule, see operators/louvain.py).
+
+Scale notes:
+- the edge table is persisted once, partitioned by the join key, so only
+  the (tiny) rank table moves per iteration;
+- dangling mass (vertices with no out-edges) is redistributed uniformly —
+  on a symmetrized graph danglings are only isolated vertices, but the
+  operator also accepts directed input;
+- convergence check ``max|Δ|`` is one extra small aggregation per
+  iteration; pass ``tol=None`` to run exactly ``max_iter`` rounds (needed
+  for fixed-k SQL-oracle comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from parallel_louvain_method_spark.operators.graph import vertex_ids
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    weighted: bool = True,
+) -> DataFrame:
+    """Returns ``DataFrame[vtx: long, rank: double]``; Σ rank = 1.
+
+    ``edges`` is interpreted as DIRECTED (src -> dst).  For the undirected
+    semantics of the link graph, pass the symmetric table.
+    """
+    verts = vertex_ids(edges).withColumnRenamed("v", "vtx").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+    out_w = edges.groupBy(F.col("src").alias("vtx")).agg(
+        F.sum(wcol).alias("out_w")
+    )
+    # transition fraction per edge: w / out_w(src)
+    trans = (
+        edges.join(out_w.withColumnRenamed("vtx", "src"), "src")
+        .select("src", "dst", (wcol / F.col("out_w")).alias("frac"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    trans.count()
+
+    ranks = verts.select("vtx", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n
+
+    for _ in range(max_iter):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("vtx", "src"), "src")
+            .groupBy(F.col("dst").alias("vtx"))
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_sum"))
+        )
+        # dangling mass: rank held by vertices with no out-edges
+        dangling = (
+            ranks.join(out_w, "vtx", "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        redistribute = damping * dangling / n
+        new_ranks = (
+            verts.join(contrib, "vtx", "left")
+            .na.fill({"in_sum": 0.0})
+            .select(
+                "vtx",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.col("in_sum")
+                    + F.lit(redistribute)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "new_rank")
+                .join(ranks, "vtx")
+                .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+
+    trans.unpersist()
+    verts.unpersist()
+    return ranks

@@ -1,0 +1,150 @@
+"""PageRank / CC / LPA / triangles vs independent numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_louvain_method_spark.operators.components import (
+    component_counts,
+    connected_components,
+)
+from parallel_louvain_method_spark.operators.labelprop import label_propagation
+from parallel_louvain_method_spark.operators.pagerank import pagerank
+from parallel_louvain_method_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from parallel_louvain_method_spark.operators.graph import symmetric_edges
+from tests.conftest import GOLDEN16_EDGES
+
+
+def _np_pagerank(edges, n, damping=0.85, iters=30):
+    """Dense power iteration oracle (symmetric, unit weights)."""
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+        A[b, a] = 1.0
+    out = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.where(out > 0, r / np.where(out > 0, out, 1), 0.0)
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (A.T @ contrib) + damping * dangling / n
+    return r
+
+
+def _np_components(edges, n):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # relabel by component min id
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(members) for r, members in comp.items() for v in members}
+
+
+def _np_triangles(edges, n):
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        if a != b:
+            A[a, b] = 1
+            A[b, a] = 1
+    return int(np.trace(A @ A @ A) // 6)
+
+
+def test_pagerank_golden16(spark, golden16_df):
+    sym = symmetric_edges(golden16_df)
+    pr = pagerank(sym, max_iter=30, tol=None)
+    got = {r["vtx"]: r["rank"] for r in pr.collect()}
+    want = _np_pagerank(GOLDEN16_EDGES, 16, iters=30)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in range(16):
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"vtx {v}"
+
+
+def test_pagerank_dangling(spark):
+    # directed chain with a dangling sink: 0 -> 1 -> 2
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    pr = pagerank(df, max_iter=40, tol=None)
+    got = {r["vtx"]: r["rank"] for r in pr.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] > got[1] > got[0]
+
+
+def test_connected_components_exact(spark):
+    # two components + an isolated-by-self-loop vertex
+    edges = [(0, 1), (1, 2), (3, 4), (5, 5)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    got = {r["vtx"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    sizes = {r["component"]: r["size"] for r in component_counts(df).collect()}
+    assert sizes == {0: 3, 3: 2, 5: 1}
+
+
+def test_connected_components_random(spark):
+    rng = np.random.default_rng(7)
+    n, m = 60, 60
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    got = {r["vtx"]: r["component"] for r in connected_components(df).collect()}
+    want = _np_components(edges, n)
+    touched = {v for e in edges for v in e}
+    assert got == {v: c for v, c in want.items() if v in touched}
+
+
+def test_triangles_golden16(spark, golden16_df):
+    want = _np_triangles(GOLDEN16_EDGES, 16)
+    assert triangle_count(golden16_df) == want
+    per_v = {
+        r["vtx"]: r["triangles"] for r in triangles_per_vertex(golden16_df).collect()
+    }
+    # each triangle contributes 3 vertex participations
+    assert sum(per_v.values()) == 3 * want
+
+
+def test_triangles_random(spark):
+    rng = np.random.default_rng(11)
+    n = 30
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (120, 2))]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    assert triangle_count(df) == _np_triangles(edges, n)
+
+
+def test_lpa_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge -> LPA finds the two cliques
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a + 4, b + 4) for a, b in k1]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in k1 + k2 + [(0, 4)]],
+        "src long, dst long, weight double",
+    )
+    labels = {r["vtx"]: r["label"] for r in label_propagation(df).collect()}
+    assert len(set(labels[v] for v in range(4))) == 1
+    assert len(set(labels[v] for v in range(4, 8))) == 1
+
+
+def test_lpa_deterministic(spark, golden16_df):
+    l1 = sorted(label_propagation(golden16_df).collect())
+    l2 = sorted(label_propagation(golden16_df).collect())
+    assert l1 == l2
