@@ -119,7 +119,13 @@ def dense_ids(ids: DataFrame, col: str = "v") -> DataFrame:
     sorted_ids = ids.select(col).distinct().sort(col)
     spark = ids.sparkSession
     indexed = sorted_ids.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(indexed, schema=f"{col} long, new_id long")
+    schema = StructType(
+        [
+            StructField(col, ids.schema[col].dataType, False),
+            StructField("new_id", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(indexed, schema=schema)
 
 
 def renumber_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

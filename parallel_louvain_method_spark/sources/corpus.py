@@ -1,0 +1,205 @@
+"""Source-code corpus ingest (SURVEY.md S6/P8/J5/J6, BASELINE.json input_hint).
+
+Input table shape (Iceberg at 10^12-file scale; parquet in tests)::
+
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+Operators:
+- ``with_sha256``      — per-row ``sha2(content, 256)`` (built-in, vectorized;
+                         the per-row invariant the driver checks);
+- ``shared_content_edges`` — repo pairs sharing content hashes (self-join on
+                         hash) with an explicit frequency cap: top hashes
+                         (empty file, license boilerplate) are O(k²) pair
+                         bombs, so groups larger than ``max_group`` are
+                         dropped and counted, not exploded;
+- ``cocommit_edges``   — file pairs co-occurring in a commit (self-join on
+                         the (repo, commit) group key) with the same cap;
+- ``build_repo_graph`` / ``build_file_graph`` — string keys densified to
+                         the canonical long-id edge table via the sorted
+                         renumber operator.
+
+Column pruning is load-bearing at 100 TB: every builder projects
+``content`` away immediately after hashing, so the scan schema the optimizer
+pushes to parquet/Iceberg never carries file bodies further than the hash
+expression.
+
+``synth_corpus`` generates the deterministic test/bench corpus (FIXTURES.md
+F2): pure Spark expressions over ``spark.range`` — same input on every call,
+no RNG state, no external data.  Repos are grouped into content pools of 10
+(planted Louvain communities) with sparse cross-pool links.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parallel_louvain_method_spark.operators.graph import dense_ids
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+_LANGS = ["py", "c", "cpp", "java", "rs"]
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_repos: int = 100,
+    files_per_repo: int = 20,
+    commits_per_repo: int = 5,
+    repos_per_pool: int = 10,
+    contents_per_pool: int = 40,
+    cross_rate: int = 17,
+) -> DataFrame:
+    """Deterministic synthetic corpus with planted community structure.
+
+    One row per (repo, path, commit).  Content keys are drawn from a
+    pool-local range (repos ``[p*repos_per_pool, (p+1)*repos_per_pool)``
+    share pool ``p``'s contents — guaranteed shared-content edges inside a
+    pool), except every ``cross_rate``-th (repo, file) uses a global key
+    (sparse cross-pool links).  All derived arithmetically from the row id:
+    rerunning yields byte-identical data at any scale.
+    """
+    rows = n_repos * files_per_repo * commits_per_repo
+    df = spark.range(rows).select(
+        (F.col("id") / (files_per_repo * commits_per_repo))
+        .cast("long")
+        .alias("repo_id"),
+        (F.col("id") / commits_per_repo).cast("long").alias("gfile_id"),
+        F.pmod(F.col("id"), F.lit(commits_per_repo)).alias("commit_id"),
+    )
+    df = df.withColumn(
+        "file_id", F.pmod(F.col("gfile_id"), F.lit(files_per_repo))
+    ).withColumn("pool", (F.col("repo_id") / repos_per_pool).cast("long"))
+    lang = F.element_at(
+        F.array(*[F.lit(l) for l in _LANGS]),
+        (F.pmod(F.col("file_id"), F.lit(len(_LANGS))) + 1).cast("int"),
+    )
+    # pool-local content key, with deterministic sparse cross-pool leakage
+    local_key = F.col("pool") * contents_per_pool + F.pmod(
+        F.col("file_id") * 31 + F.col("commit_id") * 7, F.lit(contents_per_pool)
+    )
+    global_key = F.pmod(F.col("file_id") * 13 + F.col("repo_id"), F.lit(contents_per_pool))
+    is_cross = F.pmod(F.col("repo_id") * 7 + F.col("file_id"), F.lit(cross_rate)) == 0
+    content_key = F.when(is_cross, -(global_key + 1)).otherwise(local_key)
+    return df.select(
+        F.format_string("repo_%05d", F.col("repo_id")).alias("repo"),
+        F.concat(
+            F.lit("src/f"),
+            F.format_string("%03d", F.col("file_id")),
+            F.lit("."),
+            lang,
+        ).alias("path"),
+        F.sha2(
+            F.concat(
+                F.format_string("repo_%05d", F.col("repo_id")),
+                F.lit("@"),
+                F.col("commit_id").cast("string"),
+            ),
+            256,
+        ).substr(1, 40).alias("commit"),
+        lang.alias("lang"),
+        F.concat(F.lit("file-body-"), content_key.cast("string")).alias("content"),
+    )
+
+
+def with_sha256(corpus: DataFrame) -> DataFrame:
+    """P8: per-row content hash — ``sha2`` runs JVM-side, no Python."""
+    return corpus.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def shared_content_edges(
+    corpus: DataFrame,
+    node_col: str = "repo",
+    max_group: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """J5: edges between ``node_col`` values sharing ≥1 content sha256;
+    ``weight`` = number of shared hashes.
+
+    Returns ``(edges, dropped)`` where ``dropped`` lists hashes whose
+    distinct-node group exceeded ``max_group`` (the skew cap — a hash shared
+    by k nodes emits k(k-1)/2 pairs, so boilerplate hashes are excluded
+    EXPLICITLY and observably rather than salted into the join).
+    """
+    h = (
+        with_sha256(corpus)
+        .select(F.col(node_col).alias("node"), F.col("content_sha").alias("h"))
+        .distinct()
+    )
+    sizes = h.groupBy("h").agg(F.count("*").alias("n_nodes"))
+    dropped = sizes.filter(F.col("n_nodes") > max_group)
+    ok = h.join(F.broadcast(dropped.select("h")), "h", "left_anti")
+    a = ok.select("h", F.col("node").alias("node_a"))
+    b = ok.select("h", F.col("node").alias("node_b"))
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return edges, dropped
+
+
+def cocommit_edges(
+    corpus: DataFrame,
+    max_group: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """J6: edges between files (repo-qualified paths) co-occurring in a
+    commit; ``weight`` = number of commits where they co-occur.
+
+    Same explicit skew cap as :func:`shared_content_edges` — a mega-commit
+    touching k files is a k²/2 pair bomb.
+    """
+    fc = corpus.select(
+        F.concat(F.col("repo"), F.lit("::"), F.col("path")).alias("file"),
+        F.concat(F.col("repo"), F.lit("@"), F.col("commit")).alias("ck"),
+    ).distinct()
+    sizes = fc.groupBy("ck").agg(F.count("*").alias("n_files"))
+    dropped = sizes.filter(F.col("n_files") > max_group)
+    ok = fc.join(F.broadcast(dropped.select("ck")), "ck", "left_anti")
+    a = ok.select("ck", F.col("file").alias("node_a"))
+    b = ok.select("ck", F.col("file").alias("node_b"))
+    edges = (
+        a.join(b, "ck")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return edges, dropped
+
+
+def _densify(string_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """String-keyed edges -> canonical long-id edge table + id map."""
+    ids = (
+        string_edges.select(F.col("node_a").alias("name"))
+        .union(string_edges.select(F.col("node_b").alias("name")))
+        .distinct()
+    )
+    mapping = dense_ids(ids, "name")
+    edges = (
+        string_edges.join(mapping.withColumnRenamed("name", "node_a"), "node_a")
+        .withColumnRenamed("new_id", "src")
+        .join(
+            mapping.withColumnRenamed("name", "node_b").withColumnRenamed(
+                "new_id", "dst"
+            ),
+            "node_b",
+        )
+        .select("src", "dst", "weight")
+    )
+    return edges, mapping
+
+
+def build_repo_graph(
+    corpus: DataFrame, max_group: int = 1000
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared-content repo graph: ``(edges[src,dst,weight], id_map, dropped)``."""
+    str_edges, dropped = shared_content_edges(corpus, "repo", max_group)
+    edges, mapping = _densify(str_edges)
+    return edges, mapping, dropped
+
+
+def build_file_graph(
+    corpus: DataFrame, max_group: int = 1000
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Co-commit file graph: ``(edges[src,dst,weight], id_map, dropped)``."""
+    str_edges, dropped = cocommit_edges(corpus, max_group)
+    edges, mapping = _densify(str_edges)
+    return edges, mapping, dropped

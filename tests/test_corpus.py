@@ -1,0 +1,90 @@
+"""Corpus ingest: sha256 invariant, edge builders, planted communities."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_louvain_method_spark.operators.louvain import louvain
+from parallel_louvain_method_spark.sources.corpus import (
+    build_repo_graph,
+    cocommit_edges,
+    shared_content_edges,
+    synth_corpus,
+    with_sha256,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(
+        spark, n_repos=40, files_per_repo=8, commits_per_repo=3
+    ).persist()
+
+
+def test_corpus_shape_and_determinism(spark, corpus):
+    assert corpus.columns == ["repo", "path", "commit", "lang", "content"]
+    assert corpus.count() == 40 * 8 * 3
+    again = synth_corpus(spark, n_repos=40, files_per_repo=8, commits_per_repo=3)
+    assert corpus.exceptAll(again).count() == 0
+    assert again.exceptAll(corpus).count() == 0
+
+
+def test_sha256_per_row_invariant(spark, corpus):
+    """North-rule invariant: sha2(content, 256) == hashlib.sha256."""
+    sample = with_sha256(corpus).select("content", "content_sha").limit(50).collect()
+    assert len(sample) > 0
+    for r in sample:
+        assert (
+            hashlib.sha256(r["content"].encode()).hexdigest() == r["content_sha"]
+        )
+
+
+def test_shared_content_edges_oracle(spark, corpus):
+    edges, dropped = shared_content_edges(corpus, "repo", max_group=1000)
+    assert dropped.count() == 0
+    # independent recomputation in SQL over collected rows
+    corpus.createOrReplaceTempView("corpus_t")
+    want = spark.sql(
+        """
+        WITH h AS (SELECT DISTINCT repo, sha2(content, 256) AS hh FROM corpus_t)
+        SELECT a.repo AS node_a, b.repo AS node_b,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM h a JOIN h b ON a.hh = b.hh AND a.repo < b.repo
+        GROUP BY 1, 2
+        """
+    )
+    assert edges.exceptAll(want).count() == 0
+    assert want.exceptAll(edges).count() == 0
+    # planted structure: pool-local sharing dominates
+    intra = edges.filter(
+        F.substring("node_a", 6, 4).cast("int") / 10
+        == F.substring("node_b", 6, 4).cast("int") / 10
+    )
+    assert intra.count() > 0
+
+
+def test_cocommit_edges_cap(spark, corpus):
+    # files_per_repo=8 -> every commit groups 8 files; cap at 5 drops all
+    edges, dropped = cocommit_edges(corpus, max_group=5)
+    assert edges.count() == 0
+    assert dropped.count() == 40 * 3
+    edges2, dropped2 = cocommit_edges(corpus, max_group=100)
+    assert dropped2.count() == 0
+    # each repo contributes C(8,2)=28 distinct file pairs
+    assert edges2.count() == 40 * 28
+    # weight = commits where the pair co-occurs = 3
+    assert edges2.agg(F.min("weight"), F.max("weight")).first() == (3.0, 3.0)
+
+
+def test_repo_graph_louvain_recovers_pools(spark, corpus):
+    edges, mapping, dropped = build_repo_graph(corpus)
+    assert dropped.count() == 0
+    res = louvain(spark, edges, n_blocks=1)
+    # 40 repos in 4 pools of 10 with sparse cross links -> Louvain should
+    # recover ~4 communities with high modularity
+    assert res.modularity > 0.5
+    got = res.n_communities
+    assert 3 <= got <= 6
