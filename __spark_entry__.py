@@ -1,38 +1,452 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: corpus-style shared-content edge build over the
+``documents`` table → Louvain community detection → per-node assignment.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data pipeline ops).  SQL-expressible operators
+carry a DuckDB oracle; iterative/sketch operators (Louvain, LPA, MinHash,
+SimHash, LSH-ANN) are rows-only and their correctness is carried by the
+golden pytest suite (tests/ — reference values from
+/root/reference/tests/main_test.cpp).
+
+Column-name contract: every computed column is aliased identically in the
+Spark query and the oracle SQL.  Floating aggregations that are
+order-sensitive (PageRank ranks, cosine) are rounded to 8-9 dp on BOTH
+sides before hashing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parallel_louvain_method_spark.operators import graph as G
+from parallel_louvain_method_spark.operators import text as T
+from parallel_louvain_method_spark.operators import dedup as D
+from parallel_louvain_method_spark.operators.components import connected_components
+from parallel_louvain_method_spark.operators.labelprop import label_propagation
+from parallel_louvain_method_spark.operators.louvain import louvain
+from parallel_louvain_method_spark.operators.pagerank import pagerank
+from parallel_louvain_method_spark.operators.similarity import knn_brute_force, knn_lsh
+from parallel_louvain_method_spark.operators.triangles import triangle_count
+from parallel_louvain_method_spark.sources.corpus import shared_content_edges
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+_PART_OFFSET = 1_000_000  # disjoint id spaces: custkey < 1e6 <= partkey+1e6
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer—part edge table; weight = lineitem count."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + _PART_OFFSET).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+_EDGES_SQL = f"""
+    SELECT o.o_custkey AS src, l.l_partkey + {_PART_OFFSET} AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+"""
+
+_SYM_SQL = f"""
+    SELECT DISTINCT src, dst, weight FROM (
+        SELECT src, dst, weight FROM ({_EDGES_SQL})
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM ({_EDGES_SQL})
+    )
+"""
+
+# small sub-graph for the recursive-CTE component oracle
+_CC_EDGES_SQL = f"SELECT * FROM ({_EDGES_SQL}) WHERE src < 300"
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir).filter(F.col("src") < 300)
+
+
+def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-occurring in an order (a < b), the triangle-bearing graph."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.withColumnsRenamed({"l_partkey": "src"})
+    b = l.withColumnsRenamed({"l_partkey": "dst"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+_PART_PAIRS_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst, 1.0 AS weight
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+def _doc_key_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a coarse content key (first 3 words) — gives the
+    shared-content join a non-trivial co-occurrence structure on the
+    driver's all-distinct texts."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return _docs(spark, sf_dir).select(
+        F.col("source"),
+        F.concat_ws(" ", F.slice(words, 1, 3)).alias("content_key"),
+    )
+
+
+_DOC_KEY_SQL = f"""
+    SELECT source,
+           array_to_string(({_WORDS})[1:3], ' ') AS content_key
+    FROM documents
+"""
+
+
+def _unrolled_pagerank_sql(k: int = 3, damping: float = 0.85) -> str:
+    """Generated fixed-k PageRank oracle (no danglings: symmetric graph)."""
+    parts = [
+        f"WITH e AS ({_SYM_SQL}),",
+        "ow AS (SELECT src AS vtx, SUM(weight) AS w FROM e GROUP BY 1),",
+        "v AS (SELECT DISTINCT src AS vtx FROM e),",
+        "nn AS (SELECT COUNT(*) AS c FROM v),",
+        "r0 AS (SELECT v.vtx, 1.0 / nn.c AS rank FROM v CROSS JOIN nn),",
+    ]
+    for i in range(k):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT v.vtx,
+                     (1.0 - {damping}) / nn.c + {damping} * COALESCE(s.in_sum, 0.0) AS rank
+              FROM v CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS vtx, SUM(e.weight / ow.w * r{i}.rank) AS in_sum
+                FROM e JOIN ow ON e.src = ow.vtx JOIN r{i} ON e.src = r{i}.vtx
+                GROUP BY 1
+              ) s ON v.vtx = s.vtx
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip(",\n )") + ")"
+    parts.append(f"SELECT vtx, ROUND(rank, 8) AS rank FROM r{k}")
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: shared-content edges over documents → Louvain communities."""
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _doc_key_corpus(spark, sf_dir)
+    str_edges, _dropped = shared_content_edges(
+        corpus, node_col="source", content_col="content_key"
+    )
+    from parallel_louvain_method_spark.sources.corpus import _densify
+
+    edges, mapping = _densify(str_edges)
+    res = louvain(spark, edges, n_blocks=1)
+    return (
+        res.assignment.join(mapping.withColumnRenamed("new_id", "vtx"), "vtx")
+        .select(F.col("name").alias("source"), F.col("comm").alias("community"))
+        .orderBy("source")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- edge-table operators (SURVEY.md §2.2/§2.4) ---
+    q["edge_build"] = lambda s, d: _edges(s, d)
+    q["symmetrize_dedup"] = lambda s, d: G.symmetric_edges(_edges(s, d))
+    q["canonical_edges"] = lambda s, d: G.canonical_edges(
+        G.symmetric_edges(_edges(s, d))
+    )
+    q["weighted_degree"] = lambda s, d: G.degrees(G.symmetric_edges(_edges(s, d)))
+    q["max_vertex_id"] = lambda s, d: _edges(s, d).agg(
+        F.max(F.greatest("src", "dst")).alias("max_id")
+    )
+    q["dense_renumber"] = lambda s, d: G.dense_ids(G.vertex_ids(_edges(s, d)))
+
+    # --- joins / graph algorithms ---
+    q["triangle_count"] = lambda s, d: s.createDataFrame(
+        [(triangle_count(_part_pairs(s, d)),)], "n_triangles long"
+    )
+    q["pagerank_k3"] = lambda s, d: pagerank(
+        G.symmetric_edges(_edges(s, d)), damping=0.85, max_iter=3, tol=None
+    ).select("vtx", F.round("rank", 8).alias("rank"))
+    q["connected_components"] = lambda s, d: connected_components(
+        _cc_edges(s, d)
+    ).select("vtx", "component")
+
+    # --- corpus / edge builders (S6/P8/J5/J6) ---
+    q["shared_content_edges"] = lambda s, d: shared_content_edges(
+        _doc_key_corpus(s, d), node_col="source", content_col="content_key"
+    )[0].select("node_a", "node_b", "weight")
+    q["cocommit_users"] = lambda s, d: (
+        lambda fc: (
+            fc.alias("a")
+            .join(fc.alias("b"), "bucket")
+            .filter(F.col("a.user_id") < F.col("b.user_id"))
+            .groupBy(
+                F.col("a.user_id").alias("user_a"),
+                F.col("b.user_id").alias("user_b"),
+            )
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+    )(
+        _t(s, d, "events")
+        .select(
+            "user_id",
+            F.concat(
+                F.col("event_type"), F.lit("@"), F.date_trunc("hour", "ts")
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    q["sha256_invariant"] = lambda s, d: _docs(s, d).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+    # --- dedup family ---
+    q["exact_dup_groups"] = lambda s, d: D.exact_duplicates(
+        _docs(s, d)
+    ).select("content_sha", "n")
+    q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
+        _docs(s, d), n=2, threshold=0.1
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+    q["minhash_near_dups"] = lambda s, d: D.minhash_lsh_pairs(
+        _docs(s, d), threshold=0.3
+    )  # rows-only: xxhash64 sketches have no DuckDB twin
+    q["simhash_near_dups"] = lambda s, d: D.simhash_near_dups(
+        _docs(s, d), max_hamming=15
+    )  # rows-only
+
+    # --- similarity search ---
+    q["knn_top3"] = lambda s, d: (
+        lambda emb: knn_brute_force(emb, k=3)
+        .select("query_id", "neighbor_id", "rank")
+    )(
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    q["knn_lsh_top1"] = lambda s, d: knn_lsh(
+        _t(s, d, "embeddings").filter(F.col("vec_id") < 200),
+        k=1,
+        n_planes=4,
+        n_tables=8,
+    )  # rows-only: approximate by construction
+
+    # --- text analysis ---
+    q["token_counts"] = lambda s, d: T.token_counts(_docs(s, d))
+    q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d)).select(
+        "doc_id",
+        "n_words",
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("stop_ratio", 9).alias("stop_ratio"),
+        F.round("mean_word_len", 9).alias("mean_word_len"),
+        F.round("quality", 9).alias("quality"),
+    )
+    q["language_id"] = lambda s, d: T.language_id(_docs(s, d))
+
+    # --- iterative community ops (rows-only: no SQL twin) ---
+    q["louvain_communities"] = lambda s, d: louvain(
+        s, _edges(s, d), n_blocks=1
+    ).assignment
+    q["label_propagation"] = lambda s, d: label_propagation(_cc_edges(s, d))
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    o["edge_build"] = _EDGES_SQL
+    o["symmetrize_dedup"] = _SYM_SQL
+    o["canonical_edges"] = f"SELECT * FROM ({_SYM_SQL}) WHERE src <= dst"
+    o["weighted_degree"] = (
+        f"SELECT src AS vtx, SUM(weight) AS degree FROM ({_SYM_SQL}) GROUP BY 1"
+    )
+    o["max_vertex_id"] = (
+        f"SELECT MAX(GREATEST(src, dst)) AS max_id FROM ({_EDGES_SQL})"
+    )
+    o["dense_renumber"] = f"""
+        WITH ids AS (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM ({_EDGES_SQL})
+                UNION SELECT dst AS v FROM ({_EDGES_SQL})
+            )
+        )
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS new_id FROM ids
     """
-    return {}
+    o["triangle_count"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL})
+        SELECT COUNT(*) AS n_triangles
+        FROM p e1 JOIN p e2 ON e1.dst = e2.src
+                  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
+    o["connected_components"] = f"""
+        WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst FROM base UNION SELECT dst, src FROM base
+        ),
+        cc(v, label) AS (
+            SELECT src, src FROM sym
+            UNION SELECT dst, dst FROM sym
+            UNION
+            SELECT s.src, c.label FROM cc c JOIN sym s ON c.v = s.dst
+            WHERE c.label < s.src
+        )
+        SELECT v AS vtx, MIN(label) AS component FROM cc GROUP BY v
+    """
+    o["shared_content_edges"] = f"""
+        WITH k AS ({_DOC_KEY_SQL}),
+        h AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM k)
+        SELECT a.source AS node_a, b.source AS node_b,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    o["cocommit_users"] = """
+        WITH fc AS (
+            SELECT DISTINCT user_id,
+                   event_type || '@' || CAST(date_trunc('hour', ts) AS VARCHAR)
+                       AS bucket
+            FROM events
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM fc a JOIN fc b ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    """
+    o["sha256_invariant"] = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+    o["exact_dup_groups"] = """
+        SELECT sha256(text) AS content_sha, COUNT(*) AS n
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """
+    o["ngram_jaccard"] = f"""
+        WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS g
+            FROM words, UNNEST(range(1, len(w))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i / (sa.sz + sb.sz - i), 9) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.1
+    """
+    o["knn_top3"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND(
+                       list_dot_product(a.v, b.v)
+                       / (SQRT(list_dot_product(a.v, a.v))
+                          * SQRT(list_dot_product(b.v, b.v))), 9
+                   ) AS cosine
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    o["token_counts"] = f"""
+        SELECT doc_id,
+               len({_WORDS}) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+               length(text) AS chars
+        FROM documents
+    """
+    _stop_en = "['the','of','and','to','in','is','it','that','was','for']"
+    o["quality_scores"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_WORDS}) AS n_words,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+                   len(list_intersect(list_distinct({_WORDS}), {_stop_en}))
+                       AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               ROUND(punct / GREATEST(n_chars, 1), 9) AS punct_ratio,
+               ROUND(stop_hits / 10.0, 9) AS stop_ratio,
+               ROUND((n_chars - (n_words - 1)) / GREATEST(n_words, 1), 9)
+                   AS mean_word_len,
+               ROUND(
+                   (CASE WHEN n_words BETWEEN 10 AND 100000
+                         THEN 1.0 ELSE 0.3 END)
+                   * (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 2, 1.0))
+                   * (0.5 + LEAST(stop_hits / 10.0, 0.5)), 9) AS quality
+        FROM base
+    """
+    _sw = {
+        "en": "['the','of','and','to','in','is','it','that','was','for']",
+        "es": "['el','la','de','que','y','en','un','ser','se','no']",
+        "de": "['der','die','und','in','den','von','zu','das','mit','sich']",
+        "fr": "['le','la','de','et','les','des','en','un','du','une']",
+    }
+    scores = ", ".join(
+        f"len(list_intersect(list_distinct({_WORDS}), {arr})) AS s_{l}"
+        for l, arr in _sw.items()
+    )
+    langs = list(_sw)
+    case = "CASE "
+    for l in langs:  # earlier languages win ties: first match in order
+        case += f"WHEN s_{l} = best THEN '{l}' "
+    case += "END"
+    o["language_id"] = f"""
+        WITH s AS (SELECT doc_id, {scores} FROM documents),
+        m AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr) AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_pred,
+               best AS lang_score
+        FROM m
+    """
+    return o

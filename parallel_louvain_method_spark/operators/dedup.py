@@ -1,0 +1,321 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Five dedup families over a ``(doc_id: long, text: string)``-shaped table,
+all designed so the heavy lifting stays JVM-side:
+
+- exact          — sha256 groupBy (one shuffle, map-side partial);
+- minhash LSH    — shingle → 64 permuted min-hashes → banded buckets →
+                   candidate pairs; one explode + one groupBy with 64
+                   min-aggregations (all built-in expressions), then an
+                   equi-join on band keys.  No Python in the pipeline;
+- simhash        — 64-bit signed-bit-sum signature, near-dup via banded
+                   16-bit chunks + popcount(xor) Hamming verify;
+- n-gram Jaccard — EXACT pairwise Jaccard over word n-grams via a
+                   self-join on shared n-grams (SQL-expressible → DuckDB
+                   oracle-able); frequency cap on ubiquitous n-grams;
+- embedding cosine — near-duplicate pairs above a cosine threshold, exact
+                   (blocked self-join) — the scale path lives in
+                   operators/similarity.py (LSH buckets).
+
+Determinism: permutation constants derive from fixed literals, not RNG
+state; every argmax/keeper choice ties-breaks on the lowest doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus small enough that
+# a*h + b stays far below 2^63 (ANSI mode makes long overflow an ERROR,
+# not a wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: ``[content_sha, doc_ids, n]``."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical text (deterministic keeper)."""
+    keeper = (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keeper.select("doc_id"), "doc_id")
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct word n-grams as an array column (built-ins only)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    # slide a window: transform over start indices, join n words with ' '
+    return F.array_distinct(
+        F.when(F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``[doc_id, sig: array<long>]`` — per-doc MinHash signature.
+
+    One explode + ONE hash aggregation computing all permutations:
+    ``min((a_i * h + b_i) mod M)`` per doc, where ``h = xxhash64(shingle)``
+    and (a_i, b_i) are fixed odd constants — 64 JVM-side min() columns, no
+    Python row code.
+    """
+    shingles = docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("sh")
+    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
+    aggs = []
+    for i in range(n_hashes):
+        a = 2 * i + 1
+        b = (i * 0x9E3779B1 + 0x85EBCA6B) % _MERSENNE
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+                f"m{i}"
+            )
+        )
+    sigs = shingles.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs ``[doc_a, doc_b, est_jaccard]``.
+
+    Banding: ``bands`` buckets of ``n_hashes/bands`` rows; docs sharing any
+    full band collide.  Candidates are verified by the unbiased estimator
+    ``#equal components / n_hashes`` and filtered at ``threshold``.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"}), "doc_a")
+        .join(sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(len(range(n_hashes))))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngram_freq: int = 10000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs ``[doc_a, doc_b, jaccard]``.
+
+    Self-join on shared n-grams; ubiquitous n-grams (appearing in more than
+    ``max_ngram_freq`` docs) are dropped from pair GENERATION only — sizes
+    keep them, so the reported Jaccard stays exact for surviving pairs
+    whose intersection isn't entirely ubiquitous.  SQL-expressible: the
+    DuckDB oracle in __spark_entry__ runs the same algebra.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, n)).alias("g")
+    ).persist()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    rare = grams.join(
+        F.broadcast(freq.filter(F.col("df") > max_ngram_freq).select("g")),
+        "g",
+        "left_anti",
+    )
+    inter = (
+        rare.alias("a")
+        .join(rare.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """``[doc_id, simhash: long]`` — 64-bit SimHash over word n-grams.
+
+    Bit b of the signature is the sign of Σ_tokens (±1), where the token's
+    hash decides the sign per bit.  64 conditional-sum aggregations, all
+    JVM-side.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft on a long handles bit 63 (sign bit) without overflow
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        sig = sig.bitwiseOR(F.when(F.col(f"b{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits.  Candidate generation uses
+    ``max_hamming + 1`` bit-chunks — by pigeonhole, any pair within the
+    Hamming budget shares at least one full chunk — then exact
+    popcount(xor) verifies.  More chunks = more candidate fanout; callers
+    trading recall for cost can lower ``max_hamming``."""
+    n_chunks = min(16, max_hamming + 1)
+    base_w = 64 // n_chunks
+    extra = 64 % n_chunks
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    sigs = simhash_signatures(docs, text_col, shingle_n).persist()
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", offsets[c]).bitwiseAND(
+                        F.lit((1 << widths[c]) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_no", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs ``[id_a, id_b, cosine]``.
+
+    Brute-force O(n²) self-join — correct baseline and the verifier for the
+    LSH scale path (operators/similarity.py).  Dot products run as
+    ``aggregate(zip_with(...))`` JVM expressions over normalized vectors.
+    """
+    norm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    normed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x / norm).alias("v"),
+    )
+    pairs = (
+        normed.alias("a")
+        .join(normed.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.aggregate(
+                F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

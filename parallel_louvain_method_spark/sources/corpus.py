@@ -109,6 +109,7 @@ def shared_content_edges(
     corpus: DataFrame,
     node_col: str = "repo",
     max_group: int = 1000,
+    content_col: str = "content",
 ) -> tuple[DataFrame, DataFrame]:
     """J5: edges between ``node_col`` values sharing ≥1 content sha256;
     ``weight`` = number of shared hashes.
@@ -119,8 +120,10 @@ def shared_content_edges(
     EXPLICITLY and observably rather than salted into the join).
     """
     h = (
-        with_sha256(corpus)
-        .select(F.col(node_col).alias("node"), F.col("content_sha").alias("h"))
+        corpus.select(
+            F.col(node_col).alias("node"),
+            F.sha2(F.col(content_col), 256).alias("h"),
+        )
         .distinct()
     )
     sizes = h.groupBy("h").agg(F.count("*").alias("n_nodes"))

@@ -1,0 +1,196 @@
+"""Dedup / similarity / text / multimodal operators on driver testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_louvain_method_spark.operators import dedup as D
+from parallel_louvain_method_spark.operators import text as T
+from parallel_louvain_method_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from parallel_louvain_method_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [0, 1]
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant a near-duplicate pair: doc + doc with one word changed
+    base = docs.limit(1).first()["text"]
+    mutated = base.replace(base.split()[0], "zzz", 1)
+    df = docs.select("doc_id", "text").union(
+        docs.sparkSession.createDataFrame(
+            [(99999, mutated)], "doc_id long, text string"
+        )
+    )
+    pairs = D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 99999) in found
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}[(0, 99999)]
+    assert est > 0.5
+
+
+def test_ngram_jaccard_exact_oracle(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox leaps over the lazy dog"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = D.ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    assert len(rows) == 1
+    # bigrams: 8 each; shared = {the quick, quick brown, brown fox, over the,
+    # the lazy, lazy dog} = 6; union = 10
+    assert rows[0]["jaccard"] == pytest.approx(6 / 10)
+
+
+def test_simhash_near_dups(spark, docs):
+    base = docs.limit(1).first()["text"]
+    words = base.split()
+    words[len(words) // 2] = "zzz"
+    df = docs.select("doc_id", "text").union(
+        docs.sparkSession.createDataFrame(
+            [(99999, " ".join(words))], "doc_id long, text string"
+        )
+    )
+    # short docs (~23 words) flip ~12 bits for a one-word edit; budget 15
+    pairs = D.simhash_near_dups(df, max_hamming=15)
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 99999) in found
+    assert 0 < found[(0, 99999)] <= 15
+    # byte-identical duplicate -> hamming 0
+    df2 = df.union(
+        df.sparkSession.createDataFrame([(99998, base)], "doc_id long, text string")
+    )
+    found2 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dups(df2, max_hamming=15).collect()
+    }
+    assert found2[(0, 99998)] == 0
+
+
+def test_embedding_near_dups_and_knn(spark, embeddings):
+    sub = embeddings.limit(60)
+    # brute force on numpy as oracle
+    rows = sub.collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    want_top1 = {
+        ids[i]: ids[int(np.argmax(sims[i]))] for i in range(len(ids))
+    }
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_brute_force(sub, k=1).collect()
+    }
+    # float32 vs float64 rounding can flip near-ties; demand 95% agreement
+    agree = sum(got[i] == want_top1[i] for i in ids) / len(ids)
+    assert agree >= 0.95
+
+
+def test_knn_lsh_recall(spark, embeddings):
+    # synthetic embeddings are near-random (top-5 cosine is modest), so use
+    # few planes / many tables: collision prob (1-θ/π)^planes per table
+    sub = embeddings.limit(80)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(sub, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(sub, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_knn_lsh_planted_duplicate(spark, embeddings):
+    # an exact copy (cosine 1.0) collides in EVERY table -> always found
+    sub = embeddings.limit(40)
+    first = sub.first()
+    dup = spark.createDataFrame(
+        [(99999, first["embedding"], first["label"])], sub.schema
+    )
+    got = knn_lsh(sub.union(dup), k=1, n_planes=8, n_tables=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got}
+    assert top1.get(99999) == first["vec_id"]
+    assert top1.get(first["vec_id"]) == 99999
+
+
+def test_token_counts_and_quality(spark, docs):
+    tc = T.token_counts(docs).collect()
+    by_id = {r["doc_id"]: r for r in tc}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i in list(raw)[:20]:
+        assert by_id[i]["ws_tokens"] == len(raw[i].split())
+        assert by_id[i]["chars"] == len(raw[i])
+    q = T.quality_scores(docs)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat of the mat and it was good for all that"),
+            (1, "el perro que corre en la casa no es un gato se fue"),
+            (2, "der hund und die katze in den garten von zu das mit sich"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in T.language_id(df).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "und"
+
+
+def test_fingerprints_shift_robust(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghijklmnop"), (1, "XXabcdefghijklmnop"), (2, "totally different")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in T.fingerprints(df).collect()}
+    assert fp[0] == fp[1]  # shared minimal 8-gram survives the prefix edit
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    # determinism: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["features"] for r in feats}
+    assert again == first
+    resized = resize_images(media, 32, 32).collect()
+    assert all(r["meta"]["width"] == 32 for r in resized)
+    frames = sample_frames(media, every_ms=500)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_mode="real")
