@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line with headline-query timings.
+
+Workload (BASELINE.json metric): multi-level Louvain to convergence on the
+sha256/co-commit edge graphs derived from the deterministic synthetic
+corpus at the given SF, plus the other engine pillars (PageRank, connected
+components, triangles, MinHash dedup, LSH kNN) over the driver tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+
+Output: {"metric": ..., "value": <louvain wall sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>,
+         "edges_per_sec": ..., "louvain": {...detail...}}
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which shells out to this script at two parallelism
+levels and writes BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from parallel_louvain_method_spark import get_spark
+    from parallel_louvain_method_spark.operators import graph as G
+    from parallel_louvain_method_spark.operators.components import (
+        connected_components,
+    )
+    from parallel_louvain_method_spark.operators.dedup import minhash_lsh_pairs
+    from parallel_louvain_method_spark.operators.louvain import louvain
+    from parallel_louvain_method_spark.operators.pagerank import pagerank
+    from parallel_louvain_method_spark.operators.similarity import knn_lsh
+    from parallel_louvain_method_spark.operators.triangles import triangle_count
+    from parallel_louvain_method_spark.sources.corpus import (
+        build_file_graph,
+        build_repo_graph,
+        synth_corpus,
+    )
+
+    spark = get_spark(app_name="plm-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 3)
+        print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr, flush=True)
+        return out
+
+    # ---- corpus-derived graphs (sized by SF, deterministic) --------------
+    n_repos = max(200, int(30000 * sf))
+    corpus = synth_corpus(
+        spark, n_repos=n_repos, files_per_repo=30, commits_per_repo=5
+    ).persist()
+    corpus.count()
+
+    file_edges = timed(
+        "edge_build_cocommit",
+        lambda: build_file_graph(corpus)[0].persist(),
+    )
+    n_file_edges = file_edges.count()
+    repo_edges = timed(
+        "edge_build_sha256",
+        lambda: build_repo_graph(corpus)[0].persist(),
+    )
+    repo_edges.count()
+
+    # ---- THE metric: Louvain to convergence on the co-commit file graph --
+    t0 = time.monotonic()
+    res = louvain(spark, file_edges, n_blocks=cpus)
+    louvain_wall = time.monotonic() - t0
+    queries["louvain_file_graph"] = round(louvain_wall, 3)
+    sweeps_total = sum(lv.sweeps for lv in res.levels)
+    sym_edges_l0 = res.levels[0].n_edges_sym if res.levels else 0
+    edges_processed = sum(lv.n_edges_sym * lv.sweeps for lv in res.levels)
+    edges_per_sec = edges_processed / louvain_wall if louvain_wall else 0.0
+
+    timed("louvain_repo_graph", lambda: louvain(spark, repo_edges).assignment.count())
+
+    # ---- other pillars ----------------------------------------------------
+    sym = G.symmetric_edges(file_edges).persist()
+    sym.count()
+    timed("pagerank_10it", lambda: pagerank(sym, max_iter=10, tol=None).count())
+    timed("connected_components", lambda: connected_components(file_edges).count())
+    timed("triangle_count_repo", lambda: triangle_count(repo_edges))
+
+    docs = (
+        corpus.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.concat_ws(
+                " ", "repo", "path", "lang", "content", "commit"
+            ).alias("text"),
+        )
+        .persist()
+    )
+    docs.count()
+    timed(
+        "minhash_dedup_corpus",
+        lambda: minhash_lsh_pairs(docs, threshold=0.7, n_hashes=32, bands=8).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("knn_lsh_embeddings", lambda: knn_lsh(emb, k=5, n_planes=8, n_tables=4).count())
+
+    print(
+        json.dumps(
+            {
+                "metric": "louvain_cocommit_file_graph_wall",
+                "value": round(louvain_wall, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "n_file_edges": n_file_edges,
+                "sym_edges_l0": sym_edges_l0,
+                "louvain": {
+                    "modularity": round(res.modularity, 6),
+                    "levels": len(res.levels),
+                    "sweeps_total": sweeps_total,
+                    "edges_processed": edges_processed,
+                    "edges_per_sec": round(edges_per_sec),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,256 @@ def louvain_sequential_edges(
     return ids, ids[comm], len(qs), (qs[-1] if qs else 0.0), imp
 
 
+def _vectorized_moves(
+    s: np.ndarray,
+    c: np.ndarray,
+    w: np.ndarray,
+    v_ids: np.ndarray,
+    v_comm: np.ndarray,
+    v_deg: np.ndarray,
+    tot_of,  # callable comm-id array -> tot array
+    m2: float,
+    min_gain: float,
+    active: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One synchronous vectorized move pass.
+
+    ``(s, c, w)``: COO rows (src, neighbor-community, weight), self-loops
+    already excluded.  ``v_ids`` sorted unique vertices with current
+    community/degree.  Returns (positions_into_v_ids, new_comms) for movers.
+    """
+    if active is not None:
+        keep = active[np.searchsorted(v_ids, s)]
+        s, c, w = s[keep], c[keep], w[keep]
+    if len(s) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.lexsort((c, s))
+    s, c, w = s[order], c[order], w[order]
+    new_grp = np.empty(len(s), dtype=bool)
+    new_grp[:1] = True
+    new_grp[1:] = (s[1:] != s[:-1]) | (c[1:] != c[:-1])
+    gidx = np.cumsum(new_grp) - 1
+    g_src = s[new_grp]
+    g_comm = c[new_grp]
+    g_w = np.bincount(gidx, weights=w)
+
+    pos = np.searchsorted(v_ids, g_src)
+    own_mask = g_comm == v_comm[pos]
+    w_own = np.zeros(len(v_ids))
+    w_own[pos[own_mask]] = g_w[own_mask]
+    deg = v_deg
+    tot_own = tot_of(v_comm)
+    gain_own = w_own - (tot_own - deg) * deg / m2
+
+    g_tot = tot_of(g_comm)
+    gain = g_w - (g_tot - np.where(own_mask, deg[pos], 0.0)) * deg[pos] / m2
+    base = np.maximum(gain_own, min_gain)
+    beats = gain > base[pos]
+    if not beats.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    bs, bc, bg, bpos = g_src[beats], g_comm[beats], gain[beats], pos[beats]
+    o2 = np.lexsort((bc, -bg, bs))
+    bs, bc, bpos = bs[o2], bc[o2], bpos[o2]
+    first = np.concatenate(([True], bs[1:] != bs[:-1]))
+    return bpos[first], bc[first]
+
+
+def louvain_block_local(
+    src: np.ndarray,
+    src_comm: np.ndarray,
+    src_deg: np.ndarray,
+    dst: np.ndarray,
+    dst_comm: np.ndarray,
+    weight: np.ndarray,
+    tot_src: np.ndarray,
+    tot_dst: np.ndarray,
+    m2: float,
+    min_gain: float = 0.0,
+    max_inner: int = 20,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run a partition block to LOCAL convergence (ghost-freezing Louvain).
+
+    The block owns every vertex appearing as ``src``; neighbors outside the
+    block keep their sweep-start communities (ghosts).  Inside the block,
+    vertices move repeatedly — community totals are updated by local deltas
+    and in-block neighbors see each other's new communities — until an
+    inner pass moves nothing.  Inner passes alternate pseudo-random active
+    halves (seeded by ``seed``) to avoid internal synchronous oscillation.
+
+    This collapses most of the convergence into one Spark superstep: the
+    classic distributed-Louvain design the reference approximates with its
+    per-vertex MPI protocol (src/distcommunity.cpp:212-385), re-expressed
+    as a vectorized numpy kernel per Arrow batch.
+
+    Returns (vertices, new_comms) for all block vertices.
+    """
+    if len(src) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+    # block vertex table (sorted unique src)
+    v_order = np.argsort(src, kind="stable")
+    flags = np.concatenate(([True], src[v_order][1:] != src[v_order][:-1]))
+    v_first = v_order[flags]
+    v_ids = src[v_first]
+    v_comm = src_comm[v_first].copy()
+    v_deg = src_deg[v_first].astype(np.float64)
+
+    # community-total table: union of communities seen on either side
+    all_comm = np.concatenate([src_comm, dst_comm])
+    all_tot = np.concatenate([tot_src, tot_dst]).astype(np.float64)
+    c_ids, c_first = np.unique(all_comm, return_index=True)
+    c_tot = all_tot[c_first].copy()
+
+    def comm_index(c):
+        return np.searchsorted(c_ids, c)
+
+    # COO with self-loops excluded; classify dst as in-block or ghost
+    keep = src != dst
+    s = src[keep]
+    d = dst[keep]
+    w = weight[keep].astype(np.float64)
+    d_pos = np.searchsorted(v_ids, d)
+    d_pos = np.clip(d_pos, 0, len(v_ids) - 1)
+    d_in_block = v_ids[d_pos] == d
+    ghost_comm = dst_comm[keep]  # frozen for ghosts
+
+    zero_streak = 0
+    for inner in range(max_inner):
+        # current neighbor communities: live for in-block dsts, frozen ghosts
+        c_now = np.where(d_in_block, v_comm[d_pos], ghost_comm)
+        # hashed active halves on EVERY pass — a full synchronous first pass
+        # makes singleton neighbors pair-swap en masse (verified on the
+        # golden fixture: Q drops below the singleton baseline)
+        h = (v_ids * np.int64(0x9E3779B9) + np.int64(seed * 1315423911 + inner)) & np.int64(0x7FFFFFFF)
+        active = (h >> 13) & 1 == 0
+        mover_pos, mover_comm = _vectorized_moves(
+            s,
+            c_now,
+            w,
+            v_ids,
+            v_comm,
+            v_deg,
+            lambda cc: c_tot[comm_index(cc)],
+            m2,
+            min_gain,
+            active=active,
+        )
+        if len(mover_pos) == 0:
+            # each pass activates an independent pseudo-random half, so
+            # three mover-free passes in a row leave any still-movable
+            # vertex a <=1/8 chance of having been missed
+            zero_streak += 1
+            if zero_streak >= 3:
+                break
+            continue
+        zero_streak = 0
+        # apply moves + update local totals (new communities must exist in
+        # c_ids — a move target is always some neighbor's community)
+        old_c = v_comm[mover_pos]
+        np.subtract.at(c_tot, comm_index(old_c), v_deg[mover_pos])
+        np.add.at(c_tot, comm_index(mover_comm), v_deg[mover_pos])
+        v_comm[mover_pos] = mover_comm
+    return v_ids, v_comm
+
+
+def louvain_vectorized_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    m2: float | None = None,
+    max_sweeps: int = 60,
+) -> tuple[np.ndarray, np.ndarray, int, float, bool]:
+    """Whole-graph vectorized Louvain level (single-process numpy loop).
+
+    The mid-size local-mode path: same bulk-synchronous semantics as the
+    superstep driver (hashed active halves, zero-move convergence) but with
+    numpy recomputing community totals between passes — no per-sweep Spark
+    jobs and no per-vertex Python loop.  Returns
+    ``(vertices, communities, sweeps, Q, improved)`` like
+    :func:`louvain_sequential_edges`.
+    """
+    ids = np.unique(np.concatenate([src, dst]))
+    s0 = np.searchsorted(ids, src)
+    d0 = np.searchsorted(ids, dst)
+    s, d, w = symmetrize_dedup_edges(s0, d0, weight)
+    n = len(ids)
+    deg = np.bincount(s, weights=w, minlength=n)
+    if m2 is None:
+        m2 = float(deg.sum())
+    comm = np.arange(n, dtype=np.int64)
+    keep = s != d
+    s, d, w = s[keep], d[keep], w[keep]
+    v_ids = np.arange(n, dtype=np.int64)
+
+    improved = False
+    sweeps = 0
+    zero_streak = 0
+    for sweep in range(max_sweeps):
+        sweeps += 1
+        tot = np.bincount(comm, weights=deg, minlength=n)
+        h = (v_ids * np.int64(0x9E3779B9) + np.int64(sweep * 2654435761)) & np.int64(
+            0x7FFFFFFF
+        )
+        active = (h >> 13) & 1 == 0
+        if sweep == 0:
+            active = np.ones(n, dtype=bool)
+        mover_pos, mover_comm = _vectorized_moves(
+            s,
+            comm[d],
+            w,
+            v_ids,
+            comm,
+            deg,
+            lambda cc: tot[cc],
+            m2,
+            0.0,
+            active=active,
+        )
+        if len(mover_pos):
+            comm[mover_pos] = mover_comm
+            improved = True
+            zero_streak = 0
+        else:
+            zero_streak += 1
+            if zero_streak >= 3:
+                break
+    tot = np.bincount(comm, weights=deg, minlength=n)
+    # modularity: in[c] = Σ same-comm symmetric weight (self-loops excluded
+    # here; callers on coarse graphs account for self-loops via modularity_df)
+    same = comm[s] == comm[d]
+    in_arr = np.bincount(comm[s[same]], weights=w[same], minlength=n)
+    q = modularity(in_arr, tot, m2)
+    return ids, ids[comm], sweeps, q, improved
+
+
+def louvain_block_moves_vectorized(
+    src: np.ndarray,
+    src_comm: np.ndarray,
+    src_deg: np.ndarray,
+    dst: np.ndarray,
+    dst_comm: np.ndarray,
+    weight: np.ndarray,
+    tot_src: np.ndarray,
+    tot_dst: np.ndarray,
+    m2: float,
+    min_gain: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE synchronous vectorized move pass over a partition block.
+
+    gain(v, c) = w(v→c) − (tot[c] − deg(v)·[c = comm(v)]) · deg(v) / m2
+    — the reference's formula after removal (src/community.cpp:151-159),
+    strict > against the stay-home gain (candidate order: current community
+    first, src/community.cpp:106-118).  Equivalent to
+    :func:`louvain_block_local` with ``max_inner=1``; kept as the
+    single-pass kernel option.  Returns (vertices, new_comms).
+    """
+    return louvain_block_local(
+        src, src_comm, src_deg, dst, dst_comm, weight,
+        tot_src, tot_dst, m2, min_gain, max_inner=1,
+    )
+
+
 def louvain_block_moves(
     src: np.ndarray,
     src_comm: np.ndarray,

@@ -133,34 +133,55 @@ def modularity_df(
     return float(row["q"]) if row["q"] is not None else 0.0
 
 
-def _make_block_udf(m2: float, min_gain: float):
+def _make_block_udf(m2: float, min_gain: float, kernel: str = "local", sweep: int = 0):
     def block_moves(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"vtx": pd.Series(dtype="int64"), "comm": pd.Series(dtype="int64")})
-        tot_by_comm: dict[int, float] = {}
-        for c, t in zip(pdf["dst_comm"].to_numpy(), pdf["tot_dst"].to_numpy()):
-            tot_by_comm[int(c)] = float(t)
-        for c, t in zip(pdf["src_comm"].to_numpy(), pdf["tot_src"].to_numpy()):
-            tot_by_comm[int(c)] = float(t)
-        out_v, out_c = kernels.louvain_block_moves(
-            pdf["src"].to_numpy(),
-            pdf["src_comm"].to_numpy(),
-            pdf["src_deg"].to_numpy(),
-            pdf["dst"].to_numpy(),
-            pdf["dst_comm"].to_numpy(),
-            pdf["weight"].to_numpy(),
-            tot_by_comm,
-            m2,
-            min_gain,
-        )
+        if kernel in ("local", "vectorized"):
+            out_v, out_c = kernels.louvain_block_local(
+                pdf["src"].to_numpy(),
+                pdf["src_comm"].to_numpy(),
+                pdf["src_deg"].to_numpy(),
+                pdf["dst"].to_numpy(),
+                pdf["dst_comm"].to_numpy(),
+                pdf["weight"].to_numpy(),
+                pdf["tot_src"].to_numpy(),
+                pdf["tot_dst"].to_numpy(),
+                m2,
+                min_gain,
+                max_inner=20 if kernel == "local" else 1,
+                seed=sweep,
+            )
+        else:  # "sequential": reference semantics within the block
+            tot_by_comm: dict[int, float] = {}
+            for c, t in zip(pdf["dst_comm"].to_numpy(), pdf["tot_dst"].to_numpy()):
+                tot_by_comm[int(c)] = float(t)
+            for c, t in zip(pdf["src_comm"].to_numpy(), pdf["tot_src"].to_numpy()):
+                tot_by_comm[int(c)] = float(t)
+            out_v, out_c = kernels.louvain_block_moves(
+                pdf["src"].to_numpy(),
+                pdf["src_comm"].to_numpy(),
+                pdf["src_deg"].to_numpy(),
+                pdf["dst"].to_numpy(),
+                pdf["dst_comm"].to_numpy(),
+                pdf["weight"].to_numpy(),
+                tot_by_comm,
+                m2,
+                min_gain,
+            )
         return pd.DataFrame({"vtx": out_v, "comm": out_c})
 
     return block_moves
 
 
-def _local_level_udf(m2: float, max_sweeps: int):
+def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        v, c, sweeps, q, improved = kernels.louvain_sequential_edges(
+        fn = (
+            kernels.louvain_sequential_edges
+            if local_kernel == "sequential"
+            else kernels.louvain_vectorized_edges
+        )
+        v, c, sweeps, q, improved = fn(
             pdf["src"].to_numpy(),
             pdf["dst"].to_numpy(),
             pdf["weight"].to_numpy(),
@@ -183,7 +204,9 @@ def louvain_level(
     anneal: bool = False,
     level_no: int = 0,
     mode: str = "auto",
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 500_000,
+    sequential_threshold: int = 150_000,
+    kernel: str = "local",
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -193,18 +216,33 @@ def louvain_level(
     standard 2m on weighted/coarse graphs.
 
     ``mode``:
-    - ``"superstep"`` — bulk-synchronous sweeps, one shuffle join + block
-      kernel per sweep (the at-scale path);
+    - ``"superstep"`` — bulk-synchronous supersteps: one shuffle join +
+      block kernel per superstep (the at-scale path).  ``kernel`` picks the
+      block kernel: ``"local"`` (default — each block runs to LOCAL
+      convergence against frozen ghosts, collapsing most convergence into
+      2-4 supersteps), ``"vectorized"`` (one synchronous pass per
+      superstep), or ``"sequential"`` (reference per-vertex semantics
+      within the block);
     - ``"local"`` — the whole level runs to convergence inside ONE
-      ``applyInPandas`` call (sequential reference semantics, ascending
-      visit order).  One Spark job per level instead of per sweep — per-job
-      overhead dominates below ~10^6 edges, and coarsening shrinks every
-      real graph into this regime after a level or two;
+      ``applyInPandas`` call.  Below ``sequential_threshold`` symmetric
+      rows it uses the reference-sequential kernel (ascending visit order —
+      the golden-test semantics); above, the whole-graph vectorized numpy
+      loop.  One Spark job per level — per-job overhead dominates below
+      ~10^6 edges, and coarsening shrinks every real graph into this regime
+      after a level or two;
     - ``"auto"`` — local iff the symmetric table has ≤ ``local_threshold``
       rows.
     """
     t0 = time.monotonic()
-    sym_edges = sym_edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partition by dst: the per-sweep assignment join hits dst, and a
+    # cached repartition exposes its outputPartitioning to the planner so
+    # the (large) edge side is never re-shuffled inside the loop
+    spark_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", str(n_blocks))
+    )
+    sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = degrees_op(sym_edges).persist(StorageLevel.MEMORY_AND_DISK)
     if m2 is None:
         m2 = float(deg.agg(F.sum("degree")).first()[0] or 0.0)
@@ -216,10 +254,13 @@ def louvain_level(
         mode = "local" if n_edges_sym <= local_threshold else "superstep"
 
     if mode == "local":
+        local_kernel = (
+            "sequential" if n_edges_sym <= sequential_threshold else "vectorized"
+        )
         out = (
             sym_edges.groupBy(F.lit(0).alias("g"))
             .applyInPandas(
-                _local_level_udf(m2, max_sweeps),
+                _local_level_udf(m2, max_sweeps, local_kernel),
                 schema="vtx long, comm long, sweeps int, moved int",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -242,39 +283,52 @@ def louvain_level(
     )
     assign.count()
 
-    # Parallel-move oscillation breaker (SURVEY.md §7.3 hard part (a)): when
-    # n_blocks > 1, two adjacent vertices in different blocks can swap into
-    # each other's communities forever.  Alternating parities makes each
-    # sweep's frozen set a vertex cover of the cross-block edges, so no
-    # symmetric swap can oscillate.  Convergence requires BOTH parities to
-    # make zero moves (a full zero-move "super sweep").
-    zero_streak_needed = 1 if n_blocks == 1 else 2
+    # Parallel-move oscillation breaker (SURVEY.md §7.3 hard part (a)):
+    # synchronous moves let adjacent vertices swap into each other's
+    # communities forever.  Each sweep activates a PSEUDO-RANDOM half of the
+    # vertices (hash(vtx, sweep)) — unlike strict parity alternation, the
+    # active sets vary every sweep, so period-2 cycles cannot lock in
+    # (verified: strict parity oscillates on the golden16 fixture, hashed
+    # halves converge in ~8 sweeps).  Convergence = 3 consecutive zero-move
+    # sweeps (different active sets), plus a stall detector: if the moves
+    # floor hasn't improved for 8 sweeps, end the level and let coarsening
+    # merge the oscillators.
+    # all kernels activate pseudo-random vertex subsets, so demand repeated
+    # zero-move supersteps before declaring the level converged
+    zero_streak_needed = 1 if n_blocks == 1 else (2 if kernel == "local" else 3)
     zero_streak = 0
+    best_moves = float("inf")
+    best_sweep = -1
     for sweep in range(max_sweeps):
         min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
+        # one consolidated per-vertex state table (vtx, comm, deg, tot):
+        # two SMALL joins here buy the big edge table exactly TWO shuffle
+        # joins per sweep instead of five
         tot = comm_totals(assign, deg).select("comm", "tot")
-
-        a_dst = assign.select(F.col("vtx").alias("dst"), F.col("comm").alias("dst_comm"))
-        a_src = assign.select(F.col("vtx").alias("src"), F.col("comm").alias("src_comm"))
-        d_src = deg.select(F.col("vtx").alias("src"), F.col("degree").alias("src_deg"))
-        t_dst = tot.select(F.col("comm").alias("dst_comm"), F.col("tot").alias("tot_dst"))
-        t_src = tot.select(F.col("comm").alias("src_comm"), F.col("tot").alias("tot_src"))
-
-        joined = (
-            sym_edges.join(a_dst, "dst")
-            .join(a_src, "src")
-            .join(d_src, "src")
-            .join(t_dst, "dst_comm")
-            .join(t_src, "src_comm")
+        state = assign.join(deg, "vtx").join(tot, "comm")
+        s_dst = state.select(
+            F.col("vtx").alias("dst"),
+            F.col("comm").alias("dst_comm"),
+            F.col("tot").alias("tot_dst"),
         )
-        if n_blocks > 1:
-            # xxhash64 decorrelates the parity from the hash() block key
+        s_src = state.select(
+            F.col("vtx").alias("src"),
+            F.col("comm").alias("src_comm"),
+            F.col("degree").alias("src_deg"),
+            F.col("tot").alias("tot_src"),
+        )
+        joined = sym_edges.join(s_dst, "dst").join(s_src, "src")
+        if n_blocks > 1 and kernel != "local":
+            # per-sweep pseudo-random active half (seeded by sweep number).
+            # The block-local-convergence kernel instead needs its block's
+            # FULL row set and handles oscillation with internal hashed
+            # halves (seeded by the superstep number).
             joined = joined.filter(
-                F.pmod(F.xxhash64("src") + F.lit(sweep), F.lit(2)) == 0
+                F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
             )
         joined = joined.withColumn("block", F.pmod(F.hash("src"), F.lit(n_blocks)))
         proposals = joined.groupBy("block").applyInPandas(
-            _make_block_udf(m2, min_gain), schema=ASSIGN_SCHEMA
+            _make_block_udf(m2, min_gain, kernel, sweep), schema=ASSIGN_SCHEMA
         )
         new_assign = (
             assign.withColumnRenamed("comm", "old_comm")
@@ -301,6 +355,10 @@ def louvain_level(
         zero_streak = zero_streak + 1 if moves == 0 else 0
         if zero_streak >= zero_streak_needed:
             break
+        if moves < best_moves:
+            best_moves, best_sweep = moves, sweep
+        elif sweep - best_sweep >= 8:
+            break  # stalled: coarsen and continue at the next level
 
     stats.modularity = modularity_df(sym_edges, assign, deg, m2)
     stats.wall_sec = time.monotonic() - t0
@@ -344,7 +402,8 @@ def louvain(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     mode: str = "auto",
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 500_000,
+    kernel: str = "local",
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
 
@@ -385,6 +444,7 @@ def louvain(
             level_no=level_no,
             mode=mode,
             local_threshold=local_threshold,
+            kernel=kernel,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0

@@ -59,6 +59,12 @@ def pagerank(
         eager=True
     )
     base = (1.0 - damping) / n
+    # dangling set is static — skip the per-iteration aggregation entirely
+    # when it's empty (always true for symmetrized graphs)
+    danglings = verts.join(out_w, "vtx", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    has_danglings = danglings.count() > 0
 
     for _ in range(max_iter):
         contrib = (
@@ -68,10 +74,14 @@ def pagerank(
         )
         # dangling mass: rank held by vertices with no out-edges
         dangling = (
-            ranks.join(out_w, "vtx", "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            (
+                ranks.join(danglings.select("vtx"), "vtx")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            if has_danglings
+            else 0.0
         )
         redistribute = damping * dangling / n
         new_ranks = (
@@ -102,4 +112,5 @@ def pagerank(
 
     trans.unpersist()
     verts.unpersist()
+    danglings.unpersist()
     return ranks
