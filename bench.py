@@ -8,6 +8,8 @@ components, triangles, MinHash dedup, LSH kNN) over the driver tables.
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  SPARK_GRAFT_REPOS   override corpus size (default 30000*sf)
+  SPARK_GRAFT_ONLY    comma-separated query filter (skip others)
 
 Output: {"metric": ..., "value": <louvain wall sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <sf>,
@@ -51,11 +53,18 @@ def main() -> None:
         synth_corpus,
     )
 
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+        if q.strip()
+    }
     spark = get_spark(app_name="plm-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, default=None):
+        if only and name not in only and not name.startswith("edge_build"):
+            return default
         t0 = time.monotonic()
         out = fn()
         dt = time.monotonic() - t0
@@ -64,7 +73,9 @@ def main() -> None:
         return out
 
     # ---- corpus-derived graphs (sized by SF, deterministic) --------------
-    n_repos = max(200, int(30000 * sf))
+    n_repos = int(
+        os.environ.get("SPARK_GRAFT_REPOS", max(200, int(30000 * sf)))
+    )
     corpus = synth_corpus(
         spark, n_repos=n_repos, files_per_repo=30, commits_per_repo=5
     ).persist()
@@ -94,26 +105,27 @@ def main() -> None:
     timed("louvain_repo_graph", lambda: louvain(spark, repo_edges).assignment.count())
 
     # ---- other pillars ----------------------------------------------------
-    sym = G.symmetric_edges(file_edges).persist()
-    sym.count()
-    timed("pagerank_10it", lambda: pagerank(sym, max_iter=10, tol=None).count())
+    if not only or "pagerank_10it" in only:
+        sym = G.symmetric_edges(file_edges).persist()
+        sym.count()
+        timed("pagerank_10it", lambda: pagerank(sym, max_iter=10, tol=None).count())
     timed("connected_components", lambda: connected_components(file_edges).count())
     timed("triangle_count_repo", lambda: triangle_count(repo_edges))
 
-    docs = (
-        corpus.select(
+    if not only or "minhash_dedup_corpus" in only:
+        docs = corpus.select(
             F.monotonically_increasing_id().alias("doc_id"),
             F.concat_ws(
                 " ", "repo", "path", "lang", "content", "commit"
             ).alias("text"),
+        ).persist()
+        docs.count()
+        timed(
+            "minhash_dedup_corpus",
+            lambda: minhash_lsh_pairs(
+                docs, threshold=0.7, n_hashes=32, bands=8
+            ).count(),
         )
-        .persist()
-    )
-    docs.count()
-    timed(
-        "minhash_dedup_corpus",
-        lambda: minhash_lsh_pairs(docs, threshold=0.7, n_hashes=32, bands=8).count(),
-    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("knn_lsh_embeddings", lambda: knn_lsh(emb, k=5, n_planes=8, n_tables=4).count())
 
@@ -134,6 +146,10 @@ def main() -> None:
                     "sweeps_total": sweeps_total,
                     "edges_processed": edges_processed,
                     "edges_per_sec": round(edges_per_sec),
+                    "moves_per_sweep": [
+                        lv.moves_per_sweep for lv in res.levels
+                    ],
+                    "level_walls": [round(lv.wall_sec, 2) for lv in res.levels],
                 },
             }
         )

@@ -1,0 +1,163 @@
+"""spark-submit entrypoints (north star: "runs via spark-submit --py-files").
+
+Usage (any Spark cluster; locally the session builder fills in master):
+
+    spark-submit --py-files plm.zip -m parallel_louvain_method_spark.cli \\
+        build-graph --corpus s3://bucket/corpus --out /tmp/edges \\
+                    --link sha256 --node repo
+    ... cli.py louvain   --edges /tmp/edges --out /tmp/comms \\
+                    --checkpoint /tmp/ck --resume
+    ... cli.py pagerank  --edges /tmp/edges --out /tmp/ranks --iters 20
+    ... cli.py components --edges /tmp/edges --out /tmp/cc
+    ... cli.py triangles --edges /tmp/edges
+
+On a real cluster, run through ``spark-submit`` so the session comes from
+the cluster manager; locally this module builds one via session.get_spark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active:
+        return active
+    from parallel_louvain_method_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="plm")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("build-graph", help="corpus -> edge table")
+    g.add_argument("--corpus", required=True, help="parquet/iceberg path")
+    g.add_argument("--out", required=True)
+    g.add_argument("--link", choices=["sha256", "cocommit"], default="sha256")
+    g.add_argument("--node", default="repo")
+    g.add_argument("--max-group", type=int, default=1000)
+
+    lv = sub.add_parser("louvain", help="multi-level Louvain")
+    lv.add_argument("--edges", required=True)
+    lv.add_argument("--out", required=True)
+    lv.add_argument("--checkpoint")
+    lv.add_argument("--resume", action="store_true")
+    lv.add_argument("--blocks", type=int, default=32)
+    lv.add_argument("--anneal", action="store_true")
+
+    pr = sub.add_parser("pagerank")
+    pr.add_argument("--edges", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--iters", type=int, default=20)
+    pr.add_argument("--damping", type=float, default=0.85)
+
+    cc = sub.add_parser("components")
+    cc.add_argument("--edges", required=True)
+    cc.add_argument("--out", required=True)
+
+    lp = sub.add_parser("lpa")
+    lp.add_argument("--edges", required=True)
+    lp.add_argument("--out", required=True)
+    lp.add_argument("--iters", type=int, default=20)
+
+    tr = sub.add_parser("triangles")
+    tr.add_argument("--edges", required=True)
+
+    args = p.parse_args(argv)
+    spark = _spark(f"plm-{args.cmd}")
+
+    from parallel_louvain_method_spark.sources.edges import read_edge_parquet
+
+    if args.cmd == "build-graph":
+        from parallel_louvain_method_spark.sources.corpus import (
+            build_file_graph,
+            read_corpus,
+            shared_content_edges,
+            _densify,
+        )
+
+        corpus = read_corpus(spark, args.corpus)
+        if args.link == "sha256":
+            str_edges, dropped = shared_content_edges(
+                corpus, node_col=args.node, max_group=args.max_group
+            )
+            edges, mapping = _densify(str_edges)
+        else:
+            edges, mapping, dropped = build_file_graph(corpus, args.max_group)
+        edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+        mapping.write.mode("overwrite").parquet(f"{args.out}/id_map")
+        n_dropped = dropped.count()
+        print(json.dumps({"edges": edges.count(), "dropped_groups": n_dropped}))
+    elif args.cmd == "louvain":
+        from parallel_louvain_method_spark.operators.louvain import louvain
+
+        res = louvain(
+            spark,
+            read_edge_parquet(spark, args.edges),
+            n_blocks=args.blocks,
+            anneal=args.anneal,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        res.assignment.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "modularity": res.modularity,
+                    "levels": [vars(lv) for lv in res.levels],
+                }
+            )
+        )
+    elif args.cmd == "pagerank":
+        from parallel_louvain_method_spark.operators.graph import symmetric_edges
+        from parallel_louvain_method_spark.operators.pagerank import pagerank
+
+        ranks = pagerank(
+            symmetric_edges(read_edge_parquet(spark, args.edges)),
+            damping=args.damping,
+            max_iter=args.iters,
+        )
+        ranks.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": ranks.count()}))
+    elif args.cmd == "components":
+        from parallel_louvain_method_spark.operators.components import (
+            connected_components,
+        )
+
+        cc_df = connected_components(read_edge_parquet(spark, args.edges))
+        cc_df.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {"components": cc_df.select("component").distinct().count()}
+            )
+        )
+    elif args.cmd == "lpa":
+        from parallel_louvain_method_spark.operators.labelprop import (
+            label_propagation,
+        )
+
+        labels = label_propagation(
+            read_edge_parquet(spark, args.edges), max_iter=args.iters
+        )
+        labels.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"labels": labels.select("label").distinct().count()}))
+    elif args.cmd == "triangles":
+        from parallel_louvain_method_spark.operators.triangles import triangle_count
+
+        print(
+            json.dumps(
+                {"triangles": triangle_count(read_edge_parquet(spark, args.edges))}
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

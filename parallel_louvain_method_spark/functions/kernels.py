@@ -199,8 +199,20 @@ def louvain_sequential_edges(
     csr = pack_csr(s, d, weight, n=len(ids))
     if m2 is None:
         m2 = float(csr.weights.sum())
-    comm, _in, _tot, qs, imp = louvain_sequential(csr, m2=m2, max_sweeps=max_sweeps)
-    return ids, ids[comm], len(qs), (qs[-1] if qs else 0.0), imp
+    comm, in_w, tot, qs, imp = louvain_sequential(csr, m2=m2, max_sweeps=max_sweeps)
+    q = qs[-1] if qs else 0.0
+    # the reference's `in` never counts self-loop weight (SURVEY.md §1.5);
+    # report level modularity in the engine's standard convention (self-loop
+    # weight included once) so multi-level Q comparisons are consistent —
+    # identical on self-loop-free input (all golden fixtures)
+    rows = np.repeat(np.arange(len(ids)), np.diff(csr.row_index))
+    self_rows = rows == csr.column_index
+    if self_rows.any():
+        self_w = np.bincount(
+            comm[rows[self_rows]], weights=csr.weights[self_rows], minlength=len(ids)
+        )
+        q = modularity(in_w + self_w, tot, m2)
+    return ids, ids[comm], len(qs), q, imp
 
 
 def _vectorized_moves(
@@ -382,6 +394,7 @@ def louvain_vectorized_edges(
         m2 = float(deg.sum())
     comm = np.arange(n, dtype=np.int64)
     keep = s != d
+    self_s, self_w = s[~keep], w[~keep]  # deduped self-loops, once each
     s, d, w = s[keep], d[keep], w[keep]
     v_ids = np.arange(n, dtype=np.int64)
 
@@ -418,10 +431,12 @@ def louvain_vectorized_edges(
             if zero_streak >= 3:
                 break
     tot = np.bincount(comm, weights=deg, minlength=n)
-    # modularity: in[c] = Σ same-comm symmetric weight (self-loops excluded
-    # here; callers on coarse graphs account for self-loops via modularity_df)
+    # modularity with in[c] = Σ same-community symmetric weight, self-loop
+    # rows included once (they carry 2x internal weight after coarsening)
     same = comm[s] == comm[d]
     in_arr = np.bincount(comm[s[same]], weights=w[same], minlength=n)
+    if len(self_s):
+        in_arr = in_arr + np.bincount(comm[self_s], weights=self_w, minlength=n)
     q = modularity(in_arr, tot, m2)
     return ids, ids[comm], sweeps, q, improved
 

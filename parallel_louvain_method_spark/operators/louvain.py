@@ -53,6 +53,7 @@ from parallel_louvain_method_spark.operators.graph import (
 )
 
 ASSIGN_SCHEMA = "vtx long, comm long"
+PROPOSAL_SCHEMA = "vtx long, comm long, moved int"
 
 
 @dataclass
@@ -136,7 +137,13 @@ def modularity_df(
 def _make_block_udf(m2: float, min_gain: float, kernel: str = "local", sweep: int = 0):
     def block_moves(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({"vtx": pd.Series(dtype="int64"), "comm": pd.Series(dtype="int64")})
+            return pd.DataFrame(
+                {
+                    "vtx": pd.Series(dtype="int64"),
+                    "comm": pd.Series(dtype="int64"),
+                    "moved": pd.Series(dtype="int32"),
+                }
+            )
         if kernel in ("local", "vectorized"):
             out_v, out_c = kernels.louvain_block_local(
                 pdf["src"].to_numpy(),
@@ -169,7 +176,15 @@ def _make_block_udf(m2: float, min_gain: float, kernel: str = "local", sweep: in
                 m2,
                 min_gain,
             )
-        return pd.DataFrame({"vtx": out_v, "comm": out_c})
+        # moved flag: compare against the sweep-start community (first row
+        # per src — pdf is the block's full adjacency)
+        start = (
+            pdf[["src", "src_comm"]]
+            .drop_duplicates("src")
+            .set_index("src")["src_comm"]
+        )
+        moved = (start.reindex(out_v).to_numpy() != out_c).astype("int32")
+        return pd.DataFrame({"vtx": out_v, "comm": out_c, "moved": moved})
 
     return block_moves
 
@@ -189,7 +204,7 @@ def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str):
             max_sweeps=max_sweeps,
         )
         return pd.DataFrame(
-            {"vtx": v, "comm": c, "sweeps": sweeps, "moved": int(improved)}
+            {"vtx": v, "comm": c, "sweeps": sweeps, "moved": int(improved), "q": q}
         )
 
     return run
@@ -207,6 +222,7 @@ def louvain_level(
     local_threshold: int = 500_000,
     sequential_threshold: int = 150_000,
     kernel: str = "local",
+    min_moves_frac: float = 0.001,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -261,16 +277,18 @@ def louvain_level(
             sym_edges.groupBy(F.lit(0).alias("g"))
             .applyInPandas(
                 _local_level_udf(m2, max_sweeps, local_kernel),
-                schema="vtx long, comm long, sweeps int, moved int",
+                schema="vtx long, comm long, sweeps int, moved int, q double",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        meta = out.agg(F.max("sweeps"), F.max("moved")).first()
+        meta = out.agg(F.max("sweeps"), F.max("moved"), F.max("q")).first()
         stats.sweeps = int(meta[0] or 0)
         any_moved = bool(meta[1])
         assign = out.select("vtx", "comm").localCheckpoint(eager=True)
         out.unpersist()
-        stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+        # the kernel already computed level modularity over its own CSR —
+        # one applyInPandas job per level, no extra multi-join query
+        stats.modularity = float(meta[2]) if meta[2] is not None else 0.0
         # kernel-internal sweeps aren't individually observable; record the
         # level's total move signal so the multilevel driver can stop
         stats.moves_per_sweep = [1 if any_moved else 0] * stats.sweeps
@@ -326,25 +344,43 @@ def louvain_level(
             joined = joined.filter(
                 F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
             )
-        joined = joined.withColumn("block", F.pmod(F.hash("src"), F.lit(n_blocks)))
+        # community-aware blocking: routing a vertex's adjacency by its
+        # CURRENT community puts forming communities in one block, so the
+        # block-local kernel merges them wholesale instead of one stale
+        # vertex at a time (sweep 0 is identical to hash(src): comm == vtx).
+        # Skew note: a community bigger than one block's memory would need
+        # salting here; Louvain communities at level 0 are bounded by the
+        # coarsen cadence, and AQE skew-split covers the join itself.
+        block_key = (
+            F.pmod(F.hash("src_comm"), F.lit(n_blocks))
+            if kernel == "local"
+            else F.pmod(F.hash("src"), F.lit(n_blocks))
+        )
+        joined = joined.withColumn("block", block_key)
         proposals = joined.groupBy("block").applyInPandas(
-            _make_block_udf(m2, min_gain, kernel, sweep), schema=ASSIGN_SCHEMA
+            _make_block_udf(m2, min_gain, kernel, sweep),
+            schema=PROPOSAL_SCHEMA,
         )
-        new_assign = (
-            assign.withColumnRenamed("comm", "old_comm")
-            .join(proposals.withColumnRenamed("comm", "prop_comm"), "vtx", "left")
-            .select(
-                "vtx",
-                F.coalesce(F.col("prop_comm"), F.col("old_comm")).alias("comm"),
-                "old_comm",
+        if kernel != "local" and n_blocks > 1:
+            # active-half kernels only see half the vertices; frozen ones
+            # keep their assignment via union with the previous state
+            prop_assign = proposals.select("vtx", "comm")
+            frozen = assign.join(prop_assign.select("vtx"), "vtx", "left_anti")
+            new_state = prop_assign.union(frozen)
+            new_assign = (
+                new_state.join(proposals.select("vtx", "moved"), "vtx", "left")
+                .na.fill({"moved": 0})
             )
-            # truncate lineage EVERY sweep: the sweep plan references assign
-            # ~5x, so without truncation the logical plan grows 5^k nodes and
-            # analysis time explodes (state is tiny next to the edge table,
-            # so an eager localCheckpoint per sweep is cheap)
-            .localCheckpoint(eager=True)
-        )
-        moves = new_assign.filter(F.col("comm") != F.col("old_comm")).count()
+        else:
+            # every vertex of the level appears as src in exactly one block,
+            # so the kernel output IS the next assignment — no join needed
+            new_assign = proposals
+        # truncate lineage EVERY sweep: the sweep plan references assign
+        # several times, so without truncation the logical plan grows
+        # exponentially and analysis time explodes (state is tiny next to
+        # the edge table, so an eager localCheckpoint per sweep is cheap)
+        new_assign = new_assign.localCheckpoint(eager=True)
+        moves = int(new_assign.agg(F.sum("moved")).first()[0] or 0)
         stats.moves_per_sweep.append(moves)
         stats.sweeps = sweep + 1
 
@@ -354,6 +390,17 @@ def louvain_level(
 
         zero_streak = zero_streak + 1 if moves == 0 else 0
         if zero_streak >= zero_streak_needed:
+            break
+        # near-convergence exit: when under min_moves_frac of vertices still
+        # move, the residual Q gain is marginal — coarsen and let the next
+        # (much smaller) level finish the job
+        if sweep > 0 and moves <= max(1, int(min_moves_frac * n_vertices)):
+            break
+        # plateau break: when a sweep retires <10% of the previous sweep's
+        # movers, the remainder is label churn (communities collectively
+        # hopping ids), not structure — coarsening resolves it at the next,
+        # far smaller level
+        if sweep > 0 and moves >= 0.9 * stats.moves_per_sweep[-2]:
             break
         if moves < best_moves:
             best_moves, best_sweep = moves, sweep

@@ -39,6 +39,21 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 _LANGS = ["py", "c", "cpp", "java", "rs"]
 
 
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S6: load the corpus table.
+
+    Tries the Iceberg source first (the production format per the north
+    rule; needs the iceberg-spark runtime on the cluster classpath), falls
+    back to parquet for local/test runs.  Either way only CORPUS_COLUMNS
+    are selected, so Catalyst prunes everything else at the scan.
+    """
+    try:
+        df = spark.read.format("iceberg").load(path)
+    except Exception:
+        df = spark.read.parquet(path)
+    return df.select(*CORPUS_COLUMNS)
+
+
 def synth_corpus(
     spark: SparkSession,
     n_repos: int = 100,

@@ -27,12 +27,19 @@ def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # pin the WHOLE process tree (JVM + Python workers) to `cpus` physical
+    # cores — local[N] alone only caps Spark task threads, and the pandas
+    # kernels would otherwise borrow the idle cores, inflating the low-N
+    # throughput and corrupting the scaling measurement
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cpus - 1}",
+        sys.executable,
+        os.path.join(REPO, "bench.py"),
+    ]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
+        cmd, env=env, capture_output=True, text=True, timeout=5400
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
