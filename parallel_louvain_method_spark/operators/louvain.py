@@ -210,6 +210,111 @@ def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str):
     return run
 
 
+def _broadcast_superstep_level(
+    spark: SparkSession,
+    sym_edges: DataFrame,
+    deg: DataFrame,
+    m2: float,
+    n_vertices: int,
+    max_sweeps: int,
+    anneal: bool,
+    stats: LevelStats,
+    min_moves_frac: float,
+) -> DataFrame:
+    """Superstep loop with BROADCAST vertex state (the mid-scale fast path).
+
+    While per-vertex state (community, degree, community totals — ~24 bytes
+    per vertex) fits executor memory, shipping it as numpy broadcast arrays
+    removes BOTH per-sweep shuffles: the edge table is partitioned by src
+    once and never moves again; each sweep is one ``mapInPandas`` pass over
+    the cached partitions plus a ~16 B/vertex Arrow collect of proposals.
+    Sweep cost becomes pure parallel kernel compute — this is what makes
+    core-count scaling visible.  Beyond ~10^8 vertices the join-based path
+    (see the caller) takes over; that cutover is the same broadcast-vs-
+    shuffle-join decision Catalyst makes for dimension tables.
+
+    Requires DENSE vertex ids 0..n-1 (the caller renumbers level 0; coarsen
+    guarantees it afterwards).
+    """
+    import numpy as np
+
+    sc = spark.sparkContext
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges_p = sym_edges.select("src", "dst", "weight").repartition(
+        n_parts, "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges_p.count()
+
+    deg_pdf = deg.toPandas()
+    deg_arr = np.zeros(n_vertices, dtype=np.float64)
+    deg_arr[deg_pdf["vtx"].to_numpy()] = deg_pdf["degree"].to_numpy()
+    comm_arr = np.arange(n_vertices, dtype=np.int64)
+    deg_bc = sc.broadcast(deg_arr)
+
+    best_moves = float("inf")
+    best_sweep = -1
+    for sweep in range(max_sweeps):
+        min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
+        tot_arr = np.bincount(comm_arr, weights=deg_arr, minlength=n_vertices)
+        state_bc = sc.broadcast((comm_arr, tot_arr))
+        sweep_no = sweep
+
+        def run(batches, _state=state_bc, _deg=deg_bc, _m2=m2, _mg=min_gain, _sw=sweep_no):
+            import numpy as _np
+            import pandas as _pd
+
+            pdf = _pd.concat(list(batches), ignore_index=True)
+            if len(pdf) == 0:
+                yield _pd.DataFrame(
+                    {"vtx": _pd.Series(dtype="int64"),
+                     "comm": _pd.Series(dtype="int64"),
+                     "moved": _pd.Series(dtype="int32")}
+                )
+                return
+            comm, tot = _state.value
+            degv = _deg.value
+            s = pdf["src"].to_numpy()
+            d = pdf["dst"].to_numpy()
+            w = pdf["weight"].to_numpy()
+            out_v, out_c = kernels.louvain_block_local(
+                s, comm[s], degv[s], d, comm[d], w,
+                tot[comm[s]], tot[comm[d]], _m2, _mg, seed=_sw,
+            )
+            moved = (comm[out_v] != out_c).astype("int32")
+            yield _pd.DataFrame({"vtx": out_v, "comm": out_c, "moved": moved})
+
+        proposals = edges_p.mapInPandas(run, schema=PROPOSAL_SCHEMA).toPandas()
+        state_bc.destroy()
+        moves = int(proposals["moved"].sum())
+        comm_arr = comm_arr.copy()
+        comm_arr[proposals["vtx"].to_numpy()] = proposals["comm"].to_numpy()
+        stats.moves_per_sweep.append(moves)
+        stats.sweeps = sweep + 1
+
+        if moves == 0:
+            # full active sets + locally-converged blocks: a zero-move
+            # superstep is a global fixed point
+            break
+        threshold = int(min_moves_frac * n_vertices)
+        if sweep > 0 and threshold > 0 and moves <= threshold:
+            break
+        if sweep > 0 and moves >= 50 and moves >= 0.9 * stats.moves_per_sweep[-2]:
+            break
+        if moves < best_moves:
+            best_moves, best_sweep = moves, sweep
+        elif sweep - best_sweep >= 8:
+            break
+
+    deg_bc.destroy()
+    edges_p.unpersist()
+    assign_pdf = __import__("pandas").DataFrame(
+        {"vtx": np.arange(n_vertices, dtype=np.int64), "comm": comm_arr}
+    )
+    return spark.createDataFrame(assign_pdf, schema=ASSIGN_SCHEMA).localCheckpoint(
+        eager=True
+    )
+
+
 def louvain_level(
     spark: SparkSession,
     sym_edges: DataFrame,
@@ -223,6 +328,7 @@ def louvain_level(
     sequential_threshold: int = 150_000,
     kernel: str = "local",
     min_moves_frac: float = 0.001,
+    broadcast_vertex_threshold: int = 20_000_000,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -294,6 +400,19 @@ def louvain_level(
         stats.moves_per_sweep = [1 if any_moved else 0] * stats.sweeps
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
+
+    # broadcast-state supersteps: while per-vertex state fits memory AND ids
+    # are dense, skip the per-sweep shuffles entirely (see the helper's doc)
+    if n_vertices <= broadcast_vertex_threshold:
+        mx = deg.agg(F.max("vtx")).first()[0]
+        if mx is not None and int(mx) == n_vertices - 1:
+            assign = _broadcast_superstep_level(
+                spark, sym_edges, deg, m2, n_vertices,
+                max_sweeps, anneal, stats, min_moves_frac,
+            )
+            stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+            stats.wall_sec = time.monotonic() - t0
+            return assign, deg, m2, stats
 
     # singleton init (src/community.cpp:25-29)
     assign = deg.select(F.col("vtx"), F.col("vtx").alias("comm")).persist(
@@ -394,13 +513,14 @@ def louvain_level(
         # near-convergence exit: when under min_moves_frac of vertices still
         # move, the residual Q gain is marginal — coarsen and let the next
         # (much smaller) level finish the job
-        if sweep > 0 and moves <= max(1, int(min_moves_frac * n_vertices)):
+        threshold = int(min_moves_frac * n_vertices)
+        if sweep > 0 and threshold > 0 and moves <= threshold:
             break
         # plateau break: when a sweep retires <10% of the previous sweep's
         # movers, the remainder is label churn (communities collectively
         # hopping ids), not structure — coarsening resolves it at the next,
         # far smaller level
-        if sweep > 0 and moves >= 0.9 * stats.moves_per_sweep[-2]:
+        if sweep > 0 and moves >= 50 and moves >= 0.9 * stats.moves_per_sweep[-2]:
             break
         if moves < best_moves:
             best_moves, best_sweep = moves, sweep
@@ -473,6 +593,17 @@ def louvain(
     q_prev = -math.inf
     start_level = 0
 
+    # dense ids unlock the broadcast-state superstep path at level 0 (and
+    # match the reference's renumber-first pipeline, renumber.py)
+    n_verts = sym.select("src").distinct().count()
+    mx_row = sym.agg(F.max("src")).first()[0]
+    restore_map: DataFrame | None = None
+    if mx_row is not None and int(mx_row) != n_verts - 1:
+        from parallel_louvain_method_spark.operators.graph import renumber_edges
+
+        sym, restore_map = renumber_edges(sym)
+        sym = sym.localCheckpoint(eager=True)
+
     if checkpoint_dir and resume:
         lvl = latest_level(spark, checkpoint_dir)
         if lvl is not None:
@@ -534,4 +665,9 @@ def louvain(
         sym = coarse.localCheckpoint(eager=True)
 
     assert flat is not None
+    if restore_map is not None:
+        flat = (
+            flat.join(restore_map.withColumnRenamed("new_id", "vtx"), "vtx")
+            .select(F.col("v").alias("vtx"), "comm")
+        )
     return LouvainResult(assignment=flat, modularity=final_q, levels=levels)
