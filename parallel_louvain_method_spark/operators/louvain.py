@@ -2,41 +2,46 @@
 
 Replaces the reference's per-vertex MPI barrier protocol
 (/root/reference/src/distcommunity.cpp:212-385 — Isend/Iprobe per move) with
-the one semantic redesign SURVEY.md §7 calls for: each sweep is
+the semantic redesign SURVEY.md §7 calls for: bulk-synchronous sweeps over
+an immutable edge table, with community totals recomputed by aggregation
+(no incremental mutation — reference src/community.cpp:33-45 mutates;
+recompute is order-free and shuffle-parallel) and a zero-move sweep as the
+convergence signal (src/community.cpp:98).
 
-1. ``edges ⋈ assign`` on dst (the ghost exchange, now a shuffle join),
-2. join src-side state (community, degree) and community totals,
-3. ``groupBy(block).applyInPandas`` — a sequential local-move sweep per
-   partition block (numpy kernel, reference semantics within the block),
-4. recompute community totals by aggregation (no incremental mutation —
-   reference src/community.cpp:33-45 mutates; recompute is order-free and
-   shuffle-parallel),
-5. ``moves.count()`` drives convergence (reference src/community.cpp:98:
-   a full sweep with zero moves ends the level).
+A level picks one of four execution strategies by size:
 
-With ``n_blocks=1`` the kernel sees the whole graph and reproduces the
-reference's *sequential* semantics exactly (ascending visit order, strict->
-argmax, current-community-first tie break) — that is what the golden tests
-pin (tests/main_test.cpp:64-81).  With many blocks, vertices move against
-communities at most one sweep stale; convergence still requires a full
-zero-move sweep, so the fixed point is identical in quality class.
+1. **local/sequential** (≤ ``sequential_threshold`` sym rows): one
+   ``applyInPandas`` task runs the reference-exact CSR kernel — ascending
+   visit order, strict-> argmax, current-community-first tie break — the
+   semantics the golden tests pin (tests/main_test.cpp:64-81);
+2. **local/vectorized** (≤ ``local_threshold``): one task, whole-graph
+   numpy loop;
+3. **superstep/sql** (default above that): every sweep is PURE DataFrame
+   algebra — the small assignment/degree/totals tables broadcast-hash-join
+   onto the edges, candidate weights aggregate with map-side partials, the
+   gain/argmax runs as codegen'd expressions.  The edge table never moves;
+   one partial-agg shuffle per sweep; no Python in the loop;
+4. **superstep/numpy_broadcast** (option): per-vertex state ships as numpy
+   broadcast arrays, each partition runs to local convergence against
+   frozen ghosts in a vectorized kernel (``mapInPandas``), proposals come
+   back as one Arrow collect.  Fewer supersteps than (3) but pays the
+   JVM→Arrow exchange per sweep; the better choice when per-sweep kernel
+   work dominates transport (dense many-clique graphs).
 
-Scale notes:
-- the per-sweep dst-join is THE shuffle; edges are persisted partitioned by
-  dst so only the assignment side moves;
-- community totals shrink every level -> joined via broadcast when small
-  (AQE auto-converts; we hint explicitly below a row threshold);
-- lineage is truncated with localCheckpoint every few sweeps, otherwise the
-  iterative plan grows unboundedly (the reference has no such concern; Spark
-  does);
-- per-level state is parquet-checkpointed for resume (north rule:
-  "resumable from checkpoint with per-partition lineage + metrics";
-  reference left this as a TODO, src/distcommunity.cpp:899).
+Shared machinery: hashed pseudo-random active halves per sweep (strict
+parity LOCKS period-2 oscillations; hashed halves provably vary), plateau /
+near-convergence exits that hand label churn to the next (much smaller)
+coarsened level, per-sweep ``localCheckpoint`` lineage truncation (without
+it the iterative plan grows exponentially), and per-level parquet
+checkpoints for resume (north rule; the reference left this as a TODO,
+src/distcommunity.cpp:899).
 """
 
 from __future__ import annotations
 
 import math
+import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -276,15 +281,22 @@ def _broadcast_superstep_level(
             s = pdf["src"].to_numpy()
             d = pdf["dst"].to_numpy()
             w = pdf["weight"].to_numpy()
-            out_v, out_c = kernels.louvain_block_local(
-                s, comm[s], degv[s], d, comm[d], w,
-                tot[comm[s]], tot[comm[d]], _m2, _mg, seed=_sw,
+            out_v, out_c = kernels.louvain_block_local_dense(
+                s, d, w, comm, degv, tot, _m2, _mg, max_inner=6, seed=_sw,
             )
             moved = (comm[out_v] != out_c).astype("int32")
             yield _pd.DataFrame({"vtx": out_v, "comm": out_c, "moved": moved})
 
+        t_sw = time.monotonic()
         proposals = edges_p.mapInPandas(run, schema=PROPOSAL_SCHEMA).toPandas()
         state_bc.destroy()
+        if os.environ.get("PLM_DEBUG_SWEEPS"):
+            print(
+                f"[louvain] sweep {sweep}: map+collect "
+                f"{time.monotonic() - t_sw:.1f}s rows={len(proposals)}",
+                file=sys.stderr,
+                flush=True,
+            )
         moves = int(proposals["moved"].sum())
         comm_arr = comm_arr.copy()
         comm_arr[proposals["vtx"].to_numpy()] = proposals["comm"].to_numpy()
@@ -315,6 +327,149 @@ def _broadcast_superstep_level(
     )
 
 
+def _sql_superstep_level(
+    spark: SparkSession,
+    sym_edges: DataFrame,
+    deg: DataFrame,
+    m2: float,
+    n_vertices: int,
+    max_sweeps: int,
+    anneal: bool,
+    stats: LevelStats,
+    min_moves_frac: float,
+) -> DataFrame:
+    """Superstep loop where every sweep is PURE DataFrame algebra.
+
+    No Python touches the edge table: per sweep, the (small) assignment is
+    broadcast-hash-joined onto the edges, candidate weights aggregate with
+    map-side partials, and the argmax + gain test run as codegen'd
+    expressions.  One sweep = one shuffle of the PARTIAL aggregation output
+    (≪ edge count) — the edge table itself never moves.  This is the sweep
+    engine that scales with executors: measured on this box, the
+    Arrow/Python exchange path burns ~7 µs of CPU per row that does not
+    parallelize past ~4M rows/s, while this path is ordinary whole-stage
+    codegen.
+
+    gain(v,c) = w(v→c) − (tot[c] − deg(v)·[c=comm(v)])·deg(v)/m2
+    (src/community.cpp:151-159 after removal); movers need
+    gain > max(gain_stay, min_gain) with ties to the lower community id.
+    Hashed active halves per sweep break synchronous oscillation.
+    """
+    assign = deg.select("vtx", F.col("vtx").alias("comm")).localCheckpoint(
+        eager=True
+    )
+
+    # AQE re-plans every stage boundary of the ~8-stage sweep DAG on the
+    # driver — measured at several SERIAL seconds per sweep, which caps
+    # core-count scaling.  The sweep plan is fixed and its stats are known
+    # (state tables are small, the edge side is cached), so adaptive
+    # planning buys nothing inside the loop; restore the caller's setting
+    # afterwards.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    zero_streak = 0
+    best_moves = float("inf")
+    best_sweep = -1
+    for sweep in range(max_sweeps):
+        min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
+        tot = comm_totals(assign, deg).select("comm", "tot")
+
+        active_edges = sym_edges.filter(F.col("src") != F.col("dst")).filter(
+            F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
+        )
+        # ONE consolidated per-vertex state table joined twice — building a
+        # megarow broadcast hash relation is serial work, so five separate
+        # state joins per sweep put ~5 s of unscalable time in every sweep;
+        # two joins of a pre-merged table halve that, and AQE still picks
+        # broadcast vs shuffle per join by size
+        state = (
+            assign.join(deg, "vtx")
+            .join(tot, "comm")
+            .select("vtx", "comm", "degree", "tot")
+        )
+        s_dst = state.select(
+            F.col("vtx").alias("dst"), F.col("comm").alias("dst_comm")
+        )
+        s_src = state.select(
+            F.col("vtx").alias("src"),
+            F.col("comm").alias("src_comm"),
+            F.col("degree"),
+            F.col("tot").alias("tot_own"),
+        )
+        cand = (
+            active_edges.join(s_dst, "dst")
+            .groupBy("src", "dst_comm")
+            .agg(F.sum("weight").alias("w_to"))
+            .join(s_src, "src")
+            .join(tot.withColumnRenamed("comm", "dst_comm"), "dst_comm")
+        )
+        is_own = F.col("dst_comm") == F.col("src_comm")
+        gain = (
+            F.col("w_to")
+            - (F.col("tot") - F.when(is_own, F.col("degree")).otherwise(0.0))
+            * F.col("degree")
+            / F.lit(m2)
+        )
+        scored = cand.withColumn("gain", gain)
+        per_src = scored.groupBy("src").agg(
+            F.max_by(
+                F.col("dst_comm"),
+                F.struct(F.col("gain"), (-F.col("dst_comm")).alias("nc")),
+            ).alias("best_comm"),
+            F.max("gain").alias("best_gain"),
+            F.max(F.when(is_own, F.col("gain"))).alias("gain_own_cand"),
+            F.first("src_comm").alias("src_comm"),
+            F.first(
+                -(F.col("tot_own") - F.col("degree"))
+                * F.col("degree")
+                / F.lit(m2)
+            ).alias("gain_stay_base"),
+        )
+        gain_stay = F.coalesce(F.col("gain_own_cand"), F.col("gain_stay_base"))
+        proposals = per_src.select(
+            F.col("src").alias("vtx"),
+            F.when(
+                F.col("best_gain") > F.greatest(gain_stay, F.lit(min_gain)),
+                F.col("best_comm"),
+            )
+            .otherwise(F.col("src_comm"))
+            .alias("comm"),
+            (
+                F.col("best_gain") > F.greatest(gain_stay, F.lit(min_gain))
+            ).cast("int").alias("moved"),
+        ).filter(F.col("moved") == 1)
+
+        new_assign = (
+            assign.withColumnRenamed("comm", "old_comm")
+            .join(proposals.select("vtx", F.col("comm").alias("new_comm")), "vtx", "left")
+            .select(
+                "vtx", F.coalesce("new_comm", "old_comm").alias("comm"),
+                (F.col("new_comm").isNotNull()).cast("int").alias("moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moves = int(new_assign.agg(F.sum("moved")).first()[0] or 0)
+        stats.moves_per_sweep.append(moves)
+        stats.sweeps = sweep + 1
+        assign = new_assign.select("vtx", "comm")
+
+        zero_streak = zero_streak + 1 if moves == 0 else 0
+        if zero_streak >= 3:
+            break
+        threshold = int(min_moves_frac * n_vertices)
+        if sweep > 0 and threshold > 0 and moves <= threshold:
+            break
+        if sweep > 0 and moves >= 50 and moves >= 0.9 * stats.moves_per_sweep[-2]:
+            break
+        if moves < best_moves:
+            best_moves, best_sweep = moves, sweep
+        elif sweep - best_sweep >= 8:
+            break
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    return assign
+
+
 def louvain_level(
     spark: SparkSession,
     sym_edges: DataFrame,
@@ -329,6 +484,7 @@ def louvain_level(
     kernel: str = "local",
     min_moves_frac: float = 0.001,
     broadcast_vertex_threshold: int = 20_000_000,
+    superstep_engine: str = "sql",
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -401,9 +557,21 @@ def louvain_level(
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
-    # broadcast-state supersteps: while per-vertex state fits memory AND ids
-    # are dense, skip the per-sweep shuffles entirely (see the helper's doc)
-    if n_vertices <= broadcast_vertex_threshold:
+    # pure-SQL supersteps (default): broadcast-hash-join the small state
+    # onto the edges, codegen'd gain/argmax, one partial-agg shuffle per
+    # sweep — the edge table never moves and no Python touches it
+    if superstep_engine == "sql":
+        assign = _sql_superstep_level(
+            spark, sym_edges, deg, m2, n_vertices,
+            max_sweeps, anneal, stats, min_moves_frac,
+        )
+        stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+        stats.wall_sec = time.monotonic() - t0
+        return assign, deg, m2, stats
+
+    # numpy broadcast-state supersteps: while per-vertex state fits memory
+    # AND ids are dense, skip the per-sweep shuffles entirely (helper doc)
+    if superstep_engine == "numpy_broadcast" and n_vertices <= broadcast_vertex_threshold:
         mx = deg.agg(F.max("vtx")).first()[0]
         if mx is not None and int(mx) == n_vertices - 1:
             assign = _broadcast_superstep_level(
@@ -571,6 +739,7 @@ def louvain(
     mode: str = "auto",
     local_threshold: int = 500_000,
     kernel: str = "local",
+    superstep_engine: str = "sql",
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
 
@@ -623,6 +792,7 @@ def louvain(
             mode=mode,
             local_threshold=local_threshold,
             kernel=kernel,
+            superstep_engine=superstep_engine,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0

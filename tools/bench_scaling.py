@@ -47,7 +47,8 @@ def run(cpus: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
     r_lo = run(lo, sf_dir)
     r_hi = run(hi, sf_dir)
 
@@ -78,7 +79,7 @@ def main() -> None:
         "Efficiency = (T_N / T_4N) / 4 on wall time; = (TP_4N / TP_N) / 4 on",
         "throughput.  Target (north rule): >= 0.8.",
         "",
-        "| metric | local[8] | local[32] | scaling efficiency |",
+        f"| metric | local[{lo}] | local[{hi}] | scaling efficiency |",
         "|---|---|---|---|",
         f"| Louvain wall (s) | {t_lo} | {t_hi} | {eff_louvain:.3f} |",
         f"| Louvain edges/sec | {tp_lo} | {tp_hi} | {eff_throughput:.3f} |",
