@@ -242,8 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold=0.3
     )  # rows-only: xxhash64 sketches have no DuckDB twin
     q["simhash_near_dups"] = lambda s, d: D.simhash_near_dups(
-        _docs(s, d), max_hamming=15
-    )  # rows-only
+        _docs(s, d), max_hamming=7
+    )  # rows-only; 8 chunks x 8 bits — sane candidate fanout at scale
 
     # --- similarity search ---
     q["knn_top3"] = lambda s, d: (

@@ -112,6 +112,7 @@ def louvain_sequential(
     csr: CSR,
     m2: float | None = None,
     max_sweeps: int = 1000,
+    anneal: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[float], bool]:
     """One level of sequential-semantics Louvain, faithful to
     ``Communities::iterate`` (src/community.cpp:64-102).
@@ -120,6 +121,14 @@ def louvain_sequential(
     ``m2`` defaults to ``2 * ecount`` (reference's m-is-a-count quirk,
     SURVEY.md §1.5); pass ``2 * Σw`` for standard semantics on weighted /
     coarsened graphs.
+
+    ``anneal`` reproduces the distributed reference's temperature schedule
+    (A4): a candidate replaces the running best only when it wins by MORE
+    than ``temperature = exp(-(sweep+1))`` (``increase > best_increase &&
+    |best_increase - increase| > temperature``,
+    src/distcommunity.cpp:549-562; the schedule decays each sweep,
+    src/distcommunity.cpp:227-231,383).  Off (the default), the margin is 0
+    and the predicate reduces to the sequential reference's strict ``>``.
     """
     n = len(csr.row_index) - 1
     deg = weighted_degrees(csr)
@@ -133,7 +142,8 @@ def louvain_sequential(
     q_per_sweep: list[float] = []
     total_moves = 0
     improvement = False
-    for _ in range(max_sweeps):
+    for sweep in range(max_sweeps):
+        temp = float(np.exp(-(sweep + 1))) if anneal else 0.0
         prev_moves = total_moves
         for node in range(n):
             nc = int(node_comm[node])
@@ -153,11 +163,12 @@ def louvain_sequential(
             # remove (src/community.cpp:41-45)
             total[nc] -= d_node
             in_w[nc] -= 2.0 * w_to[nc]
-            # argmax, strict >, current community first (src/community.cpp:106-118)
+            # argmax, strict >, current community first (src/community.cpp:106-118);
+            # under anneal the winner must beat the running best by > temp
             best_c, best_inc = nc, 0.0
             for c, dnc in w_to.items():
                 inc = dnc - total[c] * d_node / m2
-                if inc > best_inc:
+                if inc > best_inc + temp:
                     best_c, best_inc = c, inc
             # insert (src/community.cpp:33-37)
             total[best_c] += d_node
@@ -179,6 +190,7 @@ def louvain_sequential_edges(
     weight: np.ndarray,
     m2: float | None = None,
     max_sweeps: int = 1000,
+    anneal: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Run a full Louvain level to convergence on a raw (possibly
     non-dense, non-symmetric) edge array.
@@ -199,7 +211,9 @@ def louvain_sequential_edges(
     csr = pack_csr(s, d, weight, n=len(ids))
     if m2 is None:
         m2 = float(csr.weights.sum())
-    comm, in_w, tot, qs, imp = louvain_sequential(csr, m2=m2, max_sweeps=max_sweeps)
+    comm, in_w, tot, qs, imp = louvain_sequential(
+        csr, m2=m2, max_sweeps=max_sweeps, anneal=anneal
+    )
     q = qs[-1] if qs else 0.0
     # the reference's `in` never counts self-loop weight (SURVEY.md §1.5);
     # report level modularity in the engine's standard convention (self-loop
@@ -265,7 +279,10 @@ def _vectorized_moves(
 
     g_tot = tot_of(g_comm)
     gain = g_w - (g_tot - np.where(own_mask, deg[pos], 0.0)) * deg[pos] / m2
-    base = np.maximum(gain_own, min_gain)
+    # anneal margin (A4): movers must beat staying by MORE than min_gain
+    # (reference's beat-by-temperature, src/distcommunity.cpp:549-562);
+    # min_gain == 0 reduces to the plain strict >
+    base = gain_own + min_gain
     beats = gain > base[pos]
     if not beats.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -461,6 +478,7 @@ def louvain_vectorized_edges(
     weight: np.ndarray,
     m2: float | None = None,
     max_sweeps: int = 60,
+    anneal: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int, float, bool]:
     """Whole-graph vectorized Louvain level (single-process numpy loop).
 
@@ -506,7 +524,7 @@ def louvain_vectorized_edges(
             deg,
             lambda cc: tot[cc],
             m2,
-            0.0,
+            float(np.exp(-(sweep + 1))) if anneal else 0.0,
             active=active,
         )
         if len(mover_pos):
@@ -609,10 +627,11 @@ def louvain_block_moves(
             c = comm_of.get(nb, int(dst_comm[j]))
             w_to[c] = w_to.get(c, 0.0) + float(weight[j])
         tot[nc] = tot.get(nc, d_node) - d_node
-        best_c, best_inc = nc, min_gain
+        # beat-by-margin acceptance (min_gain == 0 -> plain strict >)
+        best_c, best_inc = nc, 0.0
         for c, dnc in w_to.items():
             inc = dnc - tot.get(c, 0.0) * d_node / m2
-            if inc > best_inc:
+            if inc > best_inc + min_gain:
                 best_c, best_inc = c, inc
         tot[best_c] = tot.get(best_c, 0.0) + d_node
         comm_of[node] = best_c

@@ -14,8 +14,12 @@ all designed so the heavy lifting stays JVM-side:
                    self-join on shared n-grams (SQL-expressible → DuckDB
                    oracle-able); frequency cap on ubiquitous n-grams;
 - embedding cosine — near-duplicate pairs above a cosine threshold, exact
-                   (blocked self-join) — the scale path lives in
+                   O(n²) baseline — the scale path lives in
                    operators/similarity.py (LSH buckets).
+
+Every bucketed candidate generator (minhash bands, simhash chunks) caps
+bucket size (``max_bucket``) and reports dropped buckets — one degenerate
+bucket is a k²/2 pair bomb at corpus scale.
 
 Determinism: permutation constants derive from fixed literals, not RNG
 state; every argmax/keeper choice ties-breaks on the lowest doc_id.
@@ -29,6 +33,35 @@ from pyspark.sql import Column, DataFrame, functions as F
 # a*h + b stays far below 2^63 (ANSI mode makes long overflow an ERROR,
 # not a wrap)
 _MERSENNE = (1 << 31) - 1
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(i: int) -> int:
+    """SplitMix64 finalizer over a fixed counter stream — near-independent
+    64-bit constants per index (public-domain mixing constants).  Used to
+    derive the MinHash permutation coefficients: tiny correlated multipliers
+    (1, 3, 5, ...) form a weak universal family that biases est_jaccard
+    across components."""
+    z = (i * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+    return z ^ (z >> 31)
+
+
+def _cap_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop LSH bucket groups larger than ``max_bucket`` — the skew cap
+    (house pattern, sources/corpus.py shared_content_edges): a bucket with k
+    members emits k(k-1)/2 candidate pairs in the self-join, so one
+    degenerate bucket (empty docs, boilerplate, all-zero chunks) is a pair
+    bomb at scale.  Oversized buckets are excluded EXPLICITLY and observably
+    (returned, not silently salted).  Returns ``(kept, dropped)`` where
+    ``dropped`` lists the oversized bucket keys with member counts."""
+    sizes = df.groupBy(*key_cols).agg(F.count("*").alias("n_members"))
+    dropped = sizes.filter(F.col("n_members") > max_bucket)
+    kept = df.join(F.broadcast(dropped.select(*key_cols)), key_cols, "left_anti")
+    return kept, dropped
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -52,7 +85,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _word_ngrams(text_col: str, n: int) -> Column:
-    """Distinct word n-grams as an array column (built-ins only)."""
+    """Distinct word n-grams as an array column (built-ins only).
+
+    Docs with fewer than ``n`` words yield an EMPTY array (they have no
+    n-grams) — matching exact n-gram Jaccard and the DuckDB oracle, which
+    emit nothing for short docs; such docs simply drop out of the gram
+    pipeline (no signature, no pairs)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if n == 1:
         return F.array_distinct(words)
@@ -63,7 +101,7 @@ def _word_ngrams(text_col: str, n: int) -> Column:
                 F.sequence(F.lit(0), F.size(words) - n),
                 lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
             )
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -85,8 +123,11 @@ def minhash_signatures(
     ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
     aggs = []
     for i in range(n_hashes):
-        a = 2 * i + 1
-        b = (i * 0x9E3779B1 + 0x85EBCA6B) % _MERSENNE
+        # near-independent (a, b) per permutation from a SplitMix64 stream;
+        # a in [1, M-1] (nonzero), b in [0, M-1].  a*h + b < 2^62: safe
+        # under ANSI overflow checking.
+        a = _splitmix64(2 * i) % (_MERSENNE - 1) + 1
+        b = _splitmix64(2 * i + 1) % _MERSENNE
         aggs.append(
             F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
                 f"m{i}"
@@ -105,12 +146,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``[doc_a, doc_b, est_jaccard]``.
 
     Banding: ``bands`` buckets of ``n_hashes/bands`` rows; docs sharing any
     full band collide.  Candidates are verified by the unbiased estimator
     ``#equal components / n_hashes`` and filtered at ``threshold``.
+
+    Band buckets holding more than ``max_bucket`` docs (degenerate content:
+    empty docs, boilerplate) are dropped from candidate generation — k docs
+    in one bucket is a k²/2 pair bomb.  ``return_dropped=True`` returns
+    ``(pairs, dropped)`` with the oversized ``(band, bucket, n_members)``
+    rows for observability.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).persist()
@@ -128,6 +177,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded, dropped = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -155,6 +205,8 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    if return_dropped:
+        return verified, dropped
     return verified
 
 
@@ -240,13 +292,26 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    max_bucket: int = 1000,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bits.  Candidate generation uses
     ``max_hamming + 1`` bit-chunks — by pigeonhole, any pair within the
     Hamming budget shares at least one full chunk — then exact
     popcount(xor) verifies.  More chunks = more candidate fanout; callers
-    trading recall for cost can lower ``max_hamming``."""
-    n_chunks = min(16, max_hamming + 1)
+    trading recall for cost can lower ``max_hamming``.
+
+    ``max_hamming`` must be <= 15: 64 bits split into at most 16 chunks of
+    >= 4 bits — beyond that the pigeonhole guarantee breaks (chunks would
+    need to shrink below 1 bit of discrimination) and every doc collides.
+    Chunk buckets larger than ``max_bucket`` are dropped from candidate
+    generation (pair-bomb cap); ``return_dropped=True`` also returns them."""
+    if max_hamming > 15:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 15: the 16-chunk pigeonhole bound "
+            "no longer guarantees recall; use MinHash LSH for looser matching"
+        )
+    n_chunks = max_hamming + 1
     base_w = 64 // n_chunks
     extra = 64 % n_chunks
     widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
@@ -266,6 +331,7 @@ def simhash_near_dups(
             )
         ).alias("chunk_no", "chunk"),
     )
+    chunks, dropped = _cap_buckets(chunks, ["chunk_no", "chunk"], max_bucket)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_no", "chunk"])
@@ -278,11 +344,14 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return cand.select(
+    pairs = cand.select(
         "doc_a",
         "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+    if return_dropped:
+        return pairs, dropped
+    return pairs
 
 
 def embedding_near_dups(
@@ -293,9 +362,11 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs ``[id_a, id_b, cosine]``.
 
-    Brute-force O(n²) self-join — correct baseline and the verifier for the
-    LSH scale path (operators/similarity.py).  Dot products run as
-    ``aggregate(zip_with(...))`` JVM expressions over normalized vectors.
+    Brute-force O(n²) theta self-join (BroadcastNestedLoop) — the
+    correctness baseline and verifier for the LSH scale path
+    (operators/similarity.py knn_lsh); it must NEVER run at scale.  Dot
+    products run as ``aggregate(zip_with(...))`` JVM expressions over
+    normalized vectors.
     """
     norm = F.sqrt(
         F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)

@@ -8,10 +8,14 @@ prune columns and pick join strategies; nothing touches Python rows.
 Scale notes (100 TB / 10^12-edge design points):
 - symmetrize is a union, not a shuffle;
 - dedup/degree/ecount are hash aggregations with map-side partials;
-- dense renumbering uses sort + ``zipWithIndex`` — a total order is required
-  by the reference semantics (renumber.py:33 sorts the global vertex set),
-  and zipWithIndex does it with one extra pass over partition counts instead
-  of a single-partition window.
+- dense renumbering is a two-phase DataFrame-only rank: range-partition the
+  sorted vertex set, count per partition (one tiny driver collect of
+  n_partitions rows), broadcast the prefix offsets back, and row_number
+  WITHIN each partition — a total order is required by the reference
+  semantics (renumber.py:33 sorts the global vertex set), and this is the
+  Allgather+prefix-scan trick (W2) with no single-partition window and no
+  per-row Python (``df.rdd`` would deserialize every row through a Python
+  worker).
 """
 
 from __future__ import annotations
@@ -112,20 +116,47 @@ def vertex_ids(edges: DataFrame) -> DataFrame:
 
 def dense_ids(ids: DataFrame, col: str = "v") -> DataFrame:
     """Map distinct ids -> dense 0..N-1 by SORTED order
-    (renumber.py:19-34 gathers + sorts the global vertex set).
+    (renumber.py:19-34 gathers + sorts the global vertex set; verified
+    against the reference's own renumbered output, data/cora8 vs
+    data/cora/cora.cites, in tests/test_reference_data.py).
 
-    Distributed: sort, then ``zipWithIndex`` (two jobs: per-partition counts,
-    then the indexed pass) — no single-partition window at scale."""
-    sorted_ids = ids.select(col).distinct().sort(col)
+    Distributed two-phase rank, DataFrame-only (no ``df.rdd`` — that routes
+    every row through a Python worker):
+
+    1. range-partition the distinct ids (range boundaries preserve global
+       order: everything in partition p sorts before partition p+1);
+    2. per-partition counts — ONE driver collect of n_partitions rows —
+       become broadcast prefix offsets (the reference's Allgather+scan, W2);
+    3. ``row_number`` within each partition + offset = global dense rank.
+
+    The only window runs per-partition, so no stage funnels the full id set
+    through one task at any scale.
+    """
+    from pyspark.sql import Window
+
     spark = ids.sparkSession
-    indexed = sorted_ids.rdd.map(lambda r: r[0]).zipWithIndex()
-    schema = StructType(
-        [
-            StructField(col, ids.schema[col].dataType, False),
-            StructField("new_id", LongType(), False),
-        ]
+    distinct = ids.select(col).distinct()
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (
+        distinct.repartitionByRange(n_parts, F.col(col))
+        .select(col, F.spark_partition_id().alias("_pid"))
+        .persist()
     )
-    return spark.createDataFrame(indexed, schema=schema)
+    counts = with_pid.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(col)
+    out = (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .select(
+            col,
+            (F.row_number().over(w) - 1 + F.col("_off")).alias("new_id"),
+        )
+    )
+    return out
 
 
 def renumber_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

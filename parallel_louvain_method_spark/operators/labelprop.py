@@ -5,10 +5,15 @@ Synchronous weighted LPA with deterministic semantics:
   incident edge weight among its neighbors; ties break to the LOWEST label
   (``max_by(label, struct(w, -label))``) so results are reproducible —
   Spark ordering is otherwise nondeterministic (SURVEY.md §7.3);
-- fully synchronous LPA oscillates on bipartite structure, so rounds
-  alternate vertex parities (same oscillation breaker as the Louvain
-  supersteps, operators/louvain.py);
-- stops when a full parity pair changes nothing or after ``max_iter``.
+- fully synchronous LPA oscillates on bipartite structure, so each round
+  activates a PSEUDO-RANDOM half of the vertices, seeded by the round
+  number (``xxhash64(src, it)``) — the same oscillation breaker as the
+  Louvain supersteps (operators/louvain.py).  Strict parity alternation
+  (``hash(src) + it mod 2``) re-activates the SAME two halves forever and
+  LOCKS period-2 cycles on bipartite graphs; round-seeded halves vary every
+  round, so a cycle cannot persist;
+- stops after three consecutive change-free rounds (independent active
+  sets) or ``max_iter``.
 
 Everything is built-in DataFrame ops: one join + two aggregations per
 round, label table localCheckpoint'ed per round.
@@ -45,7 +50,7 @@ def label_propagation(
     zero_streak = 0
     for it in range(max_iter):
         # weight to each neighboring label, for this round's active parity
-        active = sym.filter(F.pmod(F.xxhash64("src") + F.lit(it), F.lit(2)) == 0)
+        active = sym.filter(F.pmod(F.xxhash64("src", F.lit(it)), F.lit(2)) == 0)
         label_w = (
             active.join(labels.withColumnRenamed("vtx", "dst"), "dst")
             .groupBy(F.col("src").alias("vtx"), F.col("label"))
@@ -73,7 +78,7 @@ def label_propagation(
         )
         labels = new_labels
         zero_streak = zero_streak + 1 if changed == 0 else 0
-        if zero_streak >= 2:  # both parities quiescent
+        if zero_streak >= 3:  # three independent pseudo-random halves quiet
             break
 
     sym.unpersist()

@@ -16,17 +16,22 @@ A level picks one of four execution strategies by size:
    semantics the golden tests pin (tests/main_test.cpp:64-81);
 2. **local/vectorized** (≤ ``local_threshold``): one task, whole-graph
    numpy loop;
-3. **superstep/sql** (default above that): every sweep is PURE DataFrame
-   algebra — the small assignment/degree/totals tables broadcast-hash-join
-   onto the edges, candidate weights aggregate with map-side partials, the
-   gain/argmax runs as codegen'd expressions.  The edge table never moves;
-   one partial-agg shuffle per sweep; no Python in the loop;
-4. **superstep/numpy_broadcast** (option): per-vertex state ships as numpy
+3. **superstep/numpy_broadcast** (auto-selected while vertex ids are dense
+   0..n-1 and per-vertex state fits executor memory,
+   ``broadcast_vertex_threshold``): per-vertex state ships as numpy
    broadcast arrays, each partition runs to local convergence against
    frozen ghosts in a vectorized kernel (``mapInPandas``), proposals come
-   back as one Arrow collect.  Fewer supersteps than (3) but pays the
-   JVM→Arrow exchange per sweep; the better choice when per-sweep kernel
-   work dominates transport (dense many-clique graphs).
+   back as one Arrow collect.  Removes BOTH per-sweep shuffles and
+   collapses convergence into ~4 supersteps — measured ~3x the sql engine
+   at sf0.1 — the production default for every graph the level-0 renumber
+   densifies;
+4. **superstep/sql** (auto-selected past the broadcast threshold or on
+   sparse ids): every sweep is PURE DataFrame algebra — the small
+   assignment/degree/totals tables broadcast-hash-join onto the edges,
+   candidate weights aggregate with map-side partials, the gain/argmax
+   runs as codegen'd expressions.  The edge table never moves; one
+   partial-agg shuffle per sweep; no Python in the loop.  This is the
+   10^9-vertex path: nothing per-vertex ever lands on one machine.
 
 Shared machinery: hashed pseudo-random active halves per sweep (strict
 parity LOCKS period-2 oscillations; hashed halves provably vary), plateau /
@@ -194,7 +199,7 @@ def _make_block_udf(m2: float, min_gain: float, kernel: str = "local", sweep: in
     return block_moves
 
 
-def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str):
+def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str, anneal: bool = False):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         fn = (
             kernels.louvain_sequential_edges
@@ -207,6 +212,7 @@ def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str):
             pdf["weight"].to_numpy(),
             m2=m2,
             max_sweeps=max_sweeps,
+            anneal=anneal,
         )
         return pd.DataFrame(
             {"vtx": v, "comm": c, "sweeps": sweeps, "moved": int(improved), "q": q}
@@ -232,11 +238,15 @@ def _broadcast_superstep_level(
     per vertex) fits executor memory, shipping it as numpy broadcast arrays
     removes BOTH per-sweep shuffles: the edge table is partitioned by src
     once and never moves again; each sweep is one ``mapInPandas`` pass over
-    the cached partitions plus a ~16 B/vertex Arrow collect of proposals.
-    Sweep cost becomes pure parallel kernel compute — this is what makes
-    core-count scaling visible.  Beyond ~10^8 vertices the join-based path
-    (see the caller) takes over; that cutover is the same broadcast-vs-
-    shuffle-join decision Catalyst makes for dimension tables.
+    the cached partitions plus an Arrow collect of MOVERS ONLY (~16 B per
+    moved vertex — the mover set decays geometrically after sweep 0, so the
+    serial driver cost shrinks with convergence).  Sweep cost becomes pure
+    parallel kernel compute — this is what makes core-count scaling
+    visible.  Beyond ~10^8 vertices the join-based sql engine (see the
+    caller) takes over; on a real cluster the driver is the reduce point of
+    this path, which is exactly why the cutover threshold exists — it is
+    the same broadcast-vs-shuffle-join decision Catalyst makes for
+    dimension tables.
 
     Requires DENSE vertex ids 0..n-1 (the caller renumbers level 0; coarsen
     guarantees it afterwards).
@@ -284,8 +294,19 @@ def _broadcast_superstep_level(
             out_v, out_c = kernels.louvain_block_local_dense(
                 s, d, w, comm, degv, tot, _m2, _mg, max_inner=6, seed=_sw,
             )
-            moved = (comm[out_v] != out_c).astype("int32")
-            yield _pd.DataFrame({"vtx": out_v, "comm": out_c, "moved": moved})
+            # ship MOVERS ONLY back to the driver: after sweep 0 the mover
+            # set decays geometrically, so the Arrow collect (the one serial
+            # cost of this engine) shrinks with it instead of staying
+            # O(n_vertices) every sweep
+            keep = comm[out_v] != out_c
+            out_v, out_c = out_v[keep], out_c[keep]
+            yield _pd.DataFrame(
+                {
+                    "vtx": out_v,
+                    "comm": out_c,
+                    "moved": _np.ones(len(out_v), dtype="int32"),
+                }
+            )
 
         t_sw = time.monotonic()
         proposals = edges_p.mapInPandas(run, schema=PROPOSAL_SCHEMA).toPandas()
@@ -293,11 +314,11 @@ def _broadcast_superstep_level(
         if os.environ.get("PLM_DEBUG_SWEEPS"):
             print(
                 f"[louvain] sweep {sweep}: map+collect "
-                f"{time.monotonic() - t_sw:.1f}s rows={len(proposals)}",
+                f"{time.monotonic() - t_sw:.1f}s movers={len(proposals)}",
                 file=sys.stderr,
                 flush=True,
             )
-        moves = int(proposals["moved"].sum())
+        moves = len(proposals)
         comm_arr = comm_arr.copy()
         comm_arr[proposals["vtx"].to_numpy()] = proposals["comm"].to_numpy()
         stats.moves_per_sweep.append(moves)
@@ -367,7 +388,29 @@ def _sql_superstep_level(
     # afterwards.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _sql_sweep_loop(
+            spark, sym_edges, deg, m2, n_vertices, max_sweeps, anneal,
+            stats, min_moves_frac, assign,
+        )
+    finally:
+        # restore on EVERY exit path — an exception mid-sweep must not
+        # leave AQE disabled for the rest of the shared session
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
+
+def _sql_sweep_loop(
+    spark: SparkSession,
+    sym_edges: DataFrame,
+    deg: DataFrame,
+    m2: float,
+    n_vertices: int,
+    max_sweeps: int,
+    anneal: bool,
+    stats: LevelStats,
+    min_moves_frac: float,
+    assign: DataFrame,
+) -> DataFrame:
     zero_streak = 0
     best_moves = float("inf")
     best_sweep = -1
@@ -426,18 +469,20 @@ def _sql_superstep_level(
                 / F.lit(m2)
             ).alias("gain_stay_base"),
         )
+        # anneal (A4): a move must beat staying by MORE than the temperature
+        # (reference: `increase > best_increase && |best-inc| > temperature`,
+        # src/distcommunity.cpp:549-562; temp = exp(-(sweep+1)),
+        # src/distcommunity.cpp:227-231,383) — a margin over the stay gain,
+        # not a floor.  min_gain == 0 when anneal is off, so the predicate
+        # reduces to the plain strict > of src/community.cpp:106-118.
         gain_stay = F.coalesce(F.col("gain_own_cand"), F.col("gain_stay_base"))
+        accept = F.col("best_gain") > gain_stay + F.lit(min_gain)
         proposals = per_src.select(
             F.col("src").alias("vtx"),
-            F.when(
-                F.col("best_gain") > F.greatest(gain_stay, F.lit(min_gain)),
-                F.col("best_comm"),
-            )
+            F.when(accept, F.col("best_comm"))
             .otherwise(F.col("src_comm"))
             .alias("comm"),
-            (
-                F.col("best_gain") > F.greatest(gain_stay, F.lit(min_gain))
-            ).cast("int").alias("moved"),
+            accept.cast("int").alias("moved"),
         ).filter(F.col("moved") == 1)
 
         new_assign = (
@@ -466,7 +511,6 @@ def _sql_superstep_level(
             best_moves, best_sweep = moves, sweep
         elif sweep - best_sweep >= 8:
             break
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return assign
 
 
@@ -484,7 +528,7 @@ def louvain_level(
     kernel: str = "local",
     min_moves_frac: float = 0.001,
     broadcast_vertex_threshold: int = 20_000_000,
-    superstep_engine: str = "sql",
+    superstep_engine: str = "auto",
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -538,7 +582,7 @@ def louvain_level(
         out = (
             sym_edges.groupBy(F.lit(0).alias("g"))
             .applyInPandas(
-                _local_level_udf(m2, max_sweeps, local_kernel),
+                _local_level_udf(m2, max_sweeps, local_kernel, anneal),
                 schema="vtx long, comm long, sweeps int, moved int, q double",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -557,11 +601,22 @@ def louvain_level(
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
-    # pure-SQL supersteps (default): broadcast-hash-join the small state
-    # onto the edges, codegen'd gain/argmax, one partial-agg shuffle per
-    # sweep — the edge table never moves and no Python touches it
-    if superstep_engine == "sql":
-        assign = _sql_superstep_level(
+    # Engine auto-selection (the same broadcast-vs-shuffle decision Catalyst
+    # makes for dimension tables): while per-vertex state fits executor
+    # memory AND ids are dense 0..n-1, the broadcast-state engine removes
+    # BOTH per-sweep shuffles and collapses convergence into ~4 supersteps
+    # (measured ~3x the sql engine at sf0.1); past the threshold, or on
+    # sparse ids, the sql engine's broadcast-join sweeps take over.
+    engine = superstep_engine
+    if engine in ("auto", "numpy_broadcast"):
+        dense = False
+        if n_vertices <= broadcast_vertex_threshold:
+            mx = deg.agg(F.max("vtx")).first()[0]
+            dense = mx is not None and int(mx) == n_vertices - 1
+        engine = "numpy_broadcast" if dense else ("sql" if engine == "auto" else "block")
+
+    if engine == "numpy_broadcast":
+        assign = _broadcast_superstep_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
@@ -569,18 +624,17 @@ def louvain_level(
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
-    # numpy broadcast-state supersteps: while per-vertex state fits memory
-    # AND ids are dense, skip the per-sweep shuffles entirely (helper doc)
-    if superstep_engine == "numpy_broadcast" and n_vertices <= broadcast_vertex_threshold:
-        mx = deg.agg(F.max("vtx")).first()[0]
-        if mx is not None and int(mx) == n_vertices - 1:
-            assign = _broadcast_superstep_level(
-                spark, sym_edges, deg, m2, n_vertices,
-                max_sweeps, anneal, stats, min_moves_frac,
-            )
-            stats.modularity = modularity_df(sym_edges, assign, deg, m2)
-            stats.wall_sec = time.monotonic() - t0
-            return assign, deg, m2, stats
+    # pure-SQL supersteps: broadcast-hash-join the small state onto the
+    # edges, codegen'd gain/argmax, one partial-agg shuffle per sweep —
+    # the edge table never moves and no Python touches it
+    if engine == "sql":
+        assign = _sql_superstep_level(
+            spark, sym_edges, deg, m2, n_vertices,
+            max_sweeps, anneal, stats, min_moves_frac,
+        )
+        stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+        stats.wall_sec = time.monotonic() - t0
+        return assign, deg, m2, stats
 
     # singleton init (src/community.cpp:25-29)
     assign = deg.select(F.col("vtx"), F.col("vtx").alias("comm")).persist(
@@ -739,7 +793,7 @@ def louvain(
     mode: str = "auto",
     local_threshold: int = 500_000,
     kernel: str = "local",
-    superstep_engine: str = "sql",
+    superstep_engine: str = "auto",
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
 

@@ -89,6 +89,8 @@ def knn_lsh(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate all-pairs top-k: ``[query_id, neighbor_id, cosine, rank]``.
 
@@ -96,13 +98,27 @@ def knn_lsh(
     ANY table become candidates (union + distinct), then exact cosine ranks
     them.  Recall grows with ``n_tables``; cost is the bucket-join fanout
     instead of |N|².
+
+    ``dim`` is the embedding dimensionality; pass it when known (at scale,
+    reading one row just to learn it is a wasted job) — ``None`` infers it
+    from the first row.  Buckets holding more than ``max_bucket`` vectors
+    (hub regions, zero vectors) are dropped from THAT table's candidate
+    generation — k vectors in one bucket is a k²/2 pair bomb; other tables
+    usually still cover those vectors.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     base = _normalized(embeddings, id_col, vec_col).persist()
     cands = None
     for t in range(n_tables):
         sig = _signature_udf(dim, n_planes, seed + t)
         bucketed = base.select("id", sig("v").alias("bucket"))
+        # skew cap (house pattern, sources/corpus.py): drop oversized buckets
+        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("n_members"))
+        oversized = sizes.filter(F.col("n_members") > max_bucket)
+        bucketed = bucketed.join(
+            F.broadcast(oversized.select("bucket")), "bucket", "left_anti"
+        )
         pair = (
             bucketed.alias("a")
             .join(bucketed.alias("b"), "bucket")

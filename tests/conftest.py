@@ -21,6 +21,14 @@ GOLDEN16_Q_FINAL = 0.346301
 GOLDEN16_N_COMMUNITIES = 4
 EPS = 1e-6
 
+# Per-vertex golden assignment under sequential reference semantics
+# (ascending visit order, strict >, current-community-first tie break) —
+# communities labeled by their representative's original vertex id.
+GOLDEN16_ASSIGNMENT = {
+    0: 4, 1: 4, 2: 4, 3: 7, 4: 4, 5: 4, 6: 7, 7: 7,
+    8: 12, 9: 12, 10: 12, 11: 13, 12: 12, 13: 13, 14: 12, 15: 12,
+}
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -148,3 +148,26 @@ def test_lpa_deterministic(spark, golden16_df):
     l1 = sorted(label_propagation(golden16_df).collect())
     l2 = sorted(label_propagation(golden16_df).collect())
     assert l1 == l2
+
+
+def test_lpa_bipartite_converges(spark):
+    """Strict parity alternation locks period-2 cycles on bipartite graphs;
+    round-seeded hashed halves (xxhash64(src, it)) converge to ONE stable
+    label deterministically (VERDICT r1 #6)."""
+    from parallel_louvain_method_spark.operators.labelprop import label_propagation
+
+    cyc4 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r1 = sorted((r["vtx"], r["label"]) for r in label_propagation(cyc4, max_iter=20).collect())
+    r2 = sorted((r["vtx"], r["label"]) for r in label_propagation(cyc4, max_iter=20).collect())
+    assert r1 == r2  # deterministic
+    assert len({lbl for _, lbl in r1}) == 1  # converged, not oscillating
+
+    k33 = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(3) for b in range(3, 6)],
+        "src long, dst long, weight double",
+    )
+    r3 = sorted((r["vtx"], r["label"]) for r in label_propagation(k33, max_iter=20).collect())
+    assert len({lbl for _, lbl in r3}) == 1

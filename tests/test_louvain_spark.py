@@ -14,6 +14,7 @@ from parallel_louvain_method_spark.operators.louvain import (
 )
 from tests.conftest import (
     EPS,
+    GOLDEN16_ASSIGNMENT,
     GOLDEN16_N_COMMUNITIES,
     GOLDEN16_Q_FINAL,
     GOLDEN16_Q_INITIAL,
@@ -35,6 +36,20 @@ def test_golden16_single_block(spark, golden16_df):
     assign, deg, m2u, stats = louvain_level(spark, sym, n_blocks=1)
     assert stats.modularity == pytest.approx(GOLDEN16_Q_FINAL, abs=EPS)
     assert assign.select("comm").distinct().count() == GOLDEN16_N_COMMUNITIES
+    # north rule: PER-VERTEX assignment matches the reference semantics
+    got = {r["vtx"]: r["comm"] for r in assign.collect()}
+    assert got == GOLDEN16_ASSIGNMENT
+
+
+def test_golden16_anneal_converges(spark, golden16_df):
+    """A4: the temperature schedule (beat-the-best-by-> exp(-sweep),
+    src/distcommunity.cpp:549-562, 227-231) converges deterministically on
+    golden16 — it suppresses early marginal moves and lands at Q=0.374
+    with 3 communities (same quality class as the plain result)."""
+    sym = G.symmetric_edges(golden16_df)
+    assign, deg, m2, stats = louvain_level(spark, sym, n_blocks=1, anneal=True)
+    assert stats.modularity == pytest.approx(0.3743622448979591, abs=EPS)
+    assert assign.select("comm").distinct().count() == 3
 
 
 def test_golden16_multiblock_converges(spark, golden16_df):

@@ -194,3 +194,59 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_mode="real")
+
+
+def test_minhash_hot_bucket_capped(spark, docs):
+    """A degenerate bucket (many byte-identical docs) is dropped and
+    REPORTED, not exploded into k^2/2 pairs; genuine near-dups elsewhere
+    are still found (VERDICT r1 #5: the corpus.py skew-cap house pattern)."""
+    base = docs.limit(1).first()["text"]
+    mutated = base.replace(base.split()[0], "zzz", 1)
+    boiler = [(10_000 + i, "lorem ipsum dolor sit amet " * 4) for i in range(25)]
+    df = docs.select("doc_id", "text").union(
+        spark.createDataFrame(boiler + [(99999, mutated)], "doc_id long, text string")
+    )
+    pairs, dropped = D.minhash_lsh_pairs(
+        df, threshold=0.5, max_bucket=10, return_dropped=True
+    )
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 99999) in found  # planted pair survives the cap
+    # no pair between two boilerplate docs (their buckets were dropped)
+    assert not any(a >= 10_000 and b < 99999 for a, b in found)
+    drops = dropped.collect()
+    assert len(drops) > 0 and all(r["n_members"] == 25 for r in drops)
+
+
+def test_simhash_hot_bucket_capped_and_budget_guard(spark, docs):
+    base = docs.limit(1).first()["text"]
+    boiler = [(10_000 + i, "na na na boilerplate " * 6) for i in range(30)]
+    df = docs.select("doc_id", "text").union(
+        spark.createDataFrame(boiler + [(99999, base)], "doc_id long, text string")
+    )
+    pairs, dropped = D.simhash_near_dups(
+        df, max_hamming=3, max_bucket=10, return_dropped=True
+    )
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 99999) in found  # identical doc pair (hamming 0) survives
+    assert not any(10_000 <= a < 99999 and 10_000 <= b < 99999 for a, b in found)
+    assert dropped.count() > 0
+    with pytest.raises(ValueError):
+        D.simhash_near_dups(df, max_hamming=16)
+
+
+def test_knn_lsh_hot_bucket_capped(spark, embeddings):
+    """Oversized LSH buckets are excluded from candidate generation."""
+    sub = embeddings.limit(20)
+    first = sub.first()
+    clones = spark.createDataFrame(
+        [(50_000 + i, first["embedding"], first["label"]) for i in range(40)],
+        sub.schema,
+    )
+    got = knn_lsh(
+        sub.union(clones), k=1, n_planes=2, n_tables=2, max_bucket=10
+    ).collect()
+    # the 40-clone bucket (plus the original) is dropped in every table:
+    # no clone appears as a query
+    assert not any(r["query_id"] >= 50_000 for r in got)
+    # other vectors still get ranked neighbors
+    assert len(got) > 0

@@ -1,0 +1,71 @@
+"""Source/sink seam tests (SURVEY.md S4/S5/S6 — untested in round 1).
+
+The read paths over the reference's own files live in
+tests/test_reference_data.py; here: the write paths round-trip, the
+membership sink shape, and the corpus reader's parquet seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_louvain_method_spark.operators import graph as G
+from parallel_louvain_method_spark.sources.corpus import (
+    CORPUS_COLUMNS,
+    read_corpus,
+    synth_corpus,
+)
+from parallel_louvain_method_spark.sources.edges import (
+    community_membership,
+    read_edge_parquet,
+    write_communities,
+    write_edges,
+)
+
+
+def test_write_edges_roundtrip(spark, golden16_df, tmp_path):
+    """S5: the sink writes ONE direction (src <= dst, src/graph.cpp:332);
+    symmetrize of the readback reproduces the original symmetric table."""
+    sym = G.symmetric_edges(golden16_df)
+    out = str(tmp_path / "edges")
+    write_edges(sym, out)
+    back = read_edge_parquet(spark, out)
+    assert back.count() == 28  # one row per undirected edge
+    assert back.filter(F.col("src") > F.col("dst")).count() == 0
+    diff = G.symmetric_edges(back).exceptAll(sym)
+    assert diff.count() == 0 and sym.exceptAll(G.symmetric_edges(back)).count() == 0
+
+
+def test_write_communities_roundtrip(spark, golden16_df, tmp_path):
+    """S4: membership sink (reference gathers + writes per-community text,
+    src/distcommunity.cpp:637-709; a parallel parquet writer replaces it)."""
+    from parallel_louvain_method_spark.operators.louvain import louvain
+
+    res = louvain(spark, golden16_df, n_blocks=1)
+    out = str(tmp_path / "comms")
+    write_communities(res.assignment, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 16
+    orig = {(r["vtx"], r["comm"]) for r in res.assignment.collect()}
+    assert {(r["vtx"], r["comm"]) for r in back.collect()} == orig
+
+    members = community_membership(res.assignment).collect()
+    assert sum(r["size"] for r in members) == 16
+    for r in members:
+        assert r["members"] == sorted(r["members"])  # sorted member lists
+        assert r["size"] == len(r["members"])
+
+
+def test_read_corpus_parquet_seam(spark, tmp_path):
+    """S6: the iceberg->parquet fallback yields exactly CORPUS_COLUMNS, and
+    extra columns in the file are pruned by the reader's projection."""
+    corpus = synth_corpus(spark, n_repos=6, files_per_repo=4, commits_per_repo=2)
+    out = str(tmp_path / "corpus")
+    corpus.withColumn("extra_junk", F.lit(1)).write.parquet(out)
+    back = read_corpus(spark, out)
+    assert back.columns == CORPUS_COLUMNS
+    assert back.count() == corpus.count()
+    # sha256 invariant: identical content -> identical hashes after the trip
+    a = corpus.select(F.sha2("content", 256).alias("h")).distinct()
+    b = back.select(F.sha2("content", 256).alias("h")).distinct()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
