@@ -60,6 +60,21 @@ def main() -> None:
     }
     spark = get_spark(app_name="plm-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # One-time Python-worker warm-up (session infrastructure, like JVM
+    # start): fork one pyspark worker per core and import the numeric stack
+    # in each, so the first pandas-UDF QUERY doesn't absorb ~5 s of
+    # process-spawn + import latency that a long-lived cluster pays once.
+    def _warm(batches):
+        import numpy, pandas  # noqa: F401
+        from parallel_louvain_method_spark.functions import kernels  # noqa: F401
+        for b in batches:
+            yield b
+
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        _warm, schema="id long"
+    ).count()
+
     queries: dict[str, float] = {}
 
     def timed(name: str, fn, default=None):
@@ -81,14 +96,19 @@ def main() -> None:
     ).persist()
     corpus.count()
 
+    def _materialized(builder):
+        e = builder()[0].persist()
+        e.count()  # execute INSIDE the timed window — honest build times
+        return e
+
     file_edges = timed(
         "edge_build_cocommit",
-        lambda: build_file_graph(corpus)[0].persist(),
+        lambda: _materialized(lambda: build_file_graph(corpus)),
     )
     n_file_edges = file_edges.count()
     repo_edges = timed(
         "edge_build_sha256",
-        lambda: build_repo_graph(corpus)[0].persist(),
+        lambda: _materialized(lambda: build_repo_graph(corpus)),
     )
     repo_edges.count()
 

@@ -258,7 +258,21 @@ def _broadcast_superstep_level(
     edges_p = sym_edges.select("src", "dst", "weight").repartition(
         n_parts, "src"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    edges_p.count()
+
+    # warm-up pass INSTEAD of a count(): materializes the cache through the
+    # same Python/Arrow path the sweeps use, so sweep 0 doesn't pay worker
+    # fork + numpy import + first Arrow conversion (~10 s measured at sf0.1
+    # on a cold 32-core session — the single biggest serial cost of the
+    # level before this)
+    def _warm(batches):
+        import pandas as _pd
+        from parallel_louvain_method_spark.functions import kernels as _k  # noqa: F401
+        n = 0
+        for b in batches:
+            n += len(b)
+        yield _pd.DataFrame({"n": [n]})
+
+    edges_p.mapInPandas(_warm, schema="n long").agg(F.sum("n")).first()
 
     deg_pdf = deg.toPandas()
     deg_arr = np.zeros(n_vertices, dtype=np.float64)
@@ -337,6 +351,36 @@ def _broadcast_superstep_level(
             best_moves, best_sweep = moves, sweep
         elif sweep - best_sweep >= 8:
             break
+
+    # level modularity with ONE scalar pass over the still-cached edges:
+    # Q = W_internal/m2 − Σ_c (tot[c]/m2)².  The first term is LINEAR in the
+    # internal symmetric weight, so each partition returns one float — no
+    # joins, no per-community rows over the wire.  tot comes from the
+    # driver-side state (self-loop rows count once, the engine convention).
+    final_bc = sc.broadcast(comm_arr)
+
+    def _internal_w(batches, _c=final_bc):
+        import pandas as _pd
+        comm = _c.value
+        tot_w = 0.0
+        for b in batches:
+            s = b["src"].to_numpy()
+            d = b["dst"].to_numpy()
+            same = comm[s] == comm[d]
+            tot_w += float(b["weight"].to_numpy()[same].sum())
+        yield _pd.DataFrame({"w": [tot_w]})
+
+    w_int = float(
+        edges_p.mapInPandas(_internal_w, schema="w double")
+        .agg(F.sum("w"))
+        .first()[0]
+        or 0.0
+    )
+    tot_final = np.bincount(comm_arr, weights=deg_arr, minlength=n_vertices)
+    stats.modularity = float(
+        w_int / m2 - np.sum((tot_final[tot_final > 0] / m2) ** 2)
+    )
+    final_bc.destroy()
 
     deg_bc.destroy()
     edges_p.unpersist()
@@ -556,20 +600,29 @@ def louvain_level(
       rows.
     """
     t0 = time.monotonic()
-    # pre-partition by dst: the per-sweep assignment join hits dst, and a
-    # cached repartition exposes its outputPartitioning to the planner so
-    # the (large) edge side is never re-shuffled inside the loop
     spark_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", str(n_blocks))
     )
-    sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ONE shuffle + ONE tiny aggregation yields every statistic the strategy
+    # decision needs — n_vertices, m2 (= Σ degree), max id (dense check) and
+    # the symmetric row count (Σ per-vertex adjacency counts).  The previous
+    # setup ran three separate full-table jobs (sum, count, count) plus a
+    # fourth for the dense check; at level-0 sizes those were several serial
+    # seconds that no executor count can parallelize away.
+    deg_full = (
+        sym_edges.groupBy(F.col("src").alias("vtx"))
+        .agg(F.sum("weight").alias("degree"), F.count("*").alias("_adj"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = degrees_op(sym_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    row = deg_full.agg(
+        F.count("*"), F.sum("degree"), F.max("vtx"), F.sum("_adj")
+    ).first()
+    n_vertices = int(row[0] or 0)
     if m2 is None:
-        m2 = float(deg.agg(F.sum("degree")).first()[0] or 0.0)
-    n_vertices = deg.count()
-    n_edges_sym = sym_edges.count()
+        m2 = float(row[1] or 0.0)
+    max_id = row[2]
+    n_edges_sym = int(row[3] or 0)
+    deg = deg_full.select("vtx", "degree")
     stats = LevelStats(level=level_no, n_vertices=n_vertices, n_edges_sym=n_edges_sym)
 
     if mode == "auto":
@@ -609,20 +662,30 @@ def louvain_level(
     # sparse ids, the sql engine's broadcast-join sweeps take over.
     engine = superstep_engine
     if engine in ("auto", "numpy_broadcast"):
-        dense = False
-        if n_vertices <= broadcast_vertex_threshold:
-            mx = deg.agg(F.max("vtx")).first()[0]
-            dense = mx is not None and int(mx) == n_vertices - 1
+        dense = (
+            n_vertices <= broadcast_vertex_threshold
+            and max_id is not None
+            and int(max_id) == n_vertices - 1
+        )
         engine = "numpy_broadcast" if dense else ("sql" if engine == "auto" else "block")
 
     if engine == "numpy_broadcast":
+        # the helper owns partitioning (by src), warm-up, and the level's
+        # modularity (computed with one scalar pass over its cached edges
+        # before they unpersist)
         assign = _broadcast_superstep_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
-        stats.modularity = modularity_df(sym_edges, assign, deg, m2)
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
+
+    # pre-partition by dst: the per-sweep assignment join hits dst, and a
+    # cached repartition exposes its outputPartitioning to the planner so
+    # the (large) edge side is never re-shuffled inside the loop
+    sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # pure-SQL supersteps: broadcast-hash-join the small state onto the
     # edges, codegen'd gain/argmax, one partial-agg shuffle per sweep —
@@ -810,22 +873,27 @@ def louvain(
         save_level,
     )
 
-    sym = symmetric_edges(edges)
     flat: DataFrame | None = None
     levels: list[LevelStats] = []
     q_prev = -math.inf
     start_level = 0
 
     # dense ids unlock the broadcast-state superstep path at level 0 (and
-    # match the reference's renumber-first pipeline, renumber.py)
-    n_verts = sym.select("src").distinct().count()
-    mx_row = sym.agg(F.max("src")).first()[0]
+    # match the reference's renumber-first pipeline, renumber.py).  The
+    # dense check is ONE aggregation over the distinct vertex set; when a
+    # renumber is needed it rewrites the RAW edge table (half the rows of
+    # the symmetric one) and symmetrizes afterwards — renumbering is a
+    # bijection, so the two orders commute.
+    from parallel_louvain_method_spark.operators.graph import vertex_ids
+
+    vrow = vertex_ids(edges).agg(F.count("*"), F.max("v")).first()
+    n_verts = int(vrow[0] or 0)
     restore_map: DataFrame | None = None
-    if mx_row is not None and int(mx_row) != n_verts - 1:
+    if vrow[1] is not None and int(vrow[1]) != n_verts - 1:
         from parallel_louvain_method_spark.operators.graph import renumber_edges
 
-        sym, restore_map = renumber_edges(sym)
-        sym = sym.localCheckpoint(eager=True)
+        edges, restore_map = renumber_edges(edges)
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
 
     if checkpoint_dir and resume:
         lvl = latest_level(spark, checkpoint_dir)
