@@ -8,7 +8,7 @@ an immutable edge table, with community totals recomputed by aggregation
 recompute is order-free and shuffle-parallel) and a zero-move sweep as the
 convergence signal (src/community.cpp:98).
 
-A level picks one of four execution strategies by size:
+A level picks one of five execution strategies by size:
 
 1. **local/sequential** (≤ ``sequential_threshold`` sym rows): one
    ``applyInPandas`` task runs the reference-exact CSR kernel — ascending
@@ -16,16 +16,22 @@ A level picks one of four execution strategies by size:
    semantics the golden tests pin (tests/main_test.cpp:64-81);
 2. **local/vectorized** (≤ ``local_threshold``): one task, whole-graph
    numpy loop;
-3. **superstep/numpy_broadcast** (auto-selected while vertex ids are dense
-   0..n-1 and per-vertex state fits executor memory,
-   ``broadcast_vertex_threshold``): per-vertex state ships as numpy
-   broadcast arrays, each partition runs to local convergence against
-   frozen ghosts in a vectorized kernel (``mapInPandas``), proposals come
-   back as one Arrow collect.  Removes BOTH per-sweep shuffles and
-   collapses convergence into ~4 supersteps — measured ~3x the sql engine
-   at sf0.1 — the production default for every graph the level-0 renumber
-   densifies;
-4. **superstep/sql** (auto-selected past the broadcast threshold or on
+3. **superstep/barrier** (the production default while vertex ids are
+   dense 0..n-1 and per-vertex state fits executor memory,
+   ``broadcast_vertex_threshold``): the WHOLE level runs inside one Spark
+   barrier stage — each task holds its src-partition's packed adjacency in
+   memory for every sweep and exchanges per-sweep MOVER DELTAS via
+   ``BarrierTaskContext.allGather``.  The edge table crosses the
+   JVM→Python boundary exactly once per level; per-sweep traffic is
+   O(movers).  This is the Spark-native re-expression of the reference's
+   MPI protocol (src/distcommunity.cpp:212-385), with the barrier
+   scheduler replacing MPI_Barrier and allGather replacing its
+   communicate-deltas rounds;
+4. **superstep/numpy_broadcast** (fallback when barrier scheduling is
+   unavailable): per-vertex state ships as numpy broadcast arrays, one
+   ``mapInPandas`` pass per sweep, movers-only Arrow collect.  Same kernel
+   as (3) but re-pays the edge-table transfer every sweep;
+5. **superstep/sql** (auto-selected past the broadcast threshold or on
    sparse ids): every sweep is PURE DataFrame algebra — the small
    assignment/degree/totals tables broadcast-hash-join onto the edges,
    candidate weights aggregate with map-side partials, the gain/argmax
@@ -224,14 +230,13 @@ def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str, anneal: bool
 def _broadcast_superstep_level(
     spark: SparkSession,
     sym_edges: DataFrame,
-    deg: DataFrame,
     m2: float,
     n_vertices: int,
     max_sweeps: int,
     anneal: bool,
     stats: LevelStats,
     min_moves_frac: float,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Superstep loop with BROADCAST vertex state (the mid-scale fast path).
 
     While per-vertex state (community, degree, community totals — ~24 bytes
@@ -249,15 +254,29 @@ def _broadcast_superstep_level(
     dimension tables.
 
     Requires DENSE vertex ids 0..n-1 (the caller renumbers level 0; coarsen
-    guarantees it afterwards).
+    guarantees it afterwards).  Returns ``(assign, deg)``.
+
+    Transport layout: ids cast to int32 (the engine only runs below the
+    2^31 vertex threshold) and weights to float32 — 12 B/row instead of 24.
+    The JVM-side Arrow serialization of the cached edge table is the
+    per-sweep producer cost, so halving the bytes halves it; all MATH still
+    runs in float64 (the kernel upcasts, and modularity/degrees accumulate
+    driver-side in float64).  Weights here are sums of edge counts —
+    exactly representable in float32 far beyond this engine's size gate.
     """
     import numpy as np
 
     sc = spark.sparkContext
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges_p = sym_edges.select("src", "dst", "weight").repartition(
-        n_parts, "src"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges_p = (
+        sym_edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            F.col("weight").cast("float").alias("weight"),
+        )
+        .repartition(n_parts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # warm-up pass INSTEAD of a count(): materializes the cache through the
     # same Python/Arrow path the sweeps use, so sweep 0 doesn't pay worker
@@ -272,9 +291,19 @@ def _broadcast_superstep_level(
             n += len(b)
         yield _pd.DataFrame({"n": [n]})
 
-    edges_p.mapInPandas(_warm, schema="n long").agg(F.sum("n")).first()
+    n_rows = int(
+        edges_p.mapInPandas(_warm, schema="n long").agg(F.sum("n")).first()[0] or 0
+    )
+    if stats.n_edges_sym == 0:
+        stats.n_edges_sym = n_rows
 
-    deg_pdf = deg.toPandas()
+    # weighted degrees from the src-partitioned cache: the aggregation's
+    # grouping key matches the cached outputPartitioning, so this is a
+    # map-side-only pass — no second shuffle of the edge table
+    deg = edges_p.groupBy(F.col("src").alias("vtx")).agg(
+        F.sum(F.col("weight").cast("double")).alias("degree")
+    )
+    deg_pdf = deg.toPandas().astype({"vtx": "int64"})
     deg_arr = np.zeros(n_vertices, dtype=np.float64)
     deg_arr[deg_pdf["vtx"].to_numpy()] = deg_pdf["degree"].to_numpy()
     comm_arr = np.arange(n_vertices, dtype=np.int64)
@@ -316,8 +345,8 @@ def _broadcast_superstep_level(
             out_v, out_c = out_v[keep], out_c[keep]
             yield _pd.DataFrame(
                 {
-                    "vtx": out_v,
-                    "comm": out_c,
+                    "vtx": out_v.astype("int64"),
+                    "comm": out_c.astype("int64"),
                     "moved": _np.ones(len(out_v), dtype="int32"),
                 }
             )
@@ -387,9 +416,267 @@ def _broadcast_superstep_level(
     assign_pdf = __import__("pandas").DataFrame(
         {"vtx": np.arange(n_vertices, dtype=np.int64), "comm": comm_arr}
     )
-    return spark.createDataFrame(assign_pdf, schema=ASSIGN_SCHEMA).localCheckpoint(
+    assign = spark.createDataFrame(assign_pdf, schema=ASSIGN_SCHEMA).localCheckpoint(
         eager=True
     )
+    # deg re-materialized as a plain DataFrame for the caller (tiny: one
+    # row per vertex, already on the driver)
+    deg_out = spark.createDataFrame(
+        deg_pdf, schema="vtx long, degree double"
+    ).localCheckpoint(eager=True)
+    return assign, deg_out
+
+
+def _barrier_superstep_level(
+    spark: SparkSession,
+    sym_edges: DataFrame,
+    m2: float,
+    n_vertices: int,
+    max_sweeps: int,
+    anneal: bool,
+    stats: LevelStats,
+    min_moves_frac: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Whole-level barrier execution: ALL sweeps inside ONE Spark stage.
+
+    The measured bottleneck of per-sweep ``mapInPandas`` (the
+    ``numpy_broadcast`` engine) is not the kernel — it is Spark re-reading
+    the cached edge table and re-serializing it JVM→Arrow→Python EVERY
+    sweep (the kernel itself scales at ~1.0 efficiency 8→32 processes;
+    tools/kernel_scaling.py).  This engine pays the transfer ONCE: each
+    src-partition's adjacency is packed into a single numpy blob, and a
+    barrier stage (``RDD.barrier().mapPartitions``) holds it in worker
+    memory for the whole level, exchanging per-sweep MOVER DELTAS through
+    ``BarrierTaskContext.allGather`` — the Spark-native re-expression of
+    the reference's MPI communicate-deltas design
+    (src/distcommunity.cpp:212-385), with Spark's barrier scheduler
+    replacing MPI_Barrier.
+
+    Per-sweep traffic is O(movers), not O(edges): sweep 0 gathers ~n/2
+    int32 pairs, decaying geometrically after.  Every task applies the
+    same gathered deltas to its own full community array, so all tasks
+    hold identical state and take identical exit decisions — no
+    coordinator logic beyond allGather itself.
+
+    Cluster requirement (standard for barrier mode): one concurrent slot
+    per partition; partition count is capped at ``defaultParallelism``.
+    Requires DENSE ids 0..n-1, like the broadcast engine.  Returns
+    ``(assign, deg)``.
+    """
+    import numpy as np
+
+    sc = spark.sparkContext
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        sc.defaultParallelism,
+    )
+    edges_p = sym_edges.select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        F.col("weight").cast("float").alias("weight"),
+    ).repartition(n_parts, "src")
+
+    # pack: one binary blob per partition.  NOT persisted and NOT counted —
+    # the barrier stage below is its only consumer, so the pack fuses into
+    # that stage and the full edge table crosses the JVM->Python boundary
+    # exactly ONCE per level.
+    def _pack(batches):
+        import pickle
+
+        import numpy as _np
+        import pandas as _pd
+
+        ss, dd, ww = [], [], []
+        for b in batches:
+            ss.append(b["src"].to_numpy())
+            dd.append(b["dst"].to_numpy())
+            ww.append(b["weight"].to_numpy())
+        s = _np.concatenate(ss) if ss else _np.empty(0, _np.int32)
+        d = _np.concatenate(dd) if dd else _np.empty(0, _np.int32)
+        w = _np.concatenate(ww) if ww else _np.empty(0, _np.float32)
+        yield _pd.DataFrame(
+            {"n": [len(s)], "blob": [pickle.dumps((s, d, w), protocol=4)]}
+        )
+
+    blobs = edges_p.mapInPandas(_pack, schema="n long, blob binary")
+
+    nv = int(n_vertices)
+    m2_ = float(m2)
+    anneal_ = bool(anneal)
+    max_sweeps_ = int(max_sweeps)
+    mmf_ = float(min_moves_frac)
+    n_parts_ = int(n_parts)
+
+    def _level(rows):
+        import base64
+        import math as _math
+        import pickle
+
+        import numpy as _np
+        from pyspark import BarrierTaskContext
+
+        from parallel_louvain_method_spark.functions import kernels as _k
+
+        import time as _time
+
+        ctx = BarrierTaskContext.get()
+        pid = ctx.partitionId()
+        t_start = _time.monotonic()
+        blob = None
+        for r in rows:
+            blob = r["blob"]
+        if blob is not None:
+            s, d, w = pickle.loads(bytes(blob))
+        else:
+            s = _np.empty(0, _np.int32)
+            d = _np.empty(0, _np.int32)
+            w = _np.empty(0, _np.float32)
+        timings: dict[str, float] = {"unpack": _time.monotonic() - t_start}
+
+        # one-time degree exchange: src-partitioning makes per-task degree
+        # partials EXACT for the task's own vertices (the reference's
+        # ghost-degree Allgather, src/distcommunity.cpp init), so one
+        # allGather of ~(srcs/partition) sparse pairs replaces a full
+        # aggregation job + driver broadcast
+        s64 = s.astype(_np.int64)
+        d64 = d.astype(_np.int64)
+        if len(s):
+            my_v = _np.unique(s64)
+            idx = _np.searchsorted(my_v, s64)
+            my_deg = _np.bincount(
+                idx, weights=w.astype(_np.float64), minlength=len(my_v)
+            )
+        else:
+            my_v = _np.empty(0, _np.int64)
+            my_deg = _np.empty(0, _np.float64)
+        deg_payload = base64.b64encode(
+            pickle.dumps((my_v.astype(_np.int32), my_deg), protocol=4)
+        ).decode("ascii")
+        t0 = _time.monotonic()
+        degv = _np.zeros(nv, dtype=_np.float64)
+        for g in ctx.allGather(deg_payload):
+            gv, gd = pickle.loads(base64.b64decode(g))
+            if len(gv):
+                degv[gv.astype(_np.int64)] = gd
+        timings["deg_exchange"] = _time.monotonic() - t0
+        comm = _np.arange(nv, dtype=_np.int64)
+        moves_log: list[int] = []
+        best_moves, best_sweep = float("inf"), -1
+        for sweep in range(max_sweeps_):
+            t0 = _time.monotonic()
+            min_gain = _math.exp(-(sweep + 1)) if anneal_ else 0.0
+            tot = _np.bincount(comm, weights=degv, minlength=nv)
+            if len(s):
+                out_v, out_c = _k.louvain_block_local_dense(
+                    s, d, w, comm, degv, tot, m2_, min_gain,
+                    max_inner=6, seed=sweep,
+                )
+                keep = comm[out_v] != out_c
+                mv_v = out_v[keep].astype(_np.int32)
+                mv_c = out_c[keep].astype(_np.int32)
+            else:
+                mv_v = _np.empty(0, _np.int32)
+                mv_c = _np.empty(0, _np.int32)
+            payload = base64.b64encode(
+                pickle.dumps((mv_v, mv_c), protocol=4)
+            ).decode("ascii")
+            timings[f"kernel_{sweep}"] = _time.monotonic() - t0
+            t0 = _time.monotonic()
+            # the superstep barrier: every task contributes its (disjoint —
+            # src-partitioned) movers and receives everyone's
+            gathered = ctx.allGather(payload)
+            timings[f"gather_{sweep}"] = _time.monotonic() - t0
+            total_moves = 0
+            for g in gathered:
+                gv, gc = pickle.loads(base64.b64decode(g))
+                if len(gv):
+                    comm[gv.astype(_np.int64)] = gc.astype(_np.int64)
+                total_moves += len(gv)
+            moves_log.append(int(total_moves))
+            # identical inputs -> identical exit decision on every task
+            if total_moves == 0:
+                break
+            threshold = int(mmf_ * nv)
+            if sweep > 0 and threshold > 0 and total_moves <= threshold:
+                break
+            if (
+                sweep > 0
+                and total_moves >= 50
+                and total_moves >= 0.9 * moves_log[-2]
+            ):
+                break
+            if total_moves < best_moves:
+                best_moves, best_sweep = total_moves, sweep
+            elif sweep - best_sweep >= 8:
+                break
+        # local internal-weight partial for the level's modularity
+        if len(s):
+            same = comm[s64] == comm[d64]
+            w_int = float(w[same].astype(_np.float64).sum())
+        else:
+            w_int = 0.0
+        # strided assignment slice: tasks hold identical state, so each
+        # returns 1/n_parts of it and the driver reassembles
+        assign_slice = comm[pid::n_parts_]
+        yield (
+            pid,
+            int(len(s)),
+            w_int,
+            moves_log if pid == 0 else None,
+            pickle.dumps(assign_slice, protocol=4),
+            pickle.dumps((my_v, my_deg), protocol=4),
+            {k: round(v, 2) for k, v in timings.items()} if pid == 0 else None,
+        )
+
+    t_job = time.monotonic()
+    results = blobs.rdd.barrier().mapPartitions(_level).collect()
+    if os.environ.get("PLM_DEBUG_SWEEPS"):
+        for r in results:
+            if r[6] is not None:
+                print(
+                    f"[louvain] barrier level: job={time.monotonic() - t_job:.1f}s "
+                    f"task0={r[6]}",
+                    file=sys.stderr, flush=True,
+                )
+
+    import pickle as _pickle
+
+    comm_arr = np.empty(nv, dtype=np.int64)
+    deg_arr = np.zeros(nv, dtype=np.float64)
+    w_int_total = 0.0
+    n_rows = 0
+    moves_log = []
+    for pid, n_part, w_int, mlog, ablob, dblob, _tm in results:
+        comm_arr[pid::n_parts] = _pickle.loads(bytes(ablob))
+        dv, dd = _pickle.loads(bytes(dblob))
+        if len(dv):
+            deg_arr[dv] = dd
+        w_int_total += w_int
+        n_rows += n_part
+        if mlog is not None:
+            moves_log = list(mlog)
+    if stats.n_edges_sym == 0:
+        stats.n_edges_sym = int(n_rows)
+    stats.moves_per_sweep.extend(int(m) for m in moves_log)
+    stats.sweeps = len(moves_log)
+    tot_final = np.bincount(comm_arr, weights=deg_arr, minlength=nv)
+    stats.modularity = float(
+        w_int_total / m2_ - np.sum((tot_final[tot_final > 0] / m2_) ** 2)
+    )
+
+    assign_pdf = pd.DataFrame(
+        {"vtx": np.arange(nv, dtype=np.int64), "comm": comm_arr}
+    )
+    assign = spark.createDataFrame(assign_pdf, schema=ASSIGN_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    deg_pdf = pd.DataFrame(
+        {"vtx": np.arange(nv, dtype=np.int64), "degree": deg_arr}
+    )
+    deg_out = spark.createDataFrame(
+        deg_pdf, schema="vtx long, degree double"
+    ).localCheckpoint(eager=True)
+    return assign, deg_out
 
 
 def _sql_superstep_level(
@@ -573,6 +860,8 @@ def louvain_level(
     min_moves_frac: float = 0.001,
     broadcast_vertex_threshold: int = 20_000_000,
     superstep_engine: str = "auto",
+    n_vertices_hint: int | None = None,
+    dense_hint: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -580,6 +869,13 @@ def louvain_level(
     Σ degree = total symmetric weight, which equals the reference's
     ``2·ecount`` on unit-weight simple graphs (SURVEY.md §1.5) and is the
     standard 2m on weighted/coarse graphs.
+
+    ``n_vertices_hint`` / ``dense_hint``: the multilevel driver always
+    knows both (level 0 runs after its own dense check / renumber; coarse
+    graphs are dense 0..k-1 by construction), which reduces level setup to
+    ONE count+sum scan of the (checkpointed) symmetric table — the degree
+    table is then computed by whichever engine runs, on its own cached
+    partitioning.  Direct callers may omit them.
 
     ``mode``:
     - ``"superstep"`` — bulk-synchronous supersteps: one shuffle join +
@@ -603,26 +899,37 @@ def louvain_level(
     spark_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", str(n_blocks))
     )
-    # ONE shuffle + ONE tiny aggregation yields every statistic the strategy
-    # decision needs — n_vertices, m2 (= Σ degree), max id (dense check) and
-    # the symmetric row count (Σ per-vertex adjacency counts).  The previous
-    # setup ran three separate full-table jobs (sum, count, count) plus a
-    # fourth for the dense check; at level-0 sizes those were several serial
-    # seconds that no executor count can parallelize away.
-    deg_full = (
-        sym_edges.groupBy(F.col("src").alias("vtx"))
-        .agg(F.sum("weight").alias("degree"), F.count("*").alias("_adj"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    row = deg_full.agg(
-        F.count("*"), F.sum("degree"), F.max("vtx"), F.sum("_adj")
-    ).first()
-    n_vertices = int(row[0] or 0)
-    if m2 is None:
-        m2 = float(row[1] or 0.0)
-    max_id = row[2]
-    n_edges_sym = int(row[3] or 0)
-    deg = deg_full.select("vtx", "degree")
+    if n_vertices_hint is not None and dense_hint is not None:
+        # hinted path: ONE count+sum scan for m2 + row count; no degree
+        # shuffle here — each engine derives degrees on its own partitioning
+        row = sym_edges.agg(F.count("*"), F.sum("weight")).first()
+        n_edges_sym = int(row[0] or 0)
+        if m2 is None:
+            m2 = float(row[1] or 0.0)
+        n_vertices = int(n_vertices_hint)
+        is_dense = bool(dense_hint)
+        deg: DataFrame | None = None
+    else:
+        # ONE shuffle + ONE tiny aggregation yields every statistic the
+        # strategy decision needs — n_vertices, m2 (= Σ degree), max id
+        # (dense check) and the symmetric row count (Σ per-vertex adjacency
+        # counts).  Separate full-table jobs here were several serial
+        # seconds that no executor count can parallelize away.
+        deg_full = (
+            sym_edges.groupBy(F.col("src").alias("vtx"))
+            .agg(F.sum("weight").alias("degree"), F.count("*").alias("_adj"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = deg_full.agg(
+            F.count("*"), F.sum("degree"), F.max("vtx"), F.sum("_adj")
+        ).first()
+        n_vertices = int(row[0] or 0)
+        if m2 is None:
+            m2 = float(row[1] or 0.0)
+        max_id = row[2]
+        n_edges_sym = int(row[3] or 0)
+        is_dense = max_id is not None and int(max_id) == n_vertices - 1
+        deg = deg_full.select("vtx", "degree")
     stats = LevelStats(level=level_no, n_vertices=n_vertices, n_edges_sym=n_edges_sym)
 
     if mode == "auto":
@@ -652,6 +959,8 @@ def louvain_level(
         # level's total move signal so the multilevel driver can stop
         stats.moves_per_sweep = [1 if any_moved else 0] * stats.sweeps
         stats.wall_sec = time.monotonic() - t0
+        if deg is None:
+            deg = degrees_op(sym_edges)  # lazy; callers rarely consume it
         return assign, deg, m2, stats
 
     # Engine auto-selection (the same broadcast-vs-shuffle decision Catalyst
@@ -661,20 +970,40 @@ def louvain_level(
     # (measured ~3x the sql engine at sf0.1); past the threshold, or on
     # sparse ids, the sql engine's broadcast-join sweeps take over.
     engine = superstep_engine
-    if engine in ("auto", "numpy_broadcast"):
-        dense = (
-            n_vertices <= broadcast_vertex_threshold
-            and max_id is not None
-            and int(max_id) == n_vertices - 1
-        )
-        engine = "numpy_broadcast" if dense else ("sql" if engine == "auto" else "block")
+    if engine in ("auto", "barrier", "numpy_broadcast"):
+        fits = is_dense and n_vertices <= broadcast_vertex_threshold
+        if not fits:
+            engine = "sql" if engine == "auto" else "block"
+        elif engine == "auto":
+            engine = "barrier"
+
+    if engine == "barrier":
+        # whole level in ONE barrier stage, mover deltas via allGather —
+        # falls back to the per-sweep broadcast engine if the cluster can't
+        # schedule a barrier stage (needs one concurrent slot per partition)
+        try:
+            assign, deg = _barrier_superstep_level(
+                spark, sym_edges, m2, n_vertices,
+                max_sweeps, anneal, stats, min_moves_frac,
+            )
+            stats.wall_sec = time.monotonic() - t0
+            return assign, deg, m2, stats
+        except Exception as exc:  # barrier scheduling unavailable
+            print(
+                f"[louvain] barrier engine unavailable ({exc!r}); "
+                "falling back to numpy_broadcast",
+                file=sys.stderr,
+            )
+            stats.moves_per_sweep.clear()
+            stats.sweeps = 0
+            engine = "numpy_broadcast"
 
     if engine == "numpy_broadcast":
-        # the helper owns partitioning (by src), warm-up, and the level's
-        # modularity (computed with one scalar pass over its cached edges
-        # before they unpersist)
-        assign = _broadcast_superstep_level(
-            spark, sym_edges, deg, m2, n_vertices,
+        # the helper owns partitioning (by src), warm-up, the degree table
+        # (map-side over its own cache), and the level's modularity (one
+        # scalar pass over the cached edges before they unpersist)
+        assign, deg = _broadcast_superstep_level(
+            spark, sym_edges, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
         stats.wall_sec = time.monotonic() - t0
@@ -686,6 +1015,8 @@ def louvain_level(
     sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if deg is None:
+        deg = degrees_op(sym_edges).persist(StorageLevel.MEMORY_AND_DISK)
 
     # pure-SQL supersteps: broadcast-hash-join the small state onto the
     # edges, codegen'd gain/argmax, one partial-agg shuffle per sweep —
@@ -895,12 +1226,18 @@ def louvain(
         edges, restore_map = renumber_edges(edges)
     sym = symmetric_edges(edges).localCheckpoint(eager=True)
 
+    # hints for louvain_level: entering level 0 the ids are dense (just
+    # renumbered or verified); each coarsen emits dense 0..k-1 ids, k from
+    # its renumber map — so every level skips its own stats shuffle
+    nv_hint: int | None = n_verts
+
     if checkpoint_dir and resume:
         lvl = latest_level(spark, checkpoint_dir)
         if lvl is not None:
             sym, flat, meta = load_level(spark, checkpoint_dir, lvl)
             q_prev = meta["modularity"]
             start_level = lvl + 1
+            nv_hint = None  # unknown from the checkpoint; level re-derives
 
     final_q = q_prev if q_prev != -math.inf else float("nan")
     for level_no in range(start_level, max_levels):
@@ -915,10 +1252,13 @@ def louvain(
             local_threshold=local_threshold,
             kernel=kernel,
             superstep_engine=superstep_engine,
+            n_vertices_hint=nv_hint,
+            dense_hint=True if nv_hint is not None else None,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0
         coarse, cmap = coarsen(sym, assign)
+        nv_hint = cmap.count()  # communities = next level's dense 0..k-1
         relabeled = assign.join(
             cmap.withColumnRenamed("new_comm", "final_comm"), "comm"
         ).select("vtx", F.col("final_comm").alias("comm"))

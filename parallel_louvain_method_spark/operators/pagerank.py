@@ -30,11 +30,19 @@ def pagerank(
     max_iter: int = 20,
     tol: float | None = 1e-6,
     weighted: bool = True,
+    broadcast_vertex_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Returns ``DataFrame[vtx: long, rank: double]``; Σ rank = 1.
 
     ``edges`` is interpreted as DIRECTED (src -> dst).  For the undirected
     semantics of the link graph, pass the symmetric table.
+
+    While the vertex set is below ``broadcast_vertex_threshold`` the rank
+    table gets an explicit broadcast hint in the per-iteration join:
+    ``localCheckpoint`` erases its statistics, so the planner would
+    otherwise assume it is huge and sort-merge-join — re-sorting the big
+    cached edge side EVERY iteration.  Past the threshold the hint is
+    withheld and the pre-partitioned edge cache carries the join.
     """
     verts = vertex_ids(edges).withColumnRenamed("v", "vtx").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -43,14 +51,21 @@ def pagerank(
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
 
+    hint = (lambda df: F.broadcast(df)) if n <= broadcast_vertex_threshold else (lambda df: df)
+
     wcol = F.col("weight") if weighted else F.lit(1.0)
     out_w = edges.groupBy(F.col("src").alias("vtx")).agg(
         F.sum(wcol).alias("out_w")
     )
-    # transition fraction per edge: w / out_w(src)
+    # transition fraction per edge: w / out_w(src); pre-partitioned by the
+    # per-iteration join key so the cached big side never re-shuffles
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     trans = (
-        edges.join(out_w.withColumnRenamed("vtx", "src"), "src")
+        edges.join(hint(out_w.withColumnRenamed("vtx", "src")), "src")
         .select("src", "dst", (wcol / F.col("out_w")).alias("frac"))
+        .repartition(n_parts, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     trans.count()
@@ -68,7 +83,7 @@ def pagerank(
 
     for _ in range(max_iter):
         contrib = (
-            trans.join(ranks.withColumnRenamed("vtx", "src"), "src")
+            trans.join(hint(ranks.withColumnRenamed("vtx", "src")), "src")
             .groupBy(F.col("dst").alias("vtx"))
             .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_sum"))
         )
@@ -84,19 +99,21 @@ def pagerank(
             else 0.0
         )
         redistribute = damping * dangling / n
-        new_ranks = (
-            verts.join(contrib, "vtx", "left")
-            .na.fill({"in_sum": 0.0})
-            .select(
-                "vtx",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.col("in_sum")
-                    + F.lit(redistribute)
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        new_ranks = verts.join(hint(contrib), "vtx", "left").na.fill(
+            {"in_sum": 0.0}
+        ).select(
+            "vtx",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.col("in_sum")
+                + F.lit(redistribute)
+            ).alias("rank"),
         )
+        # truncate lineage every iteration (iterative-lineage rule); the
+        # broadcast exchange of `contrib` forces a materialization per
+        # iteration regardless, so deferring the checkpoint only re-runs
+        # the previous join inside the next one (measured slower)
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (
                 new_ranks.withColumnRenamed("rank", "new_rank")

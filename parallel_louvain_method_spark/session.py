@@ -44,8 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("PLM_DRIVER_MEM", "8g"))
-        .config("spark.driver.maxResultSize", "4g")
+        # local mode = one JVM for driver + all executor threads: size the
+        # heap for the CACHES (edge tables at two levels) plus per-sweep
+        # Arrow serialization buffers, or GC stalls serialize every sweep —
+        # measured 3-8x sweep-wall inflation at 34.8M cached rows under the
+        # previous 8g default.  On a real cluster spark-submit sizes
+        # executors instead and this module is unused.
+        .config("spark.driver.memory", os.environ.get("PLM_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -64,6 +64,26 @@ def test_golden16_multiblock_converges(spark, golden16_df):
     assert stats.modularity >= 0.25
 
 
+def test_golden16_barrier_engine(spark, golden16_df):
+    """The barrier-mode level engine (whole level in one stage, mover
+    deltas via allGather) converges to a zero-move superstep and the same
+    quality class as the other engines, with consistent state across
+    tasks (assignment covers every vertex exactly once)."""
+    sym = G.symmetric_edges(golden16_df)
+    assign, deg, m2, stats = louvain_level(
+        spark, sym, mode="superstep", superstep_engine="barrier"
+    )
+    assert m2 == pytest.approx(56.0)
+    assert stats.moves_per_sweep[-1] == 0
+    assert stats.modularity >= 0.25
+    assert assign.count() == 16
+    assert assign.select("vtx").distinct().count() == 16
+    # degree table reassembled from the per-task exchange matches reality
+    got_deg = {r["vtx"]: r["degree"] for r in deg.collect()}
+    want = {r["vtx"]: r["degree"] for r in G.degrees(sym).collect()}
+    assert {k: v for k, v in got_deg.items() if v > 0} == want
+
+
 def test_golden16_coarsen(spark, golden16_df):
     sym = G.symmetric_edges(golden16_df)
     assign, deg, m2, stats = louvain_level(spark, sym, n_blocks=1)
