@@ -245,6 +245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), max_hamming=7
     )  # rows-only; 8 chunks x 8 bits — sane candidate fanout at scale
 
+    q["embedding_near_dups"] = lambda s, d: D.embedding_near_dups(
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.2,
+    ).select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
     # --- similarity search ---
     q["knn_top3"] = lambda s, d: (
         lambda emb: knn_brute_force(emb, k=3)
@@ -369,6 +381,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.1
+    """
+    o["embedding_near_dups"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 150
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                   list_dot_product(a.v, b.v)
+                   / (SQRT(list_dot_product(a.v, a.v))
+                      * SQRT(list_dot_product(b.v, b.v))), 9
+               ) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v))
+                 * SQRT(list_dot_product(b.v, b.v))) >= 0.2
     """
     o["knn_top3"] = """
         WITH e AS (

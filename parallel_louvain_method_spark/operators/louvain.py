@@ -854,7 +854,7 @@ def louvain_level(
     anneal: bool = False,
     level_no: int = 0,
     mode: str = "auto",
-    local_threshold: int = 500_000,
+    local_threshold: int = 1_500_000,
     sequential_threshold: int = 150_000,
     kernel: str = "local",
     min_moves_frac: float = 0.001,
@@ -1148,26 +1148,38 @@ def louvain_level(
     return assign, deg, m2, stats
 
 
-def coarsen(sym_edges: DataFrame, assign: DataFrame) -> tuple[DataFrame, DataFrame]:
+def coarsen(
+    sym_edges: DataFrame,
+    assign: DataFrame,
+    broadcast_assign: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     """Build the community graph (src/community.cpp:162-201 /
     src/distcommunity.cpp:766-915): communities renumbered dense 0..k-1 by
     sorted id (prefix-sum renumbering W2), edge weights summed, internal
     edges becoming self-loops whose weight is 2× internal weight (each
     internal edge contributes both directions).
 
+    ``broadcast_assign``: hint the (localCheckpoint'ed, hence
+    statistics-less) assignment side into broadcast joins — the caller
+    gates it on its vertex count, since past ~10^7 vertices the map-side
+    relation no longer fits and the shuffle join is correct.
+
     Returns (coarse_sym_edges, comm_renumber_map[comm, new_id]).
     """
     from parallel_louvain_method_spark.operators.graph import dense_ids
 
+    hint = (lambda df: F.broadcast(df)) if broadcast_assign else (lambda df: df)
     cmap = dense_ids(assign.select(F.col("comm").alias("v"))).withColumnsRenamed(
         {"v": "comm", "new_id": "new_comm"}
     )
-    a = assign.join(cmap, "comm").select("vtx", F.col("new_comm").alias("comm"))
+    a = assign.join(hint(cmap), "comm").select(
+        "vtx", F.col("new_comm").alias("comm")
+    )
     a_src = a.select(F.col("vtx").alias("src"), F.col("comm").alias("c_src"))
     a_dst = a.select(F.col("vtx").alias("dst"), F.col("comm").alias("c_dst"))
     coarse = (
-        sym_edges.join(a_src, "src")
-        .join(a_dst, "dst")
+        sym_edges.join(hint(a_src), "src")
+        .join(hint(a_dst), "dst")
         .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
         .agg(F.sum("weight").alias("weight"))
     )
@@ -1185,9 +1197,11 @@ def louvain(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     mode: str = "auto",
-    local_threshold: int = 500_000,
+    local_threshold: int = 1_500_000,
     kernel: str = "local",
     superstep_engine: str = "auto",
+    n_vertices: int | None = None,
+    assume_dense: bool = False,
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
 
@@ -1197,6 +1211,13 @@ def louvain(
     ``<dir>/level=<k>/`` and ``resume=True`` restarts after the last
     complete level (S7; the reference's unimplemented TODO,
     src/distcommunity.cpp:899).
+
+    ``n_vertices`` + ``assume_dense=True`` skip the level-0 dense-id check
+    (one count-distinct over the full vertex set) when the PRODUCER
+    guarantees dense 0..n-1 ids — true for every `build_*_graph` /
+    `_densify` output (sources/corpus.py), whose renumber map's row count
+    is exactly ``n_vertices``.  Wrong hints corrupt results; omit them for
+    arbitrary input.
     """
     from parallel_louvain_method_spark.sources.checkpoint import (
         latest_level,
@@ -1217,13 +1238,16 @@ def louvain(
     # bijection, so the two orders commute.
     from parallel_louvain_method_spark.operators.graph import vertex_ids
 
-    vrow = vertex_ids(edges).agg(F.count("*"), F.max("v")).first()
-    n_verts = int(vrow[0] or 0)
     restore_map: DataFrame | None = None
-    if vrow[1] is not None and int(vrow[1]) != n_verts - 1:
-        from parallel_louvain_method_spark.operators.graph import renumber_edges
+    if assume_dense and n_vertices is not None:
+        n_verts = int(n_vertices)
+    else:
+        vrow = vertex_ids(edges).agg(F.count("*"), F.max("v")).first()
+        n_verts = int(vrow[0] or 0)
+        if vrow[1] is not None and int(vrow[1]) != n_verts - 1:
+            from parallel_louvain_method_spark.operators.graph import renumber_edges
 
-        edges, restore_map = renumber_edges(edges)
+            edges, restore_map = renumber_edges(edges)
     sym = symmetric_edges(edges).localCheckpoint(eager=True)
 
     # hints for louvain_level: entering level 0 the ids are dense (just
@@ -1257,7 +1281,10 @@ def louvain(
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0
-        coarse, cmap = coarsen(sym, assign)
+        coarse, cmap = coarsen(
+            sym, assign,
+            broadcast_assign=nv_hint is not None and nv_hint <= 10_000_000,
+        )
         nv_hint = cmap.count()  # communities = next level's dense 0..k-1
         relabeled = assign.join(
             cmap.withColumnRenamed("new_comm", "final_comm"), "comm"
