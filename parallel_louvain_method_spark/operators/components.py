@@ -24,30 +24,44 @@ from parallel_louvain_method_spark.operators.graph import (
 )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    broadcast_vertex_threshold: int = 5_000_000,
+) -> DataFrame:
     """Returns ``DataFrame[vtx: long, component: long]`` with
-    ``component = min vertex id of the component``."""
+    ``component = min vertex id of the component``.
+
+    While the vertex set is below ``broadcast_vertex_threshold`` the label
+    table gets an explicit broadcast hint in the per-round join —
+    ``localCheckpoint`` erases its statistics, so the planner would
+    otherwise sort-merge-join, re-sorting the cached edge side every round.
+    """
     sym = (
         symmetric_edges(edges)
         .select("src", "dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        vertex_ids(edges)
-        .withColumnRenamed("v", "vtx")
-        .select("vtx", F.col("vtx").alias("component"))
-        .localCheckpoint(eager=True)
+    verts = vertex_ids(edges).withColumnRenamed("v", "vtx")
+    n = verts.count()
+    hint = (
+        (lambda df: F.broadcast(df))
+        if n <= broadcast_vertex_threshold
+        else (lambda df: df)
+    )
+    labels = verts.select("vtx", F.col("vtx").alias("component")).localCheckpoint(
+        eager=True
     )
 
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("vtx", "dst"), "dst")
+            sym.join(hint(labels.withColumnRenamed("vtx", "dst")), "dst")
             .groupBy(F.col("src").alias("vtx"))
             .agg(F.min("component").alias("nbr_component"))
         )
         stepped = (
-            labels.join(nbr_min, "vtx", "left")
+            labels.join(hint(nbr_min), "vtx", "left")
             .select(
                 "vtx",
                 F.least(
@@ -60,10 +74,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         jumped = (
             stepped.alias("a")
             .join(
-                stepped.select(
-                    F.col("vtx").alias("component"),
-                    F.col("component").alias("parent"),
-                ).alias("b"),
+                hint(
+                    stepped.select(
+                        F.col("vtx").alias("component"),
+                        F.col("component").alias("parent"),
+                    ).alias("b")
+                ),
                 "component",
                 "left",
             )

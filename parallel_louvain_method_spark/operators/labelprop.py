@@ -32,18 +32,29 @@ from parallel_louvain_method_spark.operators.graph import (
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 20, weighted: bool = True
+    edges: DataFrame,
+    max_iter: int = 20,
+    weighted: bool = True,
+    broadcast_vertex_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Returns ``DataFrame[vtx: long, label: long]``."""
+    """Returns ``DataFrame[vtx: long, label: long]``.
+
+    Label table broadcast-hinted per round below
+    ``broadcast_vertex_threshold`` (localCheckpoint erases statistics; see
+    operators/components.py)."""
     sym = (
         exclude_self_loops(symmetric_edges(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        vertex_ids(edges)
-        .withColumnRenamed("v", "vtx")
-        .select("vtx", F.col("vtx").alias("label"))
-        .localCheckpoint(eager=True)
+    verts = vertex_ids(edges).withColumnRenamed("v", "vtx")
+    n_verts = verts.count()
+    hint = (
+        (lambda df: F.broadcast(df))
+        if n_verts <= broadcast_vertex_threshold
+        else (lambda df: df)
+    )
+    labels = verts.select("vtx", F.col("vtx").alias("label")).localCheckpoint(
+        eager=True
     )
     wcol = F.col("weight") if weighted else F.lit(1.0)
 
@@ -52,7 +63,7 @@ def label_propagation(
         # weight to each neighboring label, for this round's active parity
         active = sym.filter(F.pmod(F.xxhash64("src", F.lit(it)), F.lit(2)) == 0)
         label_w = (
-            active.join(labels.withColumnRenamed("vtx", "dst"), "dst")
+            active.join(hint(labels.withColumnRenamed("vtx", "dst")), "dst")
             .groupBy(F.col("src").alias("vtx"), F.col("label"))
             .agg(F.sum(wcol).alias("w"))
         )
@@ -63,7 +74,7 @@ def label_propagation(
             ).alias("new_label")
         )
         new_labels = (
-            labels.join(best, "vtx", "left")
+            labels.join(hint(best), "vtx", "left")
             .select(
                 "vtx",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
