@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     lv.add_argument("--resume", action="store_true")
     lv.add_argument("--blocks", type=int, default=32)
     lv.add_argument("--anneal", action="store_true")
+    lv.add_argument(
+        "--engine",
+        choices=["auto", "barrier", "numpy_broadcast", "sql"],
+        default="auto",
+        help="superstep engine (auto: barrier while dense ids fit memory, "
+        "else sql)",
+    )
 
     pr = sub.add_parser("pagerank")
     pr.add_argument("--edges", required=True)
@@ -105,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             anneal=args.anneal,
             checkpoint_dir=args.checkpoint,
             resume=args.resume,
+            superstep_engine=args.engine,
         )
         res.assignment.write.mode("overwrite").parquet(args.out)
         print(

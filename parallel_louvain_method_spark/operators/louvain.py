@@ -257,12 +257,10 @@ def _broadcast_superstep_level(
     guarantees it afterwards).  Returns ``(assign, deg)``.
 
     Transport layout: ids cast to int32 (the engine only runs below the
-    2^31 vertex threshold) and weights to float32 — 12 B/row instead of 24.
-    The JVM-side Arrow serialization of the cached edge table is the
-    per-sweep producer cost, so halving the bytes halves it; all MATH still
-    runs in float64 (the kernel upcasts, and modularity/degrees accumulate
-    driver-side in float64).  Weights here are sums of edge counts —
-    exactly representable in float32 far beyond this engine's size gate.
+    2^31 vertex threshold) — 16 B/row instead of 24.  Weights stay
+    float64: on COARSE levels they are community-internal sums that exceed
+    float32's exact-integer range (2^24) long before the vertex gate, and
+    the 1e-6 modularity guarantee must hold at every level.
     """
     import numpy as np
 
@@ -272,7 +270,7 @@ def _broadcast_superstep_level(
         sym_edges.select(
             F.col("src").cast("int").alias("src"),
             F.col("dst").cast("int").alias("dst"),
-            F.col("weight").cast("float").alias("weight"),
+            F.col("weight").cast("double").alias("weight"),
         )
         .repartition(n_parts, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -473,7 +471,7 @@ def _barrier_superstep_level(
     edges_p = sym_edges.select(
         F.col("src").cast("int").alias("src"),
         F.col("dst").cast("int").alias("dst"),
-        F.col("weight").cast("float").alias("weight"),
+        F.col("weight").cast("double").alias("weight"),
     ).repartition(n_parts, "src")
 
     # pack: one binary blob per partition.  NOT persisted and NOT counted —
@@ -493,7 +491,7 @@ def _barrier_superstep_level(
             ww.append(b["weight"].to_numpy())
         s = _np.concatenate(ss) if ss else _np.empty(0, _np.int32)
         d = _np.concatenate(dd) if dd else _np.empty(0, _np.int32)
-        w = _np.concatenate(ww) if ww else _np.empty(0, _np.float32)
+        w = _np.concatenate(ww) if ww else _np.empty(0, _np.float64)
         yield _pd.DataFrame(
             {"n": [len(s)], "blob": [pickle.dumps((s, d, w), protocol=4)]}
         )
