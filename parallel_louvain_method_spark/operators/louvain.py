@@ -55,8 +55,6 @@ import os
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
