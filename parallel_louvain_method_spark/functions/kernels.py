@@ -506,6 +506,8 @@ def louvain_vectorized_edges(
     improved = False
     sweeps = 0
     zero_streak = 0
+    best_moves = float("inf")
+    best_sweep = -1
     for sweep in range(max_sweeps):
         sweeps += 1
         tot = np.bincount(comm, weights=deg, minlength=n)
@@ -531,6 +533,14 @@ def louvain_vectorized_edges(
             comm[mover_pos] = mover_comm
             improved = True
             zero_streak = 0
+            # stall exit: a handful of vertices toggling between equal-gain
+            # homes can trickle 1-2 moves per sweep indefinitely; if the
+            # per-sweep floor hasn't improved for 6 sweeps the residual is
+            # label churn, not structure (same rule as the superstep loops)
+            if len(mover_pos) < best_moves:
+                best_moves, best_sweep = len(mover_pos), sweep
+            elif sweep - best_sweep >= 6:
+                break
         else:
             zero_streak += 1
             if zero_streak >= 3:

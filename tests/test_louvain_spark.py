@@ -118,3 +118,20 @@ def test_checkpoint_resume(spark, golden16_df, tmp_path):
     res2 = louvain(spark, golden16_df, n_blocks=1, checkpoint_dir=ck, resume=True)
     # resume from the final level converges immediately to the same Q class
     assert res2.modularity >= res1.modularity - 1e-9
+
+
+@pytest.mark.parametrize("engine", ["sql", "numpy_broadcast", "barrier"])
+def test_golden16_engine_matrix(spark, golden16_df, engine):
+    """Every superstep engine converges on golden16 to the same quality
+    class with a consistent assignment — guards the non-default engines
+    (auto picks barrier; sql serves sparse/overflow graphs, and
+    numpy_broadcast is the barrier fallback)."""
+    sym = G.symmetric_edges(golden16_df)
+    assign, deg, m2, stats = louvain_level(
+        spark, sym, mode="superstep", superstep_engine=engine
+    )
+    assert m2 == pytest.approx(56.0)
+    assert stats.moves_per_sweep[-1] == 0  # converged, not capped
+    assert stats.modularity >= 0.25
+    assert assign.count() == 16
+    assert assign.select("vtx").distinct().count() == 16
