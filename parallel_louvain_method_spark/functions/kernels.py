@@ -84,6 +84,11 @@ def pack_csr(
         src, dst, weight = src[order], dst[order], weight[order]
     if n is None:
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 if len(src) else 0
+    elif len(src) and int(max(src.max(), dst.max())) >= n:
+        raise ValueError(
+            f"pack_csr requires dense ids in [0, n={n}); "
+            f"saw id {int(max(src.max(), dst.max()))} — renumber first"
+        )
     counts = np.bincount(src, minlength=n)
     row_index = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=row_index[1:])
@@ -503,11 +508,27 @@ def louvain_vectorized_edges(
     s, d, w = s[keep], d[keep], w[keep]
     v_ids = np.arange(n, dtype=np.int64)
 
+    def q_of(c: np.ndarray) -> float:
+        # in[c] = Σ same-community symmetric weight, self-loop rows included
+        # once (they carry 2x internal weight after coarsening)
+        tot_c = np.bincount(c, weights=deg, minlength=n)
+        same = c[s] == c[d]
+        in_arr = np.bincount(c[s[same]], weights=w[same], minlength=n)
+        if len(self_s):
+            in_arr = in_arr + np.bincount(c[self_s], weights=self_w, minlength=n)
+        return modularity(in_arr, tot_c, m2)
+
+    # synchronous dynamics can end a bounded run MID-OSCILLATION with Q
+    # below an earlier state (hypothesis-found on tiny graphs: pair swaps
+    # net-lower Q); track the best-Q snapshot and return THAT.  One O(E)
+    # Q evaluation per sweep — noise next to the move pass itself.
     improved = False
     sweeps = 0
     zero_streak = 0
     best_moves = float("inf")
     best_sweep = -1
+    best_q = q_of(comm)
+    best_comm = comm.copy()
     for sweep in range(max_sweeps):
         sweeps += 1
         tot = np.bincount(comm, weights=deg, minlength=n)
@@ -531,7 +552,11 @@ def louvain_vectorized_edges(
         )
         if len(mover_pos):
             comm[mover_pos] = mover_comm
-            improved = True
+            q_now = q_of(comm)
+            if q_now > best_q + 1e-15:
+                best_q = q_now
+                best_comm = comm.copy()
+                improved = True
             zero_streak = 0
             # stall exit: a handful of vertices toggling between equal-gain
             # homes can trickle 1-2 moves per sweep indefinitely; if the
@@ -545,15 +570,7 @@ def louvain_vectorized_edges(
             zero_streak += 1
             if zero_streak >= 3:
                 break
-    tot = np.bincount(comm, weights=deg, minlength=n)
-    # modularity with in[c] = Σ same-community symmetric weight, self-loop
-    # rows included once (they carry 2x internal weight after coarsening)
-    same = comm[s] == comm[d]
-    in_arr = np.bincount(comm[s[same]], weights=w[same], minlength=n)
-    if len(self_s):
-        in_arr = in_arr + np.bincount(comm[self_s], weights=self_w, minlength=n)
-    q = modularity(in_arr, tot, m2)
-    return ids, ids[comm], sweeps, q, improved
+    return ids, ids[best_comm], sweeps, best_q, improved
 
 
 def louvain_block_moves_vectorized(

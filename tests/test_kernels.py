@@ -80,3 +80,105 @@ def test_modularity_bounds_property():
         assert all(-0.5 - 1e-9 <= q <= 1.0 + 1e-9 for q in qs)
         # modularity non-decreasing across sweeps (greedy local moves)
         assert all(qs[i + 1] >= qs[i] - 1e-9 for i in range(len(qs) - 1))
+
+
+# --- hypothesis property tests (Spark-free, milliseconds each) -------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def random_edge_lists(draw, max_n=24, max_m=60):
+    n = draw(st.integers(min_value=2, max_value=max_n))
+    m = draw(st.integers(min_value=1, max_value=max_m))
+    src = draw(
+        st.lists(st.integers(0, n - 1), min_size=m, max_size=m)
+    )
+    dst = draw(
+        st.lists(st.integers(0, n - 1), min_size=m, max_size=m)
+    )
+    w = draw(
+        st.lists(
+            st.floats(min_value=0.25, max_value=4.0, allow_nan=False),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    return np.array(src), np.array(dst), np.array(w)
+
+
+@given(random_edge_lists())
+@settings(max_examples=60, deadline=None)
+def test_symmetrize_dedup_invariants(e):
+    """set semantics: output symmetric, exact-duplicate-free, sorted."""
+    src, dst, w = e
+    s, d, ww = kernels.symmetrize_dedup_edges(src, dst, w)
+    triples = list(zip(s.tolist(), d.tolist(), ww.tolist()))
+    assert len(triples) == len(set(triples))  # dedup
+    assert triples == sorted(triples)  # (src, dst, weight) order
+    fwd = set(zip(s.tolist(), d.tolist(), ww.tolist()))
+    assert all((b, a, x) in fwd for a, b, x in fwd)  # symmetric
+
+
+@given(random_edge_lists())
+@settings(max_examples=40, deadline=None)
+def test_csr_degree_mass_conservation(e):
+    """Σ weighted_degree == Σ CSR weights; row_index is a valid prefix sum."""
+    src, dst, w = e
+    csr = kernels.pack_csr(src, dst, w)
+    assert np.all(np.diff(csr.row_index) >= 0)
+    assert csr.row_index[-1] == len(csr.column_index)
+    deg = kernels.weighted_degrees(csr)
+    assert deg.sum() == pytest.approx(csr.weights.sum())
+
+
+@given(random_edge_lists())
+@settings(max_examples=30, deadline=None)
+def test_louvain_sequential_improves_or_holds(e):
+    """Greedy local moves never decrease modularity; every vertex keeps a
+    valid community label; labels form existing vertex ids."""
+    src, dst, w = e
+    keep = src != dst
+    if not keep.any():
+        return
+    csr = kernels.pack_csr(src[keep], dst[keep], w[keep])
+    n = len(csr.row_index) - 1
+    deg = kernels.weighted_degrees(csr)
+    m2 = float(csr.weights.sum())
+    q0 = kernels.modularity(np.zeros(n), deg, m2)
+    comm, in_w, tot, qs, improved = kernels.louvain_sequential(csr, m2=m2)
+    assert qs[-1] >= q0 - 1e-9
+    assert all(qs[i + 1] >= qs[i] - 1e-9 for i in range(len(qs) - 1))
+    assert comm.min() >= 0 and comm.max() < n
+    # community totals conserve total degree mass
+    assert tot.sum() == pytest.approx(deg.sum())
+
+
+@given(random_edge_lists())
+@settings(max_examples=30, deadline=None)
+def test_vectorized_matches_quality_class(e):
+    """The vectorized whole-graph level lands within the same quality class
+    as the sequential reference semantics (synchronous dynamics may differ
+    in exact partition, but Q must be >= the singleton baseline and not
+    collapse)."""
+    src, dst, w = e
+    keep = src != dst
+    if not keep.any():
+        return
+    ids, comm_s, _, q_seq, _ = kernels.louvain_sequential_edges(
+        src[keep], dst[keep], w[keep]
+    )
+    ids_v, comm_v, _, q_vec, _ = kernels.louvain_vectorized_edges(
+        src[keep], dst[keep], w[keep]
+    )
+    assert ids.tolist() == ids_v.tolist()
+    # both run on m2 = total symmetric weight; singleton baseline Q0 <= both
+    # (the vectorized engine returns its best-Q snapshot, so synchronous
+    # oscillation can never leave it below the start state)
+    s_d = np.searchsorted(ids, src[keep])
+    d_d = np.searchsorted(ids, dst[keep])
+    csr = kernels.pack_csr(s_d, d_d, w[keep], n=len(ids))
+    deg = kernels.weighted_degrees(csr)
+    q0 = kernels.modularity(np.zeros(len(deg)), deg, float(csr.weights.sum()))
+    assert q_seq >= q0 - 1e-9
+    assert q_vec >= q0 - 1e-9
