@@ -1,18 +1,29 @@
 """PageRank over the canonical edge table (SURVEY.md A10, [NR] north rule).
 
-Pure DataFrame loop — no Python row code.  Each iteration is one shuffle
-join (ranks onto edges by src) + one aggregation (sum contributions by dst);
-the rank table is localCheckpoint'ed per iteration to keep the logical plan
-flat (iterative-lineage rule, see operators/louvain.py).
+Two engines, the same broadcast-vs-shuffle split as Louvain
+(operators/louvain.py):
+
+- **broadcast engine** (default while the DENSE vertex count fits driver /
+  executor memory, ``broadcast_vertex_threshold``): ranks live as a numpy
+  array broadcast per iteration; one ``mapInPandas`` pass over the cached
+  dst-partitioned edge table returns each partition's EXACT per-dst
+  contribution sums (dst-partitioning makes partials disjoint), collected
+  as ~16 B/vertex.  One Spark job per iteration, no joins, no per-iteration
+  broadcast-exchange collects;
+- **DataFrame engine** (sparse ids or past the threshold): pure DataFrame
+  loop — one shuffle join (ranks onto edges by src) + one aggregation per
+  iteration, rank table localCheckpoint'ed each round (iterative-lineage
+  rule).  Nothing per-vertex lands on one machine: the 10^9-vertex path.
 
 Scale notes:
-- the edge table is persisted once, partitioned by the join key, so only
-  the (tiny) rank table moves per iteration;
+- the edge table is persisted once, partitioned by the relevant key, so
+  only the (tiny) rank state moves per iteration;
 - dangling mass (vertices with no out-edges) is redistributed uniformly —
   on a symmetrized graph danglings are only isolated vertices, but the
   operator also accepts directed input;
-- convergence check ``max|Δ|`` is one extra small aggregation per
-  iteration; pass ``tol=None`` to run exactly ``max_iter`` rounds (needed
+- convergence check ``max|Δ|`` is driver-side numpy on the broadcast
+  engine; one extra small aggregation per iteration on the DataFrame
+  engine; pass ``tol=None`` to run exactly ``max_iter`` rounds (needed
   for fixed-k SQL-oracle comparison).
 """
 
@@ -22,6 +33,108 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from parallel_louvain_method_spark.operators.graph import vertex_ids
+
+
+def _pagerank_broadcast(
+    edges: DataFrame,
+    n: int,
+    damping: float,
+    max_iter: int,
+    tol: float | None,
+    weighted: bool,
+) -> DataFrame:
+    """Broadcast-state engine: dense ids 0..n-1 required (caller checks)."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    wcol = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    ep = (
+        edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            wcol.alias("weight"),
+        )
+        .repartition(n_parts, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ep.count()
+
+    # out-weight per src, once, as a broadcast array (0 for danglings)
+    ow_pdf = (
+        ep.groupBy("src").agg(F.sum("weight").alias("w")).toPandas()
+    )
+    out_w = np.zeros(n, dtype=np.float64)
+    out_w[ow_pdf["src"].to_numpy(dtype=np.int64)] = ow_pdf["w"].to_numpy()
+    dangling_mask = out_w == 0.0
+    has_danglings = bool(dangling_mask.any())
+    # guard against division for danglings (they contribute via mass term)
+    safe_out = np.where(dangling_mask, 1.0, out_w)
+
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    ow_bc = sc.broadcast(safe_out)
+
+    for _ in range(max_iter):
+        state_bc = sc.broadcast(ranks)
+
+        def contribs(batches, _r=state_bc, _ow=ow_bc):
+            import numpy as _np
+            import pandas as _pd
+
+            r = _r.value
+            ow = _ow.value
+            acc_v = None
+            acc_s = None
+            for b in batches:
+                s = b["src"].to_numpy()
+                d = b["dst"].to_numpy()
+                w = b["weight"].to_numpy()
+                contrib = w / ow[s] * r[s]
+                # dst-partitioned: this partition owns every row of its dsts
+                dv, inv = _np.unique(d, return_inverse=True)
+                part = _np.bincount(inv, weights=contrib, minlength=len(dv))
+                if acc_v is None:
+                    acc_v, acc_s = dv, part
+                else:
+                    allv = _np.union1d(acc_v, dv)
+                    news = _np.zeros(len(allv))
+                    news[_np.searchsorted(allv, acc_v)] += acc_s
+                    news[_np.searchsorted(allv, dv)] += part
+                    acc_v, acc_s = allv, news
+            if acc_v is None:
+                yield _pd.DataFrame(
+                    {"vtx": _pd.Series(dtype="int64"),
+                     "in_sum": _pd.Series(dtype="float64")}
+                )
+            else:
+                yield _pd.DataFrame(
+                    {"vtx": acc_v.astype("int64"), "in_sum": acc_s}
+                )
+
+        pdf = ep.mapInPandas(contribs, schema="vtx long, in_sum double").toPandas()
+        state_bc.destroy()
+        in_sum = np.zeros(n, dtype=np.float64)
+        in_sum[pdf["vtx"].to_numpy()] = pdf["in_sum"].to_numpy()
+        dangling = float(ranks[dangling_mask].sum()) if has_danglings else 0.0
+        new_ranks = base + damping * in_sum + damping * dangling / n
+        delta = float(np.abs(new_ranks - ranks).max())
+        ranks = new_ranks
+        if tol is not None and delta < tol:
+            break
+
+    ow_bc.destroy()
+    ep.unpersist()
+    import pandas as pd
+
+    return (
+        spark.createDataFrame(
+            pd.DataFrame({"vtx": np.arange(n, dtype=np.int64), "rank": ranks}),
+            schema="vtx long, rank double",
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def pagerank(
@@ -50,6 +163,16 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
+
+    # broadcast engine while ids are dense and state fits memory (same
+    # decision as louvain's engine selection)
+    if n <= broadcast_vertex_threshold:
+        mx = verts.agg(F.max("vtx")).first()[0]
+        if mx is not None and int(mx) == n - 1:
+            verts.unpersist()
+            return _pagerank_broadcast(
+                edges, n, damping, max_iter, tol, weighted
+            )
 
     hint = (lambda df: F.broadcast(df)) if n <= broadcast_vertex_threshold else (lambda df: df)
 

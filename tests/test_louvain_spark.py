@@ -135,3 +135,17 @@ def test_golden16_engine_matrix(spark, golden16_df, engine):
     assert stats.modularity >= 0.25
     assert assign.count() == 16
     assert assign.select("vtx").distinct().count() == 16
+
+
+def test_barrier_engine_deterministic(spark, golden16_df):
+    """Hash partitioning + sweep-seeded kernels: two runs of the barrier
+    engine produce IDENTICAL per-vertex assignments (reproducibility is a
+    SURVEY §7.3 requirement; Spark ordering alone does not give it)."""
+    sym = G.symmetric_edges(golden16_df)
+    runs = []
+    for _ in range(2):
+        assign, _, _, _ = louvain_level(
+            spark, sym, mode="superstep", superstep_engine="barrier"
+        )
+        runs.append(sorted((r["vtx"], r["comm"]) for r in assign.collect()))
+    assert runs[0] == runs[1]
