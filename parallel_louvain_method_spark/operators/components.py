@@ -2,12 +2,20 @@
 (SURVEY.md A11, [NR] north rule; exact counts required).
 
 Algorithm: every vertex starts labeled with its own id; each round
-1. neighbor-min: ``label[v] <- min(label[v], min_{u~v} label[u])``
-   (one join + groupBy-min over the symmetric edge table), then
-2. pointer-jump: ``label[v] <- label[label[v]]`` (self-join of the label
-   table), which contracts label chains and gives the logarithmic-round
-   behavior of the large-star/small-star family (PAPERS.md, "Finding
-   connected components in map-reduce in logarithmic rounds").
+1. neighbor-min: ``label[v] <- min(label[v], min_{u~v} label[u])``, then
+2. pointer-jump: ``label[v] <- label[label[v]]``, which contracts label
+   chains and gives the logarithmic-round behavior of the
+   large-star/small-star family (PAPERS.md, "Finding connected components
+   in map-reduce in logarithmic rounds").
+
+Two engines, the same broadcast-vs-shuffle split as Louvain/PageRank:
+- **broadcast engine** (dense ids, vertex set fits memory): labels are a
+  broadcast numpy array; each round is ONE ``mapInPandas`` pass over the
+  cached dst-partitioned edge table returning per-dst neighbor minima
+  (partition-disjoint, hence exact), with pointer jumping as a driver-side
+  numpy gather;
+- **DataFrame engine** (sparse/huge): one join + groupBy-min + label
+  self-join per round, localCheckpoint'ed.
 
 Terminates when a round changes nothing; the result labels each component
 by its minimum vertex id (deterministic, exact).
@@ -22,6 +30,82 @@ from parallel_louvain_method_spark.operators.graph import (
     symmetric_edges,
     vertex_ids,
 )
+
+
+def _cc_broadcast(sym: DataFrame, n: int, max_iter: int) -> DataFrame:
+    """Broadcast-state engine; caller guarantees dense ids 0..n-1."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sym.sparkSession
+    sc = spark.sparkContext
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ep = (
+        sym.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+        .repartition(n_parts, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ep.count()
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        state_bc = sc.broadcast(labels)
+
+        def nbr_min(batches, _l=state_bc):
+            import numpy as _np
+            import pandas as _pd
+
+            lab = _l.value
+            acc_v = None
+            acc_m = None
+            for b in batches:
+                s = b["src"].to_numpy()
+                d = b["dst"].to_numpy()
+                dv, inv = _np.unique(d, return_inverse=True)
+                # per-dst min over neighbor labels (exact: dst-partitioned)
+                m = _np.full(len(dv), _np.iinfo(_np.int64).max)
+                _np.minimum.at(m, inv, lab[s])
+                if acc_v is None:
+                    acc_v, acc_m = dv, m
+                else:
+                    allv = _np.union1d(acc_v, dv)
+                    news = _np.full(len(allv), _np.iinfo(_np.int64).max)
+                    i1 = _np.searchsorted(allv, acc_v)
+                    news[i1] = _np.minimum(news[i1], acc_m)
+                    i2 = _np.searchsorted(allv, dv)
+                    news[i2] = _np.minimum(news[i2], m)
+                    acc_v, acc_m = allv, news
+            if acc_v is None:
+                yield _pd.DataFrame(
+                    {"vtx": _pd.Series(dtype="int64"),
+                     "m": _pd.Series(dtype="int64")}
+                )
+            else:
+                yield _pd.DataFrame({"vtx": acc_v.astype("int64"), "m": acc_m})
+
+        pdf = ep.mapInPandas(nbr_min, schema="vtx long, m long").toPandas()
+        state_bc.destroy()
+        new_labels = labels.copy()
+        v = pdf["vtx"].to_numpy()
+        np.minimum.at(new_labels, v, pdf["m"].to_numpy())
+        # pointer jumping until the label forest is flat (driver-side numpy)
+        while True:
+            jumped = new_labels[new_labels]
+            if np.array_equal(jumped, new_labels):
+                break
+            new_labels = jumped
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+
+    ep.unpersist()
+    return spark.createDataFrame(
+        pd.DataFrame({"vtx": np.arange(n, dtype=np.int64), "component": labels}),
+        schema="vtx long, component long",
+    ).localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -45,6 +129,15 @@ def connected_components(
     )
     verts = vertex_ids(edges).withColumnRenamed("v", "vtx")
     n = verts.count()
+    if n == 0:
+        sym.unpersist()
+        return verts.withColumn("component", F.col("vtx"))
+    if n <= broadcast_vertex_threshold:
+        mx = verts.agg(F.max("vtx")).first()[0]
+        if mx is not None and int(mx) == n - 1:
+            out = _cc_broadcast(sym, n, max_iter)
+            sym.unpersist()
+            return out
     hint = (
         (lambda df: F.broadcast(df))
         if n <= broadcast_vertex_threshold
