@@ -126,6 +126,62 @@ _DOC_KEY_SQL = f"""
 """
 
 
+def _knn_lsh_axis_sql(
+    n_planes: int = 4, n_tables: int = 8, dim: int = 64, k: int = 1
+) -> str:
+    """DuckDB twin of ``knn_lsh(..., planes="axis")`` (r1/r2 next-step:
+    give the LSH kNN a real oracle).  Axis-aligned planes make the bucket
+    computation pure SQL: bit ``j`` of table ``t`` is the sign of raw
+    coordinate ``(t*n_planes + j) % dim``.  Same union-of-tables candidate
+    generation, same exact cosine re-rank, same (desc cosine, asc neighbor)
+    tie-break.  The Spark side's ``max_bucket`` hot-bucket cap (10k) cannot
+    trigger on the 200-vector gate slice, so the oracle omits it."""
+    tables = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{(t * n_planes + j) % dim + 1}] > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = "\n        UNION ALL ".join(tables)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        b AS (
+            {buckets}
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+            FROM b x JOIN b y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket
+             AND x.vec_id <> y.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_dot_product(ea.v, eb.v)
+                   / (SQRT(list_dot_product(ea.v, ea.v))
+                      * SQRT(list_dot_product(eb.v, eb.v))) AS cos
+            FROM cand c
+            JOIN e ea ON c.query_id = ea.vec_id
+            JOIN e eb ON c.neighbor_id = eb.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos, 9) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _unrolled_pagerank_sql(k: int = 3, damping: float = 0.85) -> str:
     """Generated fixed-k PageRank oracle (no danglings: symmetric graph)."""
     parts = [
@@ -165,9 +221,9 @@ def entry(spark: SparkSession) -> DataFrame:
     str_edges, _dropped = shared_content_edges(
         corpus, node_col="source", content_col="content_key"
     )
-    from parallel_louvain_method_spark.sources.corpus import _densify
+    from parallel_louvain_method_spark.sources.corpus import densify
 
-    edges, mapping = _densify(str_edges)
+    edges, mapping = densify(str_edges)
     res = louvain(spark, edges, n_blocks=1)
     return (
         res.assignment.join(mapping.withColumnRenamed("new_id", "vtx"), "vtx")
@@ -269,12 +325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         )
     )
+    # dim=64 is the driver embeddings fixture's dimensionality (TESTDATA.md)
+    # — passing it skips the wasted infer-dim job (`.first()`) at scale
     q["knn_lsh_top1"] = lambda s, d: knn_lsh(
         _t(s, d, "embeddings").filter(F.col("vec_id") < 200),
         k=1,
         n_planes=4,
         n_tables=8,
-    )  # rows-only: approximate by construction
+        dim=64,
+        planes="axis",
+    ).select(
+        "query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )  # axis-aligned planes: deterministic AND SQL-expressible -> oracled
 
     # --- text analysis ---
     q["token_counts"] = lambda s, d: T.token_counts(_docs(s, d))
@@ -398,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
               / (SQRT(list_dot_product(a.v, a.v))
                  * SQRT(list_dot_product(b.v, b.v))) >= 0.2
     """
+    o["knn_lsh_top1"] = _knn_lsh_axis_sql(n_planes=4, n_tables=8, dim=64, k=1)
     o["knn_top3"] = """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

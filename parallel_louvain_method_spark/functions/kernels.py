@@ -284,10 +284,15 @@ def _vectorized_moves(
 
     g_tot = tot_of(g_comm)
     gain = g_w - (g_tot - np.where(own_mask, deg[pos], 0.0)) * deg[pos] / m2
-    # anneal margin (A4): movers must beat staying by MORE than min_gain
-    # (reference's beat-by-temperature, src/distcommunity.cpp:549-562);
-    # min_gain == 0 reduces to the plain strict >
-    base = gain_own + min_gain
+    # acceptance: beat max(gain_stay, 0) by MORE than min_gain.  The 0-floor
+    # reproduces the reference's best_increase = 0.0 init
+    # (src/community.cpp:108, src/distcommunity.cpp:551): a vertex never
+    # moves INTO a negative-gain community, even when staying scores worse —
+    # matching the sequential kernels here (louvain_sequential,
+    # louvain_block_moves), which start their argmax at 0.  min_gain is the
+    # anneal temperature margin (A4, src/distcommunity.cpp:549-562);
+    # min_gain == 0 reduces to the reference's plain strict >.
+    base = np.maximum(gain_own, 0.0) + min_gain
     beats = gain > base[pos]
     if not beats.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)

@@ -133,8 +133,12 @@ def connected_components(
         sym.unpersist()
         return verts.withColumn("component", F.col("vtx"))
     if n <= broadcast_vertex_threshold:
-        mx = verts.agg(F.max("vtx")).first()[0]
-        if mx is not None and int(mx) == n - 1:
+        # dense gate needs BOTH bounds: {-1, 0, 1, 3} has n == max+1 but a
+        # negative id would silently wrap numpy indexing in the broadcast
+        # engine — require min >= 0, else fall through to the DataFrame
+        # engine (correct for arbitrary long ids)
+        mx, mn = verts.agg(F.max("vtx"), F.min("vtx")).first()
+        if mx is not None and int(mx) == n - 1 and int(mn) >= 0:
             out = _cc_broadcast(sym, n, max_iter)
             sym.unpersist()
             return out

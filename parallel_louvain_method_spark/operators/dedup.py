@@ -64,12 +64,39 @@ def _cap_buckets(
     return kept, dropped
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: ``[content_sha, doc_ids, n]``."""
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", member_cap: int = 1000
+) -> DataFrame:
+    """Groups of byte-identical documents: ``[content_sha, doc_ids, n]``.
+
+    ``n`` is the EXACT group size; ``doc_ids`` lists at most ``member_cap``
+    lowest ids.  An uncapped ``collect_list`` puts a whole degenerate group
+    (empty files, boilerplate — millions of docs at corpus scale) into ONE
+    aggregation buffer / output row; ranking before collecting keeps the
+    buffer bounded while the count stays exact.  The window and the groupBy
+    share the key, so this is still a single shuffle.
+    """
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("content_sha").orderBy("doc_id")
+    )
     return (
-        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        hashed.withColumn("_rn", rn)
         .groupBy("content_sha")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"), F.count("*").alias("n"))
+        .agg(
+            # collect_list skips nulls -> only the first member_cap ids ever
+            # enter the buffer
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= member_cap, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
+            F.count("*").alias("n"),
+        )
         .filter(F.col("n") > 1)
     )
 

@@ -155,7 +155,12 @@ def dense_ids(ids: DataFrame, col: str = "v") -> DataFrame:
             col,
             (F.row_number().over(w) - 1 + F.col("_off")).alias("new_id"),
         )
+        # materialize NOW so the _pid cache can release: dense_ids runs once
+        # per coarsen (every Louvain level) and the cached id tables would
+        # otherwise accumulate in executor memory for the whole session
+        .localCheckpoint(eager=True)
     )
+    with_pid.unpersist()
     return out
 
 

@@ -69,6 +69,34 @@ from parallel_louvain_method_spark.operators.graph import (
 ASSIGN_SCHEMA = "vtx long, comm long"
 PROPOSAL_SCHEMA = "vtx long, comm long, moved int"
 
+# one probe per SparkContext: can this cluster schedule a barrier stage at
+# all?  (local[N] always can; a dynamic-allocation cluster cannot, and its
+# slot check would otherwise retry ~40x15 s before failing the real job)
+_BARRIER_PROBED: dict[str, bool] = {}
+
+
+def _is_worker_python_error(exc: Exception) -> bool:
+    """True when a barrier-stage failure wraps a WORKER-side Python error
+    (kernel or data bug) — those must propagate.  Spark embeds the worker
+    traceback in the Java exception message, which barrier SCHEDULING
+    failures (slot check, dynamic allocation) never carry."""
+    msg = str(exc)
+    return "Traceback" in msg or "PythonException" in msg
+
+
+def _barrier_supported(sc) -> bool:
+    key = sc.applicationId
+    if key not in _BARRIER_PROBED:
+        try:
+            n = max(1, int(sc.defaultParallelism))
+            sc.parallelize(range(n), n).barrier().mapPartitions(
+                lambda it: iter([1])
+            ).count()
+            _BARRIER_PROBED[key] = True
+        except Exception:
+            _BARRIER_PROBED[key] = False
+    return _BARRIER_PROBED[key]
+
 
 @dataclass
 class LevelStats:
@@ -79,6 +107,12 @@ class LevelStats:
     moves_per_sweep: list[int] = field(default_factory=list)
     modularity: float = float("nan")
     wall_sec: float = 0.0
+    # which execution strategy actually ran the level ("local/sequential",
+    # "local/vectorized", "barrier", "numpy_broadcast", "sql", "block/..."):
+    # audit telemetry — a resumed/checkpointed run shows which path produced
+    # each level, and the auto-cutover (barrier -> sql past the broadcast
+    # threshold) becomes a testable seam instead of an invisible branch
+    engine: str = ""
 
 
 @dataclass
@@ -796,14 +830,18 @@ def _sql_sweep_loop(
                 / F.lit(m2)
             ).alias("gain_stay_base"),
         )
-        # anneal (A4): a move must beat staying by MORE than the temperature
-        # (reference: `increase > best_increase && |best-inc| > temperature`,
+        # acceptance: beat max(gain_stay, 0) by MORE than min_gain.  The
+        # 0-floor is the reference's best_increase = 0.0 init
+        # (src/community.cpp:108, src/distcommunity.cpp:551): never move
+        # INTO a negative-gain community even when staying scores worse.
+        # min_gain is the anneal temperature margin (A4,
         # src/distcommunity.cpp:549-562; temp = exp(-(sweep+1)),
-        # src/distcommunity.cpp:227-231,383) — a margin over the stay gain,
-        # not a floor.  min_gain == 0 when anneal is off, so the predicate
-        # reduces to the plain strict > of src/community.cpp:106-118.
+        # src/distcommunity.cpp:227-231,383); min_gain == 0 when anneal is
+        # off, reducing to the plain strict > of src/community.cpp:106-118.
         gain_stay = F.coalesce(F.col("gain_own_cand"), F.col("gain_stay_base"))
-        accept = F.col("best_gain") > gain_stay + F.lit(min_gain)
+        accept = F.col("best_gain") > F.greatest(
+            gain_stay, F.lit(0.0)
+        ) + F.lit(min_gain)
         proposals = per_src.select(
             F.col("src").alias("vtx"),
             F.when(accept, F.col("best_comm"))
@@ -917,14 +955,22 @@ def louvain_level(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         row = deg_full.agg(
-            F.count("*"), F.sum("degree"), F.max("vtx"), F.sum("_adj")
+            F.count("*"), F.sum("degree"), F.max("vtx"), F.sum("_adj"),
+            F.min("vtx"),
         ).first()
         n_vertices = int(row[0] or 0)
         if m2 is None:
             m2 = float(row[1] or 0.0)
         max_id = row[2]
         n_edges_sym = int(row[3] or 0)
-        is_dense = max_id is not None and int(max_id) == n_vertices - 1
+        # dense = ids exactly 0..n-1; the min >= 0 clause stops negative ids
+        # (which satisfy the max check, e.g. {-1,0,1,3}) from reaching the
+        # numpy-indexing engines
+        is_dense = (
+            max_id is not None
+            and int(max_id) == n_vertices - 1
+            and int(row[4]) >= 0
+        )
         deg = deg_full.select("vtx", "degree")
     stats = LevelStats(level=level_no, n_vertices=n_vertices, n_edges_sym=n_edges_sym)
 
@@ -935,6 +981,7 @@ def louvain_level(
         local_kernel = (
             "sequential" if n_edges_sym <= sequential_threshold else "vectorized"
         )
+        stats.engine = f"local/{local_kernel}"
         out = (
             sym_edges.groupBy(F.lit(0).alias("g"))
             .applyInPandas(
@@ -973,18 +1020,35 @@ def louvain_level(
         elif engine == "auto":
             engine = "barrier"
 
+    if engine == "barrier" and not _barrier_supported(spark.sparkContext):
+        # cheap upfront probe (once per SparkContext): a cluster that cannot
+        # schedule ANY barrier stage (dynamic allocation, too few slots)
+        # must not pay the pack + slot-check retry loop on the real job
+        print(
+            "[louvain] barrier scheduling unavailable (probe failed); "
+            "using numpy_broadcast",
+            file=sys.stderr,
+        )
+        engine = "numpy_broadcast"
+
     if engine == "barrier":
         # whole level in ONE barrier stage, mover deltas via allGather —
-        # falls back to the per-sweep broadcast engine if the cluster can't
-        # schedule a barrier stage (needs one concurrent slot per partition)
+        # falls back to the per-sweep broadcast engine ONLY for barrier
+        # SCHEDULING failures.  A worker-side Python error (kernel or data
+        # bug) carries its traceback in the Spark message and MUST
+        # propagate: silently rerunning it on numpy_broadcast would mask
+        # real defects and double wall time.
         try:
             assign, deg = _barrier_superstep_level(
                 spark, sym_edges, m2, n_vertices,
                 max_sweeps, anneal, stats, min_moves_frac,
             )
+            stats.engine = "barrier"
             stats.wall_sec = time.monotonic() - t0
             return assign, deg, m2, stats
-        except Exception as exc:  # barrier scheduling unavailable
+        except Exception as exc:
+            if _is_worker_python_error(exc):
+                raise  # kernel/data bug inside the stage — surface it
             print(
                 f"[louvain] barrier engine unavailable ({exc!r}); "
                 "falling back to numpy_broadcast",
@@ -1002,6 +1066,7 @@ def louvain_level(
             spark, sym_edges, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
+        stats.engine = "numpy_broadcast"
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
@@ -1022,10 +1087,12 @@ def louvain_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
+        stats.engine = "sql"
         stats.modularity = modularity_df(sym_edges, assign, deg, m2)
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
+    stats.engine = f"block/{kernel}"
     # singleton init (src/community.cpp:25-29)
     assign = deg.select(F.col("vtx"), F.col("vtx").alias("comm")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -1196,6 +1263,7 @@ def louvain(
     local_threshold: int = 1_500_000,
     kernel: str = "local",
     superstep_engine: str = "auto",
+    broadcast_vertex_threshold: int = 20_000_000,
     n_vertices: int | None = None,
     assume_dense: bool = False,
 ) -> LouvainResult:
@@ -1238,9 +1306,14 @@ def louvain(
     if assume_dense and n_vertices is not None:
         n_verts = int(n_vertices)
     else:
-        vrow = vertex_ids(edges).agg(F.count("*"), F.max("v")).first()
+        vrow = vertex_ids(edges).agg(F.count("*"), F.max("v"), F.min("v")).first()
         n_verts = int(vrow[0] or 0)
-        if vrow[1] is not None and int(vrow[1]) != n_verts - 1:
+        # dense means ids are EXACTLY 0..n-1: max == n-1 AND min >= 0 (a
+        # negative id can hide behind a matching max and would wrap numpy
+        # indexing in the broadcast/barrier engines)
+        if vrow[1] is not None and (
+            int(vrow[1]) != n_verts - 1 or int(vrow[2]) < 0
+        ):
             from parallel_louvain_method_spark.operators.graph import renumber_edges
 
             edges, restore_map = renumber_edges(edges)
@@ -1272,6 +1345,7 @@ def louvain(
             local_threshold=local_threshold,
             kernel=kernel,
             superstep_engine=superstep_engine,
+            broadcast_vertex_threshold=broadcast_vertex_threshold,
             n_vertices_hint=nv_hint,
             dense_hint=True if nv_hint is not None else None,
         )
@@ -1311,6 +1385,7 @@ def louvain(
                     "n_vertices": stats.n_vertices,
                     "n_edges_sym": stats.n_edges_sym,
                     "wall_sec": stats.wall_sec,
+                    "engine": stats.engine,
                 },
             )
 

@@ -167,8 +167,11 @@ def pagerank(
     # broadcast engine while ids are dense and state fits memory (same
     # decision as louvain's engine selection)
     if n <= broadcast_vertex_threshold:
-        mx = verts.agg(F.max("vtx")).first()[0]
-        if mx is not None and int(mx) == n - 1:
+        # dense gate needs BOTH bounds: {-1, 0, 1, 3} has n == max+1 but a
+        # negative id would silently wrap numpy indexing in the broadcast
+        # engine — require min >= 0, else use the DataFrame engine
+        mx, mn = verts.agg(F.max("vtx"), F.min("vtx")).first()
+        if mx is not None and int(mx) == n - 1 and int(mn) >= 0:
             verts.unpersist()
             return _pagerank_broadcast(
                 edges, n, damping, max_iter, tol, weighted

@@ -81,6 +81,27 @@ def _signature_udf(dim: int, n_planes: int, seed: int):
     return sig
 
 
+def _axis_bucket(vec_col: str, dim: int, n_planes: int, table: int):
+    """Axis-aligned hyperplane signature: bit ``j`` of table ``t`` is the
+    sign of coordinate ``(t*n_planes + j) mod dim`` — a derandomized LSH
+    family that is PURE codegen (no Python at all) and exactly expressible
+    in ANSI SQL, which is what gives ``knn_lsh`` a DuckDB oracle twin.
+    Weaker than random hyperplanes on adversarial data (axes may correlate),
+    equivalent machinery otherwise: same bucket-join, cap and re-rank."""
+    bits = [
+        F.when(
+            F.element_at(F.col(vec_col), ((table * n_planes + j) % dim) + 1)
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
 def knn_lsh(
     embeddings: DataFrame,
     k: int = 10,
@@ -91,6 +112,7 @@ def knn_lsh(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int = 10_000,
+    planes: str = "random",
 ) -> DataFrame:
     """Approximate all-pairs top-k: ``[query_id, neighbor_id, cosine, rank]``.
 
@@ -105,14 +127,28 @@ def knn_lsh(
     (hub regions, zero vectors) are dropped from THAT table's candidate
     generation — k vectors in one bucket is a k²/2 pair bomb; other tables
     usually still cover those vectors.
+
+    ``planes``: ``"random"`` (default) — seeded random hyperplanes via a
+    vectorized pandas UDF; ``"axis"`` — sign-of-coordinate planes, pure
+    codegen AND SQL-expressible (the oracle-checkable variant; bit ``j`` of
+    table ``t`` reads coordinate ``(t*n_planes + j) mod dim`` of the RAW
+    vector, so the DuckDB twin needs no normalization).
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    raw = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("raw_v"))
     base = _normalized(embeddings, id_col, vec_col).persist()
     cands = None
     for t in range(n_tables):
-        sig = _signature_udf(dim, n_planes, seed + t)
-        bucketed = base.select("id", sig("v").alias("bucket"))
+        if planes == "axis":
+            # sign(raw) == sign(normalized) for any norm > 0, so bucketing
+            # on the raw column is equivalent and skips the normalize
+            bucketed = raw.select(
+                "id", _axis_bucket("raw_v", dim, n_planes, t).alias("bucket")
+            )
+        else:
+            sig = _signature_udf(dim, n_planes, seed + t)
+            bucketed = base.select("id", sig("v").alias("bucket"))
         # skew cap (house pattern, sources/corpus.py): drop oversized buckets
         sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("n_members"))
         oversized = sizes.filter(F.col("n_members") > max_bucket)

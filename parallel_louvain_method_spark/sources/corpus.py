@@ -183,8 +183,13 @@ def cocommit_edges(
     return edges, dropped
 
 
-def _densify(string_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """String-keyed edges -> canonical long-id edge table + id map."""
+def densify(string_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """String-keyed edges -> canonical long-id edge table + id map.
+
+    Public API (the driver contract in ``__spark_entry__.py`` builds on
+    it): the output ids are dense 0..n-1 by sorted name, so callers may
+    pass ``louvain(..., n_vertices=<map row count>, assume_dense=True)``.
+    """
     ids = (
         string_edges.select(F.col("node_a").alias("name"))
         .union(string_edges.select(F.col("node_b").alias("name")))
@@ -210,7 +215,7 @@ def build_repo_graph(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared-content repo graph: ``(edges[src,dst,weight], id_map, dropped)``."""
     str_edges, dropped = shared_content_edges(corpus, "repo", max_group)
-    edges, mapping = _densify(str_edges)
+    edges, mapping = densify(str_edges)
     return edges, mapping, dropped
 
 
@@ -219,5 +224,9 @@ def build_file_graph(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Co-commit file graph: ``(edges[src,dst,weight], id_map, dropped)``."""
     str_edges, dropped = cocommit_edges(corpus, max_group)
-    edges, mapping = _densify(str_edges)
+    edges, mapping = densify(str_edges)
     return edges, mapping, dropped
+
+
+# retained alias for older call sites; densify is the public name
+_densify = densify

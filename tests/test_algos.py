@@ -171,3 +171,23 @@ def test_lpa_bipartite_converges(spark):
     )
     r3 = sorted((r["vtx"], r["label"]) for r in label_propagation(k33, max_iter=20).collect())
     assert len({lbl for _, lbl in r3}) == 1
+
+
+def test_negative_ids_use_dataframe_engines(spark):
+    """{-1, 0, 1, 3} passes the old n == max+1 dense gate but a negative id
+    would wrap numpy indexing in the broadcast engines (r2 ADVICE) — the
+    min >= 0 clause must route such graphs to the DataFrame engines, which
+    stay correct for arbitrary long ids."""
+    edges = spark.createDataFrame(
+        [(-1, 0, 1.0), (0, 1, 1.0), (1, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    cc = connected_components(edges).collect()
+    assert {r["component"] for r in cc} == {-1}
+    assert {r["vtx"] for r in cc} == {-1, 0, 1, 3}
+
+    sym = symmetric_edges(edges)
+    pr = pagerank(sym, max_iter=10)
+    rows = pr.collect()
+    assert {r["vtx"] for r in rows} == {-1, 0, 1, 3}
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-6)

@@ -149,3 +149,89 @@ def test_barrier_engine_deterministic(spark, golden16_df):
         )
         runs.append(sorted((r["vtx"], r["comm"]) for r in assign.collect()))
     assert runs[0] == runs[1]
+
+
+def test_barrier_error_classification_unit():
+    """Scheduling failures fall back; worker-side Python errors re-raise
+    (r2 ADVICE: a blanket `except Exception` masked kernel bugs by
+    silently rerunning the level on numpy_broadcast)."""
+    from parallel_louvain_method_spark.operators.louvain import (
+        _is_worker_python_error,
+    )
+
+    sched = Exception(
+        "[SPARK-24819] Barrier execution mode does not support scheduling "
+        "because the total number of slots is fewer than tasks"
+    )
+    kern = Exception(
+        "Job aborted due to stage failure ... PythonException: Traceback "
+        "(most recent call last): IndexError: index 15 is out of bounds"
+    )
+    assert not _is_worker_python_error(sched)
+    assert _is_worker_python_error(kern)
+
+
+def test_barrier_kernel_error_propagates(spark, golden16_df, capfd):
+    """A worker-side bug inside the barrier stage (injected: an n_vertices
+    hint too small for the real id range -> out-of-bounds numpy indexing)
+    must RAISE, not silently rerun on numpy_broadcast."""
+    sym = G.symmetric_edges(golden16_df)
+    with pytest.raises(Exception):
+        louvain_level(
+            spark,
+            sym,
+            mode="superstep",
+            superstep_engine="barrier",
+            n_vertices_hint=4,  # graph really has 16 vertices
+            dense_hint=True,
+        )
+    err = capfd.readouterr().err
+    assert "falling back to numpy_broadcast" not in err
+
+
+def test_louvain_engine_cutover_and_telemetry(spark, golden16_df):
+    """Past broadcast_vertex_threshold the auto selection must cut over
+    barrier -> sql (the only path past 20M vertices), and per-level engine
+    telemetry records which strategy ran each level."""
+    res = louvain(
+        spark,
+        golden16_df,
+        mode="superstep",
+        broadcast_vertex_threshold=4,  # golden16 has 16 > 4 vertices
+    )
+    assert res.levels[0].engine == "sql"
+    assert res.modularity >= 0.25
+    assert res.assignment.count() == 16
+    # below the threshold auto picks barrier again (both directions tested)
+    res2 = louvain(spark, golden16_df, mode="superstep")
+    assert res2.levels[0].engine == "barrier"
+
+
+def test_checkpoint_metrics_record_engine(spark, golden16_df, tmp_path):
+    """Resumable checkpoints carry per-level engine telemetry (r2 VERDICT
+    next-step #8): an audited run shows which path produced each level."""
+    from parallel_louvain_method_spark.sources.checkpoint import (
+        latest_level,
+        load_level,
+    )
+
+    ck = str(tmp_path / "ck_engine")
+    louvain(spark, golden16_df, n_blocks=1, checkpoint_dir=ck)
+    lvl = latest_level(spark, ck)
+    assert lvl is not None
+    for k in range(lvl + 1):
+        _, _, metrics = load_level(spark, ck, k)
+        assert metrics.get("engine"), metrics
+
+
+def test_louvain_negative_ids_renumbered(spark):
+    """Negative vertex ids pass the old max==n-1 dense check ({-1,0,1,3}:
+    n=4, max=3) but must NOT reach the numpy-indexing engines; louvain
+    renumbers them and restores original ids in the result."""
+    edges = spark.createDataFrame(
+        [(-1, 0, 1.0), (0, 1, 1.0), (1, 3, 1.0), (3, -1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    res = louvain(spark, edges, mode="superstep")
+    rows = {r["vtx"] for r in res.assignment.collect()}
+    assert rows == {-1, 0, 1, 3}

@@ -250,3 +250,39 @@ def test_knn_lsh_hot_bucket_capped(spark, embeddings):
     assert not any(r["query_id"] >= 50_000 for r in got)
     # other vectors still get ranked neighbors
     assert len(got) > 0
+
+
+def test_exact_duplicates_member_cap(spark):
+    """Group member lists are capped (bounded aggregation buffer — a
+    degenerate group at corpus scale must not build one giant array row)
+    while the count stays EXACT."""
+    rows = [(i, "identical body") for i in range(7)] + [(100, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = D.exact_duplicates(df, member_cap=3).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n"] == 7  # exact size survives the cap
+    assert g["doc_ids"] == [0, 1, 2]  # lowest ids kept, deterministic
+
+
+def test_knn_lsh_axis_planes(spark, embeddings):
+    """The axis-aligned plane family (the SQL-expressible, oracle-checked
+    variant) recovers a planted exact duplicate and agrees with brute force
+    on a majority of top-1s."""
+    sub = embeddings.limit(60)
+    first = sub.first()
+    dup = spark.createDataFrame(
+        [(99999, first["embedding"], first["label"])], sub.schema
+    )
+    got = knn_lsh(
+        sub.union(dup), k=1, n_planes=4, n_tables=8, dim=64, planes="axis"
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got}
+    assert top1.get(99999) == first["vec_id"]
+    assert top1.get(first["vec_id"]) == 99999
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_brute_force(sub, k=1).collect()
+    }
+    agree = sum(1 for q, n in exact.items() if top1.get(q) == n)
+    assert agree / len(exact) >= 0.5
