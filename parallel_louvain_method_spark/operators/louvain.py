@@ -157,9 +157,14 @@ def modularity_df(
     """
     a_src = assign.select(F.col("vtx").alias("src"), F.col("comm").alias("c_src"))
     a_dst = assign.select(F.col("vtx").alias("dst"), F.col("comm").alias("c_dst"))
+    # shuffle_hash on the (small, checkpointed-so-statless) assignment side:
+    # without the hint the planner sort-merge-joins, re-sorting the big edge
+    # side twice for a one-shot scalar.  dst joins FIRST: the sql engine's
+    # edge cache is dst-partitioned, so that join moves only the assignment
+    # and the big side is exchanged once (for the src join) instead of twice
     internal = (
-        sym_edges.join(a_src, "src")
-        .join(a_dst, "dst")
+        sym_edges.join(a_dst.hint("shuffle_hash"), "dst")
+        .join(a_src.hint("shuffle_hash"), "src")
         .filter(F.col("c_src") == F.col("c_dst"))
     )
     if not include_self_loops:
@@ -466,6 +471,7 @@ def _barrier_superstep_level(
     anneal: bool,
     stats: LevelStats,
     min_moves_frac: float,
+    pre_partitioned: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Whole-level barrier execution: ALL sweeps inside ONE Spark stage.
 
@@ -500,11 +506,22 @@ def _barrier_superstep_level(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         sc.defaultParallelism,
     )
-    edges_p = sym_edges.select(
+    casted = sym_edges.select(
         F.col("src").cast("int").alias("src"),
         F.col("dst").cast("int").alias("dst"),
         F.col("weight").cast("double").alias("weight"),
-    ).repartition(n_parts, "src")
+    )
+    if (
+        pre_partitioned == "src"
+        and sym_edges.rdd.getNumPartitions() <= sc.defaultParallelism
+    ):
+        # caller already partitioned by src (the projection preserves row
+        # placement): the barrier stage can consume it directly — the one
+        # exchange of the level's biggest table disappears
+        n_parts = sym_edges.rdd.getNumPartitions()
+        edges_p = casted
+    else:
+        edges_p = casted.repartition(n_parts, "src")
 
     # pack: one binary blob per partition.  NOT persisted and NOT counted —
     # the barrier stage below is its only consumer, so the pack fuses into
@@ -771,42 +788,86 @@ def _sql_sweep_loop(
     stats: LevelStats,
     min_moves_frac: float,
     assign: DataFrame,
+    delta_frac: float = 0.05,
 ) -> DataFrame:
+    """The sweep loop of the at-scale sql engine.  Three design rules make
+    it SCALE WITH EXECUTORS (r2's measured failure mode was serial
+    per-sweep work that no core count amortizes):
+
+    1. **No driver broadcasts inside the loop.**  Building a megarow
+       broadcast hash relation of the per-vertex state is SERIAL driver
+       work (~seconds per sweep at 10^6 vertices).  Every state-onto-edges
+       join is hinted ``shuffle_hash``: the state table exchanges (tiny,
+       fully parallel) and each task builds its partition's hash map; the
+       cached edge side's partitioning (``repartition(n, "dst")`` in the
+       caller) already satisfies the join's required distribution, so the
+       BIG side never moves.
+    2. **One consolidated state table (vtx, comm, degree, moved).**  Degree
+       is static per level — folding it in once removes two joins per
+       sweep; ``tot_dst`` rides along on the dst-state into the edge join
+       (recovered with ``max`` in the same aggregation), removing the
+       separate totals join on the candidate side.
+    3. **Delta active sets.**  Once a sweep moves fewer than ``delta_frac``
+       of the vertices, only movers ∪ neighbors(movers) can change their
+       argmax through the w(v→c) term — the next sweep semi-joins the edge
+       table against that (small, geometrically decaying, broadcast) set,
+       turning tail sweeps from O(E) scans into O(E_local).  The filter is
+       the standard delta-Louvain approximation (a vertex affected ONLY
+       through a totals change is deferred); a zero-move FILTERED sweep
+       therefore triggers one FULL confirmation sweep before the level may
+       conclude, so the convergence signal stays a full fixed point.
+    """
+    sh = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    state = (
+        assign.join(deg, "vtx")
+        .select("vtx", "comm", "degree", F.lit(1).alias("moved"))
+        .localCheckpoint(eager=True)
+    )
+
     zero_streak = 0
     best_moves = float("inf")
     best_sweep = -1
+    prev_moves = n_vertices
     for sweep in range(max_sweeps):
+        t_sw = time.monotonic()
         min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
-        tot = comm_totals(assign, deg).select("comm", "tot")
+        tot = state.groupBy("comm").agg(F.sum("degree").alias("tot"))
+        state2 = state.join(sh(tot), "comm").select(
+            "vtx", "comm", "degree", "tot"
+        )
 
         active_edges = sym_edges.filter(F.col("src") != F.col("dst")).filter(
             F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
         )
-        # ONE consolidated per-vertex state table joined twice — building a
-        # megarow broadcast hash relation is serial work, so five separate
-        # state joins per sweep put ~5 s of unscalable time in every sweep;
-        # two joins of a pre-merged table halve that, and AQE still picks
-        # broadcast vs shuffle per join by size
-        state = (
-            assign.join(deg, "vtx")
-            .join(tot, "comm")
-            .select("vtx", "comm", "degree", "tot")
+        delta_sweep = 0 < prev_moves <= delta_frac * n_vertices
+        if delta_sweep:
+            movers = state.filter(F.col("moved") == 1).select("vtx")
+            nbrs = sym_edges.join(
+                F.broadcast(movers.withColumnRenamed("vtx", "dst")), "dst"
+            ).select("src")
+            active_vtx = nbrs.union(
+                movers.withColumnRenamed("vtx", "src")
+            ).distinct()
+            active_edges = active_edges.join(F.broadcast(active_vtx), "src")
+
+        s_dst = state2.select(
+            F.col("vtx").alias("dst"),
+            F.col("comm").alias("dst_comm"),
+            F.col("tot").alias("tot_dst"),
         )
-        s_dst = state.select(
-            F.col("vtx").alias("dst"), F.col("comm").alias("dst_comm")
-        )
-        s_src = state.select(
+        s_src = state2.select(
             F.col("vtx").alias("src"),
             F.col("comm").alias("src_comm"),
             F.col("degree"),
             F.col("tot").alias("tot_own"),
         )
         cand = (
-            active_edges.join(s_dst, "dst")
+            active_edges.join(sh(s_dst), "dst")
             .groupBy("src", "dst_comm")
-            .agg(F.sum("weight").alias("w_to"))
-            .join(s_src, "src")
-            .join(tot.withColumnRenamed("comm", "dst_comm"), "dst_comm")
+            # tot_dst is constant within a (dst_comm) group — max() recovers
+            # it in the SAME aggregation, saving a per-sweep totals join
+            .agg(F.sum("weight").alias("w_to"), F.max("tot_dst").alias("tot"))
+            .join(sh(s_src), "src")
         )
         is_own = F.col("dst_comm") == F.col("src_comm")
         gain = (
@@ -842,28 +903,39 @@ def _sql_sweep_loop(
         accept = F.col("best_gain") > F.greatest(
             gain_stay, F.lit(0.0)
         ) + F.lit(min_gain)
-        proposals = per_src.select(
-            F.col("src").alias("vtx"),
-            F.when(accept, F.col("best_comm"))
-            .otherwise(F.col("src_comm"))
-            .alias("comm"),
-            accept.cast("int").alias("moved"),
-        ).filter(F.col("moved") == 1)
+        proposals = per_src.filter(accept).select(
+            F.col("src").alias("vtx"), F.col("best_comm").alias("new_comm")
+        )
 
-        new_assign = (
-            assign.withColumnRenamed("comm", "old_comm")
-            .join(proposals.select("vtx", F.col("comm").alias("new_comm")), "vtx", "left")
+        state = (
+            state.join(sh(proposals), "vtx", "left")
             .select(
-                "vtx", F.coalesce("new_comm", "old_comm").alias("comm"),
+                "vtx",
+                F.coalesce("new_comm", "comm").alias("comm"),
+                "degree",
                 (F.col("new_comm").isNotNull()).cast("int").alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        moves = int(new_assign.agg(F.sum("moved")).first()[0] or 0)
+        moves = int(state.agg(F.sum("moved")).first()[0] or 0)
         stats.moves_per_sweep.append(moves)
         stats.sweeps = sweep + 1
-        assign = new_assign.select("vtx", "comm")
+        prev_moves = moves
+        if os.environ.get("PLM_DEBUG_SWEEPS"):
+            print(
+                f"[louvain/sql] sweep {sweep}: "
+                f"{time.monotonic() - t_sw:.1f}s moves={moves}"
+                + (" (delta)" if delta_sweep else ""),
+                file=sys.stderr,
+                flush=True,
+            )
 
+        if moves == 0 and delta_sweep:
+            # a zero-move FILTERED sweep is not a global fixed point — run
+            # a full confirmation sweep (prev_moves large disables delta)
+            prev_moves = n_vertices
+            zero_streak = 0
+            continue
         zero_streak = zero_streak + 1 if moves == 0 else 0
         if zero_streak >= 3:
             break
@@ -876,7 +948,7 @@ def _sql_sweep_loop(
             best_moves, best_sweep = moves, sweep
         elif sweep - best_sweep >= 8:
             break
-    return assign
+    return state.select("vtx", "comm")
 
 
 def louvain_level(
@@ -896,6 +968,7 @@ def louvain_level(
     superstep_engine: str = "auto",
     n_vertices_hint: int | None = None,
     dense_hint: bool | None = None,
+    pre_partitioned: str | None = None,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -1042,6 +1115,7 @@ def louvain_level(
             assign, deg = _barrier_superstep_level(
                 spark, sym_edges, m2, n_vertices,
                 max_sweeps, anneal, stats, min_moves_frac,
+                pre_partitioned=pre_partitioned,
             )
             stats.engine = "barrier"
             stats.wall_sec = time.monotonic() - t0
@@ -1072,10 +1146,15 @@ def louvain_level(
 
     # pre-partition by dst: the per-sweep assignment join hits dst, and a
     # cached repartition exposes its outputPartitioning to the planner so
-    # the (large) edge side is never re-shuffled inside the loop
-    sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the (large) edge side is never re-shuffled inside the loop.  When the
+    # CALLER already built the table partitioned+cached on dst
+    # (pre_partitioned — the multilevel driver does at level 0), skipping
+    # the repartition here saves one full exchange + duplicate cache of the
+    # biggest table of the run.
+    if pre_partitioned != "dst":
+        sym_edges = sym_edges.repartition(spark_parts, "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     if deg is None:
         deg = degrees_op(sym_edges).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -1083,12 +1162,21 @@ def louvain_level(
     # edges, codegen'd gain/argmax, one partial-agg shuffle per sweep —
     # the edge table never moves and no Python touches it
     if engine == "sql":
+        t_loop = time.monotonic()
         assign = _sql_superstep_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
         )
         stats.engine = "sql"
+        t_q = time.monotonic()
         stats.modularity = modularity_df(sym_edges, assign, deg, m2)
+        if os.environ.get("PLM_DEBUG_SWEEPS"):
+            print(
+                f"[louvain/sql] level {level_no}: setup "
+                f"{t_loop - t0:.1f}s loop {t_q - t_loop:.1f}s "
+                f"modularity {time.monotonic() - t_q:.1f}s",
+                file=sys.stderr, flush=True,
+            )
         stats.wall_sec = time.monotonic() - t0
         return assign, deg, m2, stats
 
@@ -1231,7 +1319,14 @@ def coarsen(
     """
     from parallel_louvain_method_spark.operators.graph import dense_ids
 
-    hint = (lambda df: F.broadcast(df)) if broadcast_assign else (lambda df: df)
+    # past the broadcast gate the assignment is still the SMALL side of
+    # every join here — hint shuffle_hash so the planner never sort-merges
+    # (localCheckpoint erased the stats it would need to figure that out)
+    hint = (
+        (lambda df: F.broadcast(df))
+        if broadcast_assign
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     cmap = dense_ids(assign.select(F.col("comm").alias("v"))).withColumnsRenamed(
         {"v": "comm", "new_id": "new_comm"}
     )
@@ -1317,7 +1412,28 @@ def louvain(
             from parallel_louvain_method_spark.operators.graph import renumber_edges
 
             edges, restore_map = renumber_edges(edges)
-    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    # Level-0 symmetric build, PRE-PARTITIONED on the key the chosen engine
+    # will join/pack on: symmetrize → ONE exchange on that key → dedup (a
+    # hash aggregation whose clustering requirement a single-key
+    # partitioning already satisfies — no second exchange) → persist.  A
+    # localCheckpoint here would ERASE the partitioning (measured: the
+    # engines then re-exchange the level's biggest table), so level 0 keeps
+    # a persisted cache instead; its lineage is one exchange deep.
+    from parallel_louvain_method_spark.operators.graph import (
+        dedup as dedup_op,
+        symmetrize as symmetrize_op,
+    )
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    will_sql = superstep_engine == "sql" or (
+        superstep_engine == "auto" and n_verts > broadcast_vertex_threshold
+    )
+    part_key = "dst" if will_sql else "src"
+    sym = dedup_op(symmetrize_op(edges).repartition(n_parts, part_key)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    level0_cache: DataFrame | None = sym
+    pre_part: str | None = part_key
 
     # hints for louvain_level: entering level 0 the ids are dense (just
     # renumbered or verified); each coarsen emits dense 0..k-1 ids, k from
@@ -1331,6 +1447,7 @@ def louvain(
             q_prev = meta["modularity"]
             start_level = lvl + 1
             nv_hint = None  # unknown from the checkpoint; level re-derives
+            pre_part = None
 
     final_q = q_prev if q_prev != -math.inf else float("nan")
     for level_no in range(start_level, max_levels):
@@ -1348,12 +1465,18 @@ def louvain(
             broadcast_vertex_threshold=broadcast_vertex_threshold,
             n_vertices_hint=nv_hint,
             dense_hint=True if nv_hint is not None else None,
+            pre_partitioned=pre_part if level_no == start_level else None,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0
+        t_co = time.monotonic()
+        # broadcast the assignment only while its hash relation builds in
+        # well under a second (~200k rows) — the build is SERIAL driver
+        # work; past that the shuffle_hash fallback inside coarsen keeps
+        # every byte of the join parallel
         coarse, cmap = coarsen(
             sym, assign,
-            broadcast_assign=nv_hint is not None and nv_hint <= 10_000_000,
+            broadcast_assign=nv_hint is not None and nv_hint <= 200_000,
         )
         nv_hint = cmap.count()  # communities = next level's dense 0..k-1
         relabeled = assign.join(
@@ -1368,6 +1491,13 @@ def louvain(
                 .select("vtx", "comm")
             )
         flat = flat.localCheckpoint(eager=True)
+        if os.environ.get("PLM_DEBUG_SWEEPS"):
+            print(
+                f"[louvain] level {level_no}: wall {stats.wall_sec:.1f}s "
+                f"coarsen+flat {time.monotonic() - t_co:.1f}s "
+                f"engine={stats.engine}",
+                file=sys.stderr, flush=True,
+            )
         final_q = stats.modularity
 
         if checkpoint_dir:
@@ -1393,7 +1523,14 @@ def louvain(
             break
         q_prev = stats.modularity
         sym = coarse.localCheckpoint(eager=True)
+        if level0_cache is not None:
+            # the coarse table is checkpointed: the level-0 cache (the
+            # biggest object of the run) has no further consumer
+            level0_cache.unpersist()
+            level0_cache = None
 
+    if level0_cache is not None:
+        level0_cache.unpersist()
     assert flat is not None
     if restore_map is not None:
         flat = (

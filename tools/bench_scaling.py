@@ -27,6 +27,13 @@ def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # scaling runs are single-shot per parallelism level (best-of-N would
+    # double an already-long low-core run); SCALING_ENGINE forces a
+    # specific Louvain superstep engine (e.g. `sql` — the >20M-vertex path
+    # whose scaling the north rule needs evidenced separately)
+    env.setdefault("SPARK_GRAFT_REPEAT", "1")
+    if os.environ.get("SCALING_ENGINE"):
+        env["SPARK_GRAFT_LOUVAIN_ENGINE"] = os.environ["SCALING_ENGINE"]
     # pin the WHOLE process tree (JVM + Python workers) to `cpus` physical
     # cores — local[N] alone only caps Spark task threads, and the pandas
     # kernels would otherwise borrow the idle cores, inflating the low-N
