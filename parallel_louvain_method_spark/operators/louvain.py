@@ -828,6 +828,7 @@ def _sql_sweep_loop(
     best_moves = float("inf")
     best_sweep = -1
     prev_moves = n_vertices
+    zero_delta_events = 0
     for sweep in range(max_sweeps):
         t_sw = time.monotonic()
         min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
@@ -836,9 +837,19 @@ def _sql_sweep_loop(
             "vtx", "comm", "degree", "tot"
         )
 
-        active_edges = sym_edges.filter(F.col("src") != F.col("dst")).filter(
-            F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
-        )
+        # sweep 0 activates EVERYONE (same rule as the local vectorized
+        # kernel): under hashed halves a vertex first moves at its first
+        # active sweep, so the mover count halves per sweep and the level
+        # stretches to ~log(n) full-table sweeps — measured exactly that.
+        # A full synchronous first sweep settles ~all vertices at once;
+        # the pointer-jump collapse below unwinds the pair-swap hazard
+        # that the halves exist to prevent, and later sweeps keep halves
+        # for the (now small) correction phase.
+        active_edges = sym_edges.filter(F.col("src") != F.col("dst"))
+        if sweep > 0:
+            active_edges = active_edges.filter(
+                F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
+            )
         delta_sweep = 0 < prev_moves <= delta_frac * n_vertices
         if delta_sweep:
             movers = state.filter(F.col("moved") == 1).select("vtx")
@@ -907,13 +918,35 @@ def _sql_sweep_loop(
             F.col("src").alias("vtx"), F.col("best_comm").alias("new_comm")
         )
 
+        upd = state.join(sh(proposals), "vtx", "left").select(
+            "vtx",
+            F.col("comm").alias("old_comm"),
+            F.coalesce("new_comm", "comm").alias("mid_comm"),
+            "degree",
+        )
+        # label-chase collapse (pointer jumping, the CC trick applied to
+        # community labels): a community is labeled by its representative
+        # vertex's id, so when v adopts label u in the SAME sweep that
+        # vertex u adopts label w, v would otherwise chase u through one
+        # sweep per hop — the measured mover cascade halves per sweep and
+        # stretches the level to ~log(n) full-table sweeps.  One
+        # state-sized self-join follows the label one hop
+        # (comm <- comm(comm)), collapsing chains as they form; a mutual
+        # swap (u<->w, the synchronous oscillation case) maps both back to
+        # themselves, which also neutralizes the pair-swap failure mode.
+        jump = upd.select(
+            F.col("vtx").alias("mid_comm"),
+            F.col("mid_comm").alias("jump_comm"),
+        )
         state = (
-            state.join(sh(proposals), "vtx", "left")
+            upd.join(sh(jump), "mid_comm", "left")
             .select(
                 "vtx",
-                F.coalesce("new_comm", "comm").alias("comm"),
+                F.coalesce("jump_comm", "mid_comm").alias("comm"),
                 "degree",
-                (F.col("new_comm").isNotNull()).cast("int").alias("moved"),
+                (
+                    F.coalesce("jump_comm", "mid_comm") != F.col("old_comm")
+                ).cast("int").alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
@@ -931,6 +964,17 @@ def _sql_sweep_loop(
             )
 
         if moves == 0 and delta_sweep:
+            zero_delta_events += 1
+            if zero_delta_events >= 2:
+                # TWICE the delta filter has declared every mover
+                # neighborhood quiet while a full confirmation still found
+                # totals-driven stragglers: that residual is label churn
+                # oscillating around the exit threshold, and each further
+                # confirmation is a full-table sweep.  End the level — the
+                # coarsened next level (orders of magnitude smaller)
+                # resolves the churn, the same division of labor as the
+                # plateau exit.
+                break
             # a zero-move FILTERED sweep is not a global fixed point — run
             # a full confirmation sweep (prev_moves large disables delta)
             prev_moves = n_vertices
@@ -942,7 +986,15 @@ def _sql_sweep_loop(
         threshold = int(min_moves_frac * n_vertices)
         if sweep > 0 and threshold > 0 and moves <= threshold:
             break
-        if sweep > 0 and moves >= 50 and moves >= 0.9 * stats.moves_per_sweep[-2]:
+        # plateau: <10% of the previous sweep's movers retired — but only
+        # against a NONZERO previous sweep (a zero-move delta sweep just
+        # forced a full confirmation; its count is not a retirement rate)
+        if (
+            sweep > 0
+            and moves >= 50
+            and stats.moves_per_sweep[-2] > 0
+            and moves >= 0.9 * stats.moves_per_sweep[-2]
+        ):
             break
         if moves < best_moves:
             best_moves, best_sweep = moves, sweep

@@ -55,6 +55,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle/spill directory.  In local mode every "executor" shares ONE
+    # machine's disk, so shuffle-heavy stages hit its bandwidth ceiling
+    # long before the cores are busy — a single-box artifact a real cluster
+    # doesn't have (each executor brings its own NVMe).  Point
+    # PLM_LOCAL_DIR at tmpfs (e.g. /dev/shm/spark-local) to measure the
+    # engine rather than the sandbox disk.
+    local_dir = os.environ.get("PLM_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,139 @@
+"""sql-engine scaling measurement at its compute-bound size.
+
+The default bench graph (sf0.1, 1.3M edges) is overhead-dominated for the
+join-based sql engine — the >20M-vertex execution path whose scaling the
+north rule needs evidenced separately from the barrier engine's PASS
+(BENCH_SCALING.md).  This harness:
+
+1. builds (once, to ``PLM_EDGES``) a deterministic co-commit file graph
+   sized by ``SCALING_REPOS`` — 200k repos → 87M undirected edges / 6M
+   vertices, the size where one sweep's join+agg dominates fixed costs;
+2. runs multi-level Louvain with ``superstep_engine="sql"`` at
+   ``SCALING_LO`` and ``SCALING_HI`` taskset-pinned cores (whole process
+   tree pinned — local[N] alone lets Python/JVM threads borrow idle
+   cores);
+3. prints one JSON line with both walls, per-level breakdowns and the
+   wall/throughput scaling efficiency.
+
+Pair with tools/shuffle_scaling.py (the pure-JVM shuffle ceiling of the
+same box) to attribute any shortfall: if the engine's efficiency matches
+the shuffle ceiling, the residual is the one-box proxy, not the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_BUILD = """
+import sys
+sys.path.insert(0, {repo!r})
+from parallel_louvain_method_spark import get_spark
+from parallel_louvain_method_spark.sources.corpus import (
+    build_file_graph, synth_corpus,
+)
+spark = get_spark(app_name="edges-build", cores={cores}, shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+corpus = synth_corpus(
+    spark, n_repos={repos}, files_per_repo=30, commits_per_repo=5
+)
+edges, mapping, _ = build_file_graph(corpus)
+edges.write.mode("overwrite").parquet({path!r})
+print("NVERTS", mapping.count())
+spark.stop()
+"""
+
+_RUN = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from parallel_louvain_method_spark import get_spark
+from parallel_louvain_method_spark.operators.louvain import louvain
+spark = get_spark(app_name="lscale{cpus}", cores={cpus}, shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+edges = spark.read.parquet({path!r})
+t0 = time.monotonic()
+res = louvain(spark, edges, n_vertices={nverts}, assume_dense=True,
+              superstep_engine="sql")
+wall = time.monotonic() - t0
+print("RESULT " + json.dumps({{
+    "cpus": {cpus}, "wall": round(wall, 2),
+    "q": round(res.modularity, 6),
+    "level_walls": [round(l.wall_sec, 2) for l in res.levels],
+    "engines": [l.engine for l in res.levels],
+    "sweeps": [l.sweeps for l in res.levels],
+    "edges_processed": sum(l.n_edges_sym * l.sweeps for l in res.levels),
+}}))
+spark.stop()
+"""
+
+
+def _loadavg() -> list[str]:
+    with open("/proc/loadavg") as f:
+        return f.read().split()[:3]
+
+
+def run(cpus: int, path: str, nverts: int) -> dict:
+    code = _RUN.format(repo=REPO, cpus=cpus, path=path, nverts=nverts)
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=5400, env=dict(os.environ),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(out.stderr[-2000:])
+
+
+def main() -> None:
+    repos = int(os.environ.get("SCALING_REPOS", "200000"))
+    path = os.environ.get("PLM_EDGES", f"/tmp/plm_edges_{repos}.parquet")
+    lo = int(os.environ.get("SCALING_LO", "4"))
+    hi = int(os.environ.get("SCALING_HI", "16"))
+
+    if not os.path.exists(path):
+        cores = os.cpu_count() or 16
+        build = _BUILD.format(repo=REPO, cores=cores, repos=repos, path=path)
+        out = subprocess.run(
+            [sys.executable, "-c", build],
+            capture_output=True, text=True, timeout=5400, env=dict(os.environ),
+        )
+        nverts = None
+        for line in out.stdout.splitlines():
+            if line.startswith("NVERTS"):
+                nverts = int(line.split()[1])
+        if nverts is None:
+            raise RuntimeError(out.stderr[-2000:])
+        with open(path + ".nverts", "w") as f:
+            f.write(str(nverts))
+    with open(path + ".nverts") as f:
+        nverts = int(f.read().strip())
+
+    load0 = _loadavg()
+    r_hi = run(hi, path, nverts)
+    r_lo = run(lo, path, nverts)
+    eff = (r_lo["wall"] / r_hi["wall"]) / (hi / lo)
+    tp_lo = r_lo["edges_processed"] / r_lo["wall"]
+    tp_hi = r_hi["edges_processed"] / r_hi["wall"]
+    print(
+        json.dumps(
+            {
+                "engine": "sql",
+                "repos": repos,
+                "n_vertices": nverts,
+                f"local[{lo}]": r_lo,
+                f"local[{hi}]": r_hi,
+                "eff_wall": round(eff, 3),
+                "eff_throughput": round((tp_hi / tp_lo) / (hi / lo), 3),
+                "loadavg_before": load0,
+                "loadavg_after": _loadavg(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
