@@ -67,6 +67,15 @@ def main() -> None:
     louvain_engine = os.environ.get("SPARK_GRAFT_LOUVAIN_ENGINE", "auto")
     host = {"start": _host_snapshot()}
 
+    # shuffle/spill to tmpfs when the box has one: local mode funnels every
+    # "executor" through one machine's disk, which measures the sandbox
+    # drive rather than the engine (a real cluster has NVMe per executor).
+    # Overridable / disable with PLM_LOCAL_DIR.
+    if "PLM_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        os.environ["PLM_LOCAL_DIR"] = d
+
     from parallel_louvain_method_spark import get_spark
     from parallel_louvain_method_spark.operators import graph as G
     from parallel_louvain_method_spark.operators.components import (

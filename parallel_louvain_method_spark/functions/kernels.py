@@ -563,6 +563,13 @@ def louvain_vectorized_edges(
                 best_comm = comm.copy()
                 improved = True
             zero_streak = 0
+            # near-convergence exit (the kernel-internal twin of the
+            # superstep loops' min_moves_frac): under 0.1% of vertices
+            # still moving is label churn — the best-Q snapshot below
+            # protects quality, and coarse levels otherwise spend 10+
+            # one-mover sweeps here (pure serial time on the level driver)
+            if sweep > 0 and len(mover_pos) <= max(1, n // 1000):
+                break
             # stall exit: a handful of vertices toggling between equal-gain
             # homes can trickle 1-2 moves per sweep indefinitely; if the
             # per-sweep floor hasn't improved for 6 sweeps the residual is

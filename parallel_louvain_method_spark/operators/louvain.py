@@ -814,8 +814,19 @@ def _sql_sweep_loop(
        turning tail sweeps from O(E) scans into O(E_local).  The filter is
        the standard delta-Louvain approximation (a vertex affected ONLY
        through a totals change is deferred); a zero-move FILTERED sweep
-       therefore triggers one FULL confirmation sweep before the level may
-       conclude, so the convergence signal stays a full fixed point.
+       therefore triggers one FULL confirmation sweep; a SECOND zero-move
+       filtered sweep ends the level (the residual is threshold-hovering
+       label churn that the far smaller coarse level resolves).
+
+    Skew note (10^9-vertex design point): the per-sweep ``state ⋈ tot``
+    join clusters by community id, so a mega-community concentrates its
+    members' STATE rows (~16 B each) in one task — at 10^9 vertices and a
+    50% mega-community that is ~8 GB in one partition.  The edge-side
+    joins are unaffected (keyed by vtx), communities that large only
+    emerge near convergence, and the coarsen cadence caps level length;
+    if a deployment hits it, re-enabling AQE inside the loop
+    (``spark.sql.adaptive.enabled``) turns on skew-join splitting at the
+    cost of per-sweep driver re-planning.
     """
     sh = lambda df: df.hint("shuffle_hash")  # noqa: E731
     state = (
@@ -1017,6 +1028,7 @@ def louvain_level(
     kernel: str = "local",
     min_moves_frac: float = 0.001,
     broadcast_vertex_threshold: int = 20_000_000,
+    barrier_rows_per_task: int = 12_000_000,
     superstep_engine: str = "auto",
     n_vertices_hint: int | None = None,
     dense_hint: bool | None = None,
@@ -1137,9 +1149,26 @@ def louvain_level(
     # BOTH per-sweep shuffles and collapses convergence into ~4 supersteps
     # (measured ~3x the sql engine at sf0.1); past the threshold, or on
     # sparse ids, the sql engine's broadcast-join sweeps take over.
+    #
+    # Second gate, PER-TASK adjacency size: a barrier task materializes its
+    # whole src-partition's adjacency in worker memory (that is the point —
+    # one JVM→Python transfer per level), so the binding constraint is rows
+    # per task, not total edges.  Measured: 8.7M rows/task runs clean; at
+    # ~22M rows/task (87M-edge graph on 8 cores) the one-time transfer
+    # alone costs ~160 s and worker memory pressure stalls kernels — the
+    # streaming sql engine wins there.  The gate self-scales with the
+    # cluster: more executors → smaller slices → barrier stays viable, the
+    # same "fits in executor memory" rule as the vertex threshold.
     engine = superstep_engine
     if engine in ("auto", "barrier", "numpy_broadcast"):
         fits = is_dense and n_vertices <= broadcast_vertex_threshold
+        if engine == "auto":
+            n_parts_eff = max(
+                1, min(spark_parts, spark.sparkContext.defaultParallelism)
+            )
+            fits = fits and (
+                n_edges_sym / n_parts_eff <= barrier_rows_per_task
+            )
         if not fits:
             engine = "sql" if engine == "auto" else "block"
         elif engine == "auto":
@@ -1411,6 +1440,7 @@ def louvain(
     kernel: str = "local",
     superstep_engine: str = "auto",
     broadcast_vertex_threshold: int = 20_000_000,
+    barrier_rows_per_task: int = 12_000_000,
     n_vertices: int | None = None,
     assume_dense: bool = False,
 ) -> LouvainResult:
@@ -1515,6 +1545,7 @@ def louvain(
             kernel=kernel,
             superstep_engine=superstep_engine,
             broadcast_vertex_threshold=broadcast_vertex_threshold,
+            barrier_rows_per_task=barrier_rows_per_task,
             n_vertices_hint=nv_hint,
             dense_hint=True if nv_hint is not None else None,
             pre_partitioned=pre_part if level_no == start_level else None,

@@ -205,6 +205,12 @@ def test_louvain_engine_cutover_and_telemetry(spark, golden16_df):
     # below the threshold auto picks barrier again (both directions tested)
     res2 = louvain(spark, golden16_df, mode="superstep")
     assert res2.levels[0].engine == "barrier"
+    # the PER-TASK adjacency gate also cuts over to sql: a barrier task
+    # materializes its whole partition in worker memory, so rows/task —
+    # not total edges — is the binding constraint
+    res3 = louvain(spark, golden16_df, mode="superstep", barrier_rows_per_task=2)
+    assert res3.levels[0].engine == "sql"
+    assert res3.modularity >= 0.25
 
 
 def test_checkpoint_metrics_record_engine(spark, golden16_df, tmp_path):

@@ -10,7 +10,9 @@ Efficiency definition (throughput basis):
 i.e. perfect 4x speedup -> 1.0; no speedup -> 0.25.
 
 Runs bench.py twice via subprocess (fresh JVM each, honest cold-ish runs)
-and writes BENCH_SCALING.md + prints a JSON summary line.
+and writes BENCH_SCALING_RUN.md (the raw latest run) + prints a JSON
+summary line.  The curated cross-engine analysis lives in
+BENCH_SCALING.md and is maintained by hand from these runs.
 """
 
 from __future__ import annotations
@@ -78,7 +80,8 @@ def main() -> None:
     eff_throughput = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
 
     md = [
-        "# BENCH_SCALING — throughput scaling evidence",
+        "# BENCH_SCALING_RUN — latest raw scaling run (see BENCH_SCALING.md"
+        " for the curated cross-engine analysis)",
         "",
         "Sandbox proxy for N vs 4N executors (task instructions): the same",
         f"job on the same input (`{sf_dir}`) at `local[{lo}]` vs `local[{hi}]`.",
@@ -100,7 +103,7 @@ def main() -> None:
         f"Raw local[{hi}]: `{json.dumps(r_hi)}`",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING_RUN.md"), "w") as f:
         f.write("\n".join(md))
     print(
         json.dumps(

@@ -57,7 +57,7 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet({path!r})
 t0 = time.monotonic()
 res = louvain(spark, edges, n_vertices={nverts}, assume_dense=True,
-              superstep_engine="sql")
+              superstep_engine={engine!r})
 wall = time.monotonic() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "wall": round(wall, 2),
@@ -76,8 +76,10 @@ def _loadavg() -> list[str]:
         return f.read().split()[:3]
 
 
-def run(cpus: int, path: str, nverts: int) -> dict:
-    code = _RUN.format(repo=REPO, cpus=cpus, path=path, nverts=nverts)
+def run(cpus: int, path: str, nverts: int, engine: str) -> dict:
+    code = _RUN.format(
+        repo=REPO, cpus=cpus, path=path, nverts=nverts, engine=engine
+    )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
         capture_output=True, text=True, timeout=5400, env=dict(os.environ),
@@ -93,6 +95,7 @@ def main() -> None:
     path = os.environ.get("PLM_EDGES", f"/tmp/plm_edges_{repos}.parquet")
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
+    engine = os.environ.get("SCALING_ENGINE", "sql")
 
     if not os.path.exists(path):
         cores = os.cpu_count() or 16
@@ -113,15 +116,15 @@ def main() -> None:
         nverts = int(f.read().strip())
 
     load0 = _loadavg()
-    r_hi = run(hi, path, nverts)
-    r_lo = run(lo, path, nverts)
+    r_hi = run(hi, path, nverts, engine)
+    r_lo = run(lo, path, nverts, engine)
     eff = (r_lo["wall"] / r_hi["wall"]) / (hi / lo)
     tp_lo = r_lo["edges_processed"] / r_lo["wall"]
     tp_hi = r_hi["edges_processed"] / r_hi["wall"]
     print(
         json.dumps(
             {
-                "engine": "sql",
+                "engine": engine,
                 "repos": repos,
                 "n_vertices": nverts,
                 f"local[{lo}]": r_lo,
