@@ -840,6 +840,7 @@ def _sql_sweep_loop(
     best_sweep = -1
     prev_moves = n_vertices
     zero_delta_events = 0
+    churn_streak = 0  # consecutive sweeps at <= max(2, threshold) movers
     for sweep in range(max_sweeps):
         t_sw = time.monotonic()
         min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
@@ -996,6 +997,14 @@ def _sql_sweep_loop(
             break
         threshold = int(min_moves_frac * n_vertices)
         if sweep > 0 and threshold > 0 and moves <= threshold:
+            break
+        # small-graph churn guard: on graphs tiny enough that the
+        # min_moves_frac threshold floors to 0 (the sql engine is not the
+        # intended path there, but explicit engine selection must still
+        # terminate), a handful of vertices can trade 1-2 moves per sweep
+        # for dozens of sweeps — five consecutive such sweeps end the level
+        churn_streak = churn_streak + 1 if 0 < moves <= max(2, threshold) else 0
+        if churn_streak >= 5:
             break
         # plateau: <10% of the previous sweep's movers retired — but only
         # against a NONZERO previous sweep (a zero-move delta sweep just

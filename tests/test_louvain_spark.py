@@ -241,3 +241,36 @@ def test_louvain_negative_ids_renumbered(spark):
     res = louvain(spark, edges, mode="superstep")
     rows = {r["vtx"] for r in res.assignment.collect()}
     assert rows == {-1, 0, 1, 3}
+
+
+def test_sql_engine_quality_parity_planted(spark):
+    """The sql engine's synchronous dynamics (full first sweep +
+    pointer-jump collapse + delta tails) must land in the same quality
+    class as the reference-sequential kernel on a planted-community
+    graph, not just on golden16."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # 10 planted cliques of 30 + sparse random cross links
+    for c in range(10):
+        base = c * 30
+        members = list(range(base, base + 30))
+        for i in members:
+            for j in members:
+                if i < j and rng.random() < 0.4:
+                    edges.append((i, j, 1.0))
+    for _ in range(60):
+        a, b = rng.randrange(300), rng.randrange(300)
+        if a != b:
+            edges.append((min(a, b), max(a, b), 1.0))
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+
+    res_seq = louvain(spark, df, mode="local")
+    res_sql = louvain(
+        spark, df, mode="superstep", superstep_engine="sql", max_sweeps=15
+    )
+    assert res_sql.levels[0].engine == "sql"
+    assert res_sql.modularity >= res_seq.modularity - 0.03, (
+        res_sql.modularity, res_seq.modularity,
+    )
