@@ -5,10 +5,12 @@
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 (+ the training-data pipeline ops).  SQL-expressible operators
-carry a DuckDB oracle; iterative/sketch operators (Louvain, LPA, MinHash,
-SimHash, LSH-ANN) are rows-only and their correctness is carried by the
-golden pytest suite (tests/ — reference values from
-/root/reference/tests/main_test.cpp).
+carry a DuckDB oracle; the sketch pipelines (MinHash, SimHash, LSH-ANN)
+are oracled through their hash seam (a pure-Python XXH64 twin materializes
+the hashed-shingle intermediates for DuckDB — ``_ensure_hash_artifacts``);
+only the genuinely iterative operators (Louvain, LPA) are rows-only, their
+correctness carried by the golden pytest suite (tests/ — reference values
+from /root/reference/tests/main_test.cpp).
 
 Column-name contract: every computed column is aliased identically in the
 Spark query and the oracle SQL.  Floating aggregations that are
@@ -124,6 +126,171 @@ _DOC_KEY_SQL = f"""
            array_to_string(({_WORDS})[1:3], ' ') AS content_key
     FROM documents
 """
+
+
+_GATE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
+_ORACLE_ARTIFACT_DIR = "/tmp/plm_oracle"
+
+
+def _ensure_hash_artifacts(sf_dir: str = _GATE_SF_DIR) -> dict[str, str]:
+    """Materialize the xxhash64 intermediates the MinHash/SimHash oracles
+    read (r3 VERDICT next-step #4: the LAST closable ``no_oracle`` rows).
+
+    ``xxhash64`` is the single non-SQL-expressible step of either
+    pipeline.  A pure-Python XXH64 twin (functions/pyhash.py, parity with
+    the JVM pinned by pytest) computes the per-shingle hashes straight
+    from the parquet — no SparkSession — and writes ``(doc_id, h)``
+    tables that ``read_parquet()`` exposes to DuckDB.  Generated HERE, at
+    ``oracle_sql()`` time, so the oracle is self-contained regardless of
+    whether the driver runs the Spark query or the oracle first."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_louvain_method_spark.functions.pyhash import hashed_shingles
+    from parallel_louvain_method_spark.operators.dedup import _MERSENNE
+
+    os.makedirs(_ORACLE_ARTIFACT_DIR, exist_ok=True)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    paths = {
+        "minhash": f"{_ORACLE_ARTIFACT_DIR}/minhash_shingles_{base}.parquet",
+        "simhash": f"{_ORACLE_ARTIFACT_DIR}/simhash_tokens_{base}.parquet",
+    }
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    for kind, (shingle_n, mod) in {
+        "minhash": (3, _MERSENNE),  # minhash_lsh_pairs defaults
+        "simhash": (2, None),  # simhash_near_dups defaults (raw signed h)
+    }.items():
+        ids: list[int] = []
+        hs: list[int] = []
+        for doc_id, text in docs:
+            for h in hashed_shingles(text, shingle_n, mod):
+                ids.append(doc_id)
+                hs.append(h)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())}),
+            paths[kind],
+        )
+    return paths
+
+
+def _minhash_oracle_sql(
+    path: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs`` downstream of the hash seam.
+
+    Same SplitMix64 permutation constants (embedded as literals), same
+    min-aggregation signatures, band membership by TUPLE equality (Spark
+    buckets on xxhash64 of the tuple — same grouping, modulo 64-bit hash
+    collisions that the est_jaccard verify filters out anyway), same
+    unbiased-estimator verification.  The ``max_bucket`` cap (1000) cannot
+    trigger on the 500-doc gate slice, so the oracle omits it."""
+    from parallel_louvain_method_spark.operators.dedup import (
+        _MERSENNE,
+        minhash_permutation_constants,
+    )
+
+    rows_per_band = n_hashes // bands
+    consts = minhash_permutation_constants(n_hashes)
+    mins = ",\n                   ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {keys} FROM sig".format(
+            b=b,
+            keys=", ".join(
+                f"m{b * rows_per_band + r} AS k{r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    key_eq = " AND ".join(f"x.k{r} = y.k{r}" for r in range(rows_per_band))
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+        WITH sh AS (SELECT doc_id, h FROM read_parquet('{path}')),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND {key_eq} AND x.doc_id < y.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ({eq_sum}) / {float(n_hashes)} AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        WHERE ({eq_sum}) / {float(n_hashes)} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(path: str, max_hamming: int = 7) -> str:
+    """DuckDB twin of ``simhash_near_dups`` downstream of the hash seam.
+
+    Works in the per-bit domain so the packed 64-bit signature (whose bit
+    63 needs unsigned shifts) never materializes: bit b is the sign of the
+    ±1 token sum, chunk keys re-pack each pigeonhole window's bits, and
+    Hamming distance is the count of differing bits.  Arithmetic-shift
+    parity (``(h >> b) & 1`` on negative BIGINTs) between DuckDB and the
+    JVM is exercised by the gate itself."""
+    n_chunks = max_hamming + 1
+    base_w = 64 // n_chunks
+    extra = 64 % n_chunks
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    bits = ",\n                   ".join(
+        f"CASE WHEN SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN 1 ELSE 0 END AS b{b}"
+        for b in range(64)
+    )
+    chunk_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {c} AS chunk_no, ({key}) AS chunk FROM bits".format(
+            c=c,
+            key=" + ".join(
+                f"b{offsets[c] + j} * {1 << j}" for j in range(widths[c])
+            ),
+        )
+        for c in range(n_chunks)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN a.b{b} <> b.b{b} THEN 1 ELSE 0 END)" for b in range(64)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, h FROM read_parquet('{path}')),
+        bits AS (
+            SELECT doc_id,
+                   {bits}
+            FROM toks GROUP BY doc_id
+        ),
+        chunks AS (
+            {chunk_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM chunks x JOIN chunks y
+              ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk
+             AND x.doc_id < y.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, CAST(({ham}) AS INT) AS hamming
+        FROM cand c
+        JOIN bits a ON a.doc_id = c.doc_a
+        JOIN bits b ON b.doc_id = c.doc_b
+        WHERE ({ham}) <= {max_hamming}
+    """
 
 
 def _knn_lsh_axis_sql(
@@ -293,12 +460,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
         _docs(s, d), n=2, threshold=0.1
     ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+    # both sketch pipelines are oracled through the hash seam: a pure-
+    # Python XXH64 twin materializes the (doc_id, h) intermediates and
+    # DuckDB runs the signature/band/verify algebra over them (r3 VERDICT
+    # next-step #4; see _ensure_hash_artifacts)
     q["minhash_near_dups"] = lambda s, d: D.minhash_lsh_pairs(
         _docs(s, d), threshold=0.3
-    )  # rows-only: xxhash64 sketches have no DuckDB twin
+    )
     q["simhash_near_dups"] = lambda s, d: D.simhash_near_dups(
         _docs(s, d), max_hamming=7
-    )  # rows-only; 8 chunks x 8 bits — sane candidate fanout at scale
+    )  # 8 chunks x 8 bits — sane candidate fanout at scale
 
     q["embedding_near_dups"] = lambda s, d: D.embedding_near_dups(
         _t(s, d, "embeddings")
@@ -462,6 +633,9 @@ def oracle_sql() -> dict[str, str]:
               / (SQRT(list_dot_product(a.v, a.v))
                  * SQRT(list_dot_product(b.v, b.v))) >= 0.2
     """
+    paths = _ensure_hash_artifacts()
+    o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
+    o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["knn_lsh_top1"] = _knn_lsh_axis_sql(n_planes=4, n_tables=8, dim=64, k=1)
     o["knn_top3"] = """
         WITH e AS (

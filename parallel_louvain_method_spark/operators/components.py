@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 from parallel_louvain_method_spark.operators.graph import (
     symmetric_edges,
     vertex_ids,
@@ -117,9 +118,12 @@ def connected_components(
     ``component = min vertex id of the component``.
 
     While the vertex set is below ``broadcast_vertex_threshold`` the label
-    table gets an explicit broadcast hint in the per-round join —
-    ``localCheckpoint`` erases its statistics, so the planner would
-    otherwise sort-merge-join, re-sorting the cached edge side every round.
+    table gets an explicit broadcast hint in the per-round join — the
+    per-round ``fresh_checkpoint`` deliberately drops statistics (see
+    plans/lineage.py: carried-over stats SQUARE through the pointer-jump
+    self-join, a doubly-exponential BigInt blowup in the stats visitor),
+    so the planner would otherwise sort-merge-join, re-sorting the cached
+    edge side every round.
     """
     sym = (
         symmetric_edges(edges)
@@ -147,8 +151,8 @@ def connected_components(
         if n <= broadcast_vertex_threshold
         else (lambda df: df)
     )
-    labels = verts.select("vtx", F.col("vtx").alias("component")).localCheckpoint(
-        eager=True
+    labels = fresh_checkpoint(
+        verts.select("vtx", F.col("vtx").alias("component"))
     )
 
     for _ in range(max_iter):
@@ -184,8 +188,8 @@ def connected_components(
                 F.col("vtx"),
                 F.coalesce(F.col("parent"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        jumped = fresh_checkpoint(jumped)
         changed = (
             jumped.withColumnRenamed("component", "new_component")
             .join(labels, "vtx")

@@ -132,6 +132,33 @@ def _word_ngrams(text_col: str, n: int) -> Column:
     )
 
 
+def minhash_hashed_shingles(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """``[doc_id, h]`` — the hashed-shingle intermediate the MinHash
+    pipeline builds on: ``h = xxhash64(shingle) mod M`` per distinct word
+    n-gram.  Public because it is the ORACLE SEAM: ``xxhash64`` has no
+    DuckDB twin, so the correctness gate materializes THIS table and
+    re-derives signatures → bands → verified pairs in pure SQL over it
+    (__spark_entry__._minhash_oracle_sql); everything downstream of the
+    hash is universal-hash algebra both engines express identically."""
+    return docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("sh")
+    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
+
+
+def minhash_permutation_constants(n_hashes: int = 64) -> list[tuple[int, int]]:
+    """The fixed (a_i, b_i) universal-hash coefficients, exposed so the
+    DuckDB oracle embeds the SAME constants as the Spark pipeline."""
+    return [
+        (
+            _splitmix64(2 * i) % (_MERSENNE - 1) + 1,
+            _splitmix64(2 * i + 1) % _MERSENNE,
+        )
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -145,16 +172,12 @@ def minhash_signatures(
     and (a_i, b_i) are fixed odd constants — 64 JVM-side min() columns, no
     Python row code.
     """
-    shingles = docs.select(
-        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("sh")
-    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
+    shingles = minhash_hashed_shingles(docs, text_col, shingle_n)
     aggs = []
-    for i in range(n_hashes):
-        # near-independent (a, b) per permutation from a SplitMix64 stream;
-        # a in [1, M-1] (nonzero), b in [0, M-1].  a*h + b < 2^62: safe
-        # under ANSI overflow checking.
-        a = _splitmix64(2 * i) % (_MERSENNE - 1) + 1
-        b = _splitmix64(2 * i + 1) % _MERSENNE
+    # near-independent (a, b) per permutation from a SplitMix64 stream;
+    # a in [1, M-1] (nonzero), b in [0, M-1].  a*h + b < 2^62: safe
+    # under ANSI overflow checking.
+    for i, (a, b) in enumerate(minhash_permutation_constants(n_hashes)):
         aggs.append(
             F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
                 f"m{i}"
@@ -287,6 +310,19 @@ def ngram_jaccard_pairs(
     return out
 
 
+def simhash_hashed_tokens(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """``[doc_id, h]`` — raw ``xxhash64`` per distinct word n-gram, the
+    SimHash pipeline's hash intermediate.  Public for the same reason as
+    ``minhash_hashed_shingles``: the DuckDB oracle materializes this table
+    and re-derives bit-sums → chunks → Hamming verification in SQL
+    (__spark_entry__._simhash_oracle_sql)."""
+    return docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", shingle_n: int = 2
 ) -> DataFrame:
@@ -296,9 +332,7 @@ def simhash_signatures(
     hash decides the sign per bit.  64 conditional-sum aggregations, all
     JVM-side.
     """
-    toks = docs.select(
-        "doc_id", F.explode(_word_ngrams(text_col, shingle_n)).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    toks = simhash_hashed_tokens(docs, text_col, shingle_n)
     aggs = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 from parallel_louvain_method_spark.operators.graph import (
     exclude_self_loops,
     symmetric_edges,
@@ -40,8 +41,8 @@ def label_propagation(
     """Returns ``DataFrame[vtx: long, label: long]``.
 
     Label table broadcast-hinted per round below
-    ``broadcast_vertex_threshold`` (localCheckpoint erases statistics; see
-    operators/components.py)."""
+    ``broadcast_vertex_threshold`` (the per-round ``fresh_checkpoint``
+    drops statistics by design; see plans/lineage.py)."""
     sym = (
         exclude_self_loops(symmetric_edges(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -53,9 +54,7 @@ def label_propagation(
         if n_verts <= broadcast_vertex_threshold
         else (lambda df: df)
     )
-    labels = verts.select("vtx", F.col("vtx").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = fresh_checkpoint(verts.select("vtx", F.col("vtx").alias("label")))
     wcol = F.col("weight") if weighted else F.lit(1.0)
 
     zero_streak = 0
@@ -79,8 +78,8 @@ def label_propagation(
                 "vtx",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = fresh_checkpoint(new_labels)
         changed = (
             new_labels.withColumnRenamed("label", "nl")
             .join(labels, "vtx")

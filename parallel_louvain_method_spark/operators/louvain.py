@@ -42,8 +42,10 @@ A level picks one of five execution strategies by size:
 Shared machinery: hashed pseudo-random active halves per sweep (strict
 parity LOCKS period-2 oscillations; hashed halves provably vary), plateau /
 near-convergence exits that hand label churn to the next (much smaller)
-coarsened level, per-sweep ``localCheckpoint`` lineage truncation (without
-it the iterative plan grows exponentially), and per-level parquet
+coarsened level, per-sweep ``fresh_checkpoint`` lineage AND statistics
+truncation (plain ``localCheckpoint`` keeps ``originStats``, whose
+sizeInBytes the per-sweep self-joins square into a doubly-exponential
+BigInt — see plans/lineage.py), and per-level parquet
 checkpoints for resume (north rule; the reference left this as a TODO,
 src/distcommunity.cpp:899).
 """
@@ -65,6 +67,7 @@ from parallel_louvain_method_spark.operators.graph import (
     degrees as degrees_op,
     symmetric_edges,
 )
+from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 
 ASSIGN_SCHEMA = "vtx long, comm long"
 PROPOSAL_SCHEMA = "vtx long, comm long, moved int"
@@ -754,9 +757,7 @@ def _sql_superstep_level(
     gain > max(gain_stay, min_gain) with ties to the lower community id.
     Hashed active halves per sweep break synchronous oscillation.
     """
-    assign = deg.select("vtx", F.col("vtx").alias("comm")).localCheckpoint(
-        eager=True
-    )
+    assign = fresh_checkpoint(deg.select("vtx", F.col("vtx").alias("comm")))
 
     # AQE re-plans every stage boundary of the ~8-stage sweep DAG on the
     # driver — measured at several SERIAL seconds per sweep, which caps
@@ -811,7 +812,13 @@ def _sql_sweep_loop(
        of the vertices, only movers ∪ neighbors(movers) can change their
        argmax through the w(v→c) term — the next sweep semi-joins the edge
        table against that (small, geometrically decaying, broadcast) set,
-       turning tail sweeps from O(E) scans into O(E_local).  The filter is
+       turning tail sweeps from O(E) scans into O(E_local).  Both driver
+       broadcasts are gated by ABSOLUTE row caps (``delta_movers_cap`` /
+       ``delta_active_cap``): the fractional gate alone is 50M movers at
+       10^9 vertices, and a single high-degree mover makes the active set
+       unbounded by the mover count — past either cap the sweep runs full
+       instead (the one sanctioned broadcast family in this loop is
+       therefore bounded by construction).  The filter is
        the standard delta-Louvain approximation (a vertex affected ONLY
        through a totals change is deferred); a zero-move FILTERED sweep
        therefore triggers one FULL confirmation sweep; a SECOND zero-move
@@ -829,17 +836,26 @@ def _sql_sweep_loop(
     cost of per-sweep driver re-planning.
     """
     sh = lambda df: df.hint("shuffle_hash")  # noqa: E731
-    state = (
+    state = fresh_checkpoint(
         assign.join(deg, "vtx")
         .select("vtx", "comm", "degree", F.lit(1).alias("moved"))
-        .localCheckpoint(eager=True)
     )
+
+    # absolute caps on the delta machinery's DRIVER-SIDE broadcasts: the
+    # mover set is collected to build the neighbor semi-join and the
+    # active set is collected for the edge filter — both are serial driver
+    # memory, so the fractional gate (delta_frac·n, which is 50M rows at
+    # the 10^9-vertex design point) must not be the only bound.  Past
+    # either cap the sweep simply runs full — correct, just unfiltered.
+    delta_movers_cap = 1_000_000
+    delta_active_cap = 4_000_000
 
     zero_streak = 0
     best_moves = float("inf")
     best_sweep = -1
     prev_moves = n_vertices
     zero_delta_events = 0
+    force_full = False  # confirmation sweep: disable delta AND half filters
     churn_streak = 0  # consecutive sweeps at <= max(2, threshold) movers
     for sweep in range(max_sweeps):
         t_sw = time.monotonic()
@@ -858,20 +874,36 @@ def _sql_sweep_loop(
         # that the halves exist to prevent, and later sweeps keep halves
         # for the (now small) correction phase.
         active_edges = sym_edges.filter(F.col("src") != F.col("dst"))
-        if sweep > 0:
+        if sweep > 0 and not force_full:
+            # a CONFIRMATION sweep must examine EVERY vertex — the
+            # two-zero-delta exit below is only sound if the full sweep it
+            # forced really was full, so the hashed-half filter is skipped
+            # along with the delta filter
             active_edges = active_edges.filter(
                 F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
             )
-        delta_sweep = 0 < prev_moves <= delta_frac * n_vertices
+        delta_sweep = (
+            not force_full
+            and 0 < prev_moves <= min(delta_frac * n_vertices, delta_movers_cap)
+        )
         if delta_sweep:
             movers = state.filter(F.col("moved") == 1).select("vtx")
             nbrs = sym_edges.join(
                 F.broadcast(movers.withColumnRenamed("vtx", "dst")), "dst"
             ).select("src")
-            active_vtx = nbrs.union(
-                movers.withColumnRenamed("vtx", "src")
-            ).distinct()
-            active_edges = active_edges.join(F.broadcast(active_vtx), "src")
+            # materialize + count BEFORE committing to the broadcast: the
+            # mover count bounds nothing about the neighborhood (one
+            # high-degree mover can pull in ~all vertices), and a multi-GB
+            # driver-built broadcast is exactly what this loop forbids
+            active_vtx = fresh_checkpoint(
+                nbrs.union(movers.withColumnRenamed("vtx", "src")).distinct()
+            )
+            if active_vtx.count() <= delta_active_cap:
+                active_edges = active_edges.join(F.broadcast(active_vtx), "src")
+            else:
+                delta_sweep = False  # neighborhood too big — run full
+        full_coverage = sweep == 0 or force_full  # no half/delta filter
+        force_full = False
 
         s_dst = state2.select(
             F.col("vtx").alias("dst"),
@@ -933,6 +965,7 @@ def _sql_sweep_loop(
         upd = state.join(sh(proposals), "vtx", "left").select(
             "vtx",
             F.col("comm").alias("old_comm"),
+            F.col("new_comm"),
             F.coalesce("new_comm", "comm").alias("mid_comm"),
             "degree",
         )
@@ -942,39 +975,53 @@ def _sql_sweep_loop(
         # vertex u adopts label w, v would otherwise chase u through one
         # sweep per hop — the measured mover cascade halves per sweep and
         # stretches the level to ~log(n) full-table sweeps.  One
-        # state-sized self-join follows the label one hop
-        # (comm <- comm(comm)), collapsing chains as they form; a mutual
-        # swap (u<->w, the synchronous oscillation case) maps both back to
-        # themselves, which also neutralizes the pair-swap failure mode.
-        jump = upd.select(
+        # MOVERS-sized self-join follows the label one hop
+        # (comm <- comm(comm)); a mutual swap (u<->w, the synchronous
+        # oscillation case) maps both back to themselves, which also
+        # neutralizes the pair-swap failure mode.  BOTH sides are
+        # restricted to vertices that moved THIS sweep: a settled member
+        # of community u must NOT be dragged along when u departs (it
+        # keeps the now-orphaned label — standard synchronous label-based
+        # Louvain; un-scoped, the jump applied gain-unchecked bulk merges
+        # of whole settled communities, ADVICE r3 #1), and chasing into a
+        # label whose representative moved in an EARLIER sweep would
+        # target a community the mover never scored.
+        jump = upd.filter(F.col("new_comm").isNotNull()).select(
             F.col("vtx").alias("mid_comm"),
             F.col("mid_comm").alias("jump_comm"),
         )
-        state = (
+        chased = F.when(
+            F.col("new_comm").isNotNull(),
+            F.coalesce("jump_comm", "mid_comm"),
+        ).otherwise(F.col("mid_comm"))
+        state = fresh_checkpoint(
             upd.join(sh(jump), "mid_comm", "left")
             .select(
                 "vtx",
-                F.coalesce("jump_comm", "mid_comm").alias("comm"),
+                chased.alias("comm"),
                 "degree",
-                (
-                    F.coalesce("jump_comm", "mid_comm") != F.col("old_comm")
-                ).cast("int").alias("moved"),
+                (chased != F.col("old_comm")).cast("int").alias("moved"),
             )
-            .localCheckpoint(eager=True)
         )
         moves = int(state.agg(F.sum("moved")).first()[0] or 0)
         stats.moves_per_sweep.append(moves)
         stats.sweeps = sweep + 1
         prev_moves = moves
         if os.environ.get("PLM_DEBUG_SWEEPS"):
+            tag = " (delta)" if delta_sweep else (
+                " (full-confirmation)" if full_coverage and sweep > 0 else ""
+            )
             print(
                 f"[louvain/sql] sweep {sweep}: "
-                f"{time.monotonic() - t_sw:.1f}s moves={moves}"
-                + (" (delta)" if delta_sweep else ""),
+                f"{time.monotonic() - t_sw:.1f}s moves={moves}" + tag,
                 file=sys.stderr,
                 flush=True,
             )
 
+        if moves == 0 and full_coverage:
+            # a zero-move sweep that examined EVERY vertex is a global
+            # fixed point — no streak needed
+            break
         if moves == 0 and delta_sweep:
             zero_delta_events += 1
             if zero_delta_events >= 2:
@@ -988,21 +1035,27 @@ def _sql_sweep_loop(
                 # plateau exit.
                 break
             # a zero-move FILTERED sweep is not a global fixed point — run
-            # a full confirmation sweep (prev_moves large disables delta)
+            # a full confirmation sweep: force_full disables BOTH the
+            # delta semi-join and the hashed-half filter (a confirmation
+            # that rechecks only half the vertices cannot confirm,
+            # ADVICE r3 #3)
+            force_full = True
             prev_moves = n_vertices
             zero_streak = 0
             continue
         zero_streak = zero_streak + 1 if moves == 0 else 0
         if zero_streak >= 3:
             break
-        threshold = int(min_moves_frac * n_vertices)
-        if sweep > 0 and threshold > 0 and moves <= threshold:
+        # floor at 1: on graphs tiny enough that the fractional threshold
+        # floors to 0 (n < 1/min_moves_frac) a 1-mover tail can otherwise
+        # churn for dozens of sweeps (r3's observed 8,3,2,3,... tail) —
+        # one residual mover is always below any meaningful exit bar
+        threshold = max(1, int(min_moves_frac * n_vertices))
+        if sweep > 0 and moves <= threshold:
             break
-        # small-graph churn guard: on graphs tiny enough that the
-        # min_moves_frac threshold floors to 0 (the sql engine is not the
-        # intended path there, but explicit engine selection must still
-        # terminate), a handful of vertices can trade 1-2 moves per sweep
-        # for dozens of sweeps — five consecutive such sweeps end the level
+        # small-graph churn guard: a handful of vertices trading 2-3
+        # moves per sweep for dozens of sweeps — five consecutive such
+        # sweeps end the level (backstop behind the floored threshold)
         churn_streak = churn_streak + 1 if 0 < moves <= max(2, threshold) else 0
         if churn_streak >= 5:
             break
@@ -1139,7 +1192,7 @@ def louvain_level(
         meta = out.agg(F.max("sweeps"), F.max("moved"), F.max("q")).first()
         stats.sweeps = int(meta[0] or 0)
         any_moved = bool(meta[1])
-        assign = out.select("vtx", "comm").localCheckpoint(eager=True)
+        assign = fresh_checkpoint(out.select("vtx", "comm"))
         out.unpersist()
         # the kernel already computed level modularity over its own CSR —
         # one applyInPandas job per level, no extra multi-join query
@@ -1355,7 +1408,7 @@ def louvain_level(
         # several times, so without truncation the logical plan grows
         # exponentially and analysis time explodes (state is tiny next to
         # the edge table, so an eager localCheckpoint per sweep is cheap)
-        new_assign = new_assign.localCheckpoint(eager=True)
+        new_assign = fresh_checkpoint(new_assign)
         moves = int(new_assign.agg(F.sum("moved")).first()[0] or 0)
         stats.moves_per_sweep.append(moves)
         stats.sweeps = sweep + 1
@@ -1582,7 +1635,7 @@ def louvain(
                 .join(relabeled.withColumnRenamed("vtx", "mid"), "mid")
                 .select("vtx", "comm")
             )
-        flat = flat.localCheckpoint(eager=True)
+        flat = fresh_checkpoint(flat)
         if os.environ.get("PLM_DEBUG_SWEEPS"):
             print(
                 f"[louvain] level {level_no}: wall {stats.wall_sec:.1f}s "
@@ -1614,7 +1667,7 @@ def louvain(
         if not moved or (stats.modularity - q_prev) <= min_q_gain:
             break
         q_prev = stats.modularity
-        sym = coarse.localCheckpoint(eager=True)
+        sym = fresh_checkpoint(coarse)
         if level0_cache is not None:
             # the coarse table is checkpointed: the level-0 cache (the
             # biggest object of the run) has no further consumer

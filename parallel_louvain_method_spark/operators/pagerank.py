@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from parallel_louvain_method_spark.operators.graph import vertex_ids
+from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 
 
 def _pagerank_broadcast(
@@ -196,9 +197,7 @@ def pagerank(
     )
     trans.count()
 
-    ranks = verts.select("vtx", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
+    ranks = fresh_checkpoint(verts.select("vtx", F.lit(1.0 / n).alias("rank")))
     base = (1.0 - damping) / n
     # dangling set is static — skip the per-iteration aggregation entirely
     # when it's empty (always true for symmetrized graphs)
@@ -239,7 +238,7 @@ def pagerank(
         # broadcast exchange of `contrib` forces a materialization per
         # iteration regardless, so deferring the checkpoint only re-runs
         # the previous join inside the next one (measured slower)
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = fresh_checkpoint(new_ranks)
         if tol is not None:
             delta = (
                 new_ranks.withColumnRenamed("rank", "new_rank")

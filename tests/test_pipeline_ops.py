@@ -286,3 +286,63 @@ def test_knn_lsh_axis_planes(spark, embeddings):
     }
     agree = sum(1 for q, n in exact.items() if top1.get(q) == n)
     assert agree / len(exact) >= 0.5
+
+
+def test_python_xxh64_matches_spark(spark):
+    """Parity pin for functions/pyhash.py: the pure-Python XXH64 twin that
+    materializes the MinHash/SimHash oracle artifacts must reproduce
+    Spark's xxhash64 (seed 42) bit-for-bit — across every tail-length
+    class of the algorithm (0-3, 4-7, 8-31, >=32 bytes) and on real
+    fixture shingles."""
+    from parallel_louvain_method_spark.functions.pyhash import (
+        hashed_shingles,
+        word_ngrams,
+        xxh64,
+    )
+
+    samples = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "q" * 31, "w" * 32,
+        "the quick brown fox jumps over the lazy dog", "é ü ñ 漢字",
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    samples += [r["text"] for r in docs.limit(8).collect()]
+    got = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in got:
+        assert xxh64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+
+    # shingle twin: the (doc_id, h) artifact rows equal the Spark
+    # pipeline's hashed-shingle intermediate, minhash AND simhash flavors
+    from parallel_louvain_method_spark.operators.dedup import (
+        minhash_hashed_shingles,
+        simhash_hashed_tokens,
+    )
+
+    sub = docs.limit(20)
+    rows = sub.select("doc_id", "text").collect()
+    spark_mh = {
+        (r["doc_id"], r["h"]) for r in minhash_hashed_shingles(sub).collect()
+    }
+    py_mh = {
+        (doc_id, h)
+        for doc_id, text in [(r["doc_id"], r["text"]) for r in rows]
+        for h in hashed_shingles(text, 3, (1 << 31) - 1)
+    }
+    assert spark_mh == py_mh
+    spark_sh = {
+        (r["doc_id"], r["h"]) for r in simhash_hashed_tokens(sub).collect()
+    }
+    py_sh = {
+        (doc_id, h)
+        for doc_id, text in [(r["doc_id"], r["text"]) for r in rows]
+        for h in hashed_shingles(text, 2)
+    }
+    assert spark_sh == py_sh
+    # and the ngram twin agrees as a set
+    one = rows[0]["text"]
+    from parallel_louvain_method_spark.operators.dedup import _word_ngrams
+    spark_ng = sub.limit(1).select(
+        F.explode(_word_ngrams("text", 3)).alias("g")
+    ).collect()
+    assert {r["g"] for r in spark_ng} == set(word_ngrams(one, 3))

@@ -69,3 +69,57 @@ def test_builtin_expressions_stay_in_codegen(spark):
     # no BatchEvalPython (row-at-a-time UDF) anywhere in the text operators
     plan = wholestage_codegen_spans.__globals__["plan_text"](df)
     assert "BatchEvalPython" not in plan
+
+
+def test_fresh_checkpoint_stats_stay_bounded(spark):
+    """Regression for the r3 sql-engine hang: ``localCheckpoint`` preserves
+    originStats, and an iterated self-join SQUARES the carried sizeInBytes
+    BigInt each round (digits double: measured 988 → 1976 → 3951 → 7901 by
+    round 10 on Spark 4.1.2) until the driver lives inside Toom-Cook
+    BigInteger multiplies in SizeInBytesOnlyStatsPlanVisitor.visitJoin.
+    ``fresh_checkpoint`` must keep the digit count flat and bounded."""
+    from parallel_louvain_method_spark.plans.lineage import (
+        fresh_checkpoint,
+        size_in_bytes_digits,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("vtx"), F.col("id").alias("comm")
+    )
+    df = fresh_checkpoint(df)
+    digits = []
+    for _ in range(8):
+        j = df.select(F.col("vtx").alias("comm"), F.col("comm").alias("jc"))
+        nxt = (
+            df.hint("shuffle_hash")
+            .join(j.hint("shuffle_hash"), "comm", "left")
+            .select("vtx", F.coalesce("jc", "comm").alias("comm"))
+        )
+        df = fresh_checkpoint(nxt)
+        digits.append(size_in_bytes_digits(df))
+    # the buggy pattern reaches ~250 digits by round 8; a stats-free leaf
+    # stays at the constant default (19-20 digits for Long.MaxValue)
+    assert max(digits) <= 40, digits
+    assert df.count() == 200
+
+
+def test_plain_local_checkpoint_compounds_stats(spark):
+    """Documents WHY fresh_checkpoint exists: the plain localCheckpoint
+    variant of the loop above really does compound stats multiplicatively
+    (this is Spark behavior, not ours — if an upgrade fixes it, this test
+    tells us the workaround can be retired)."""
+    from parallel_louvain_method_spark.plans.lineage import size_in_bytes_digits
+
+    df = spark.range(200).select(
+        F.col("id").alias("vtx"), F.col("id").alias("comm")
+    )
+    df = df.localCheckpoint(eager=True)
+    for _ in range(4):
+        j = df.select(F.col("vtx").alias("comm"), F.col("comm").alias("jc"))
+        df = (
+            df.hint("shuffle_hash")
+            .join(j.hint("shuffle_hash"), "comm", "left")
+            .select("vtx", F.coalesce("jc", "comm").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+    assert size_in_bytes_digits(df) > 40
