@@ -212,7 +212,14 @@ def minhash_lsh_pairs(
     rows for observability.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).persist()
+    # localCheckpoint, not persist: sigs feeds BOTH banding and the verify
+    # join, but a plain persist() pins it in executor memory for the whole
+    # session (r3 ADVICE: long sessions accumulate dead cached tables) —
+    # the checkpointed RDD instead releases with the returned DataFrame's
+    # lifetime (GC + ContextCleaner), the dense_ids pattern (graph.py)
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n).localCheckpoint(
+        eager=True
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -275,9 +282,11 @@ def ngram_jaccard_pairs(
     whose intersection isn't entirely ubiquitous.  SQL-expressible: the
     DuckDB oracle in __spark_entry__ runs the same algebra.
     """
+    # localCheckpoint, not persist — released with the result's lifetime
+    # instead of pinned for the session (see minhash_lsh_pairs)
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(text_col, n)).alias("g")
-    ).persist()
+    ).localCheckpoint(eager=True)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = grams.groupBy("g").agg(F.count("*").alias("df"))
     rare = grams.join(

@@ -108,6 +108,11 @@ class LevelStats:
     n_edges_sym: int
     sweeps: int = 0
     moves_per_sweep: list[int] = field(default_factory=list)
+    # wall seconds per sweep (sql engine): the r3 hang manifested as
+    # MONOTONICALLY GROWING sweep walls (compounding Catalyst stats, see
+    # plans/lineage.py) — recording them makes 'tail sweeps stay flat' a
+    # testable property instead of a debug-env printout
+    sweep_wall_sec: list[float] = field(default_factory=list)
     modularity: float = float("nan")
     wall_sec: float = 0.0
     # which execution strategy actually ran the level ("local/sequential",
@@ -1005,6 +1010,7 @@ def _sql_sweep_loop(
         )
         moves = int(state.agg(F.sum("moved")).first()[0] or 0)
         stats.moves_per_sweep.append(moves)
+        stats.sweep_wall_sec.append(time.monotonic() - t_sw)
         stats.sweeps = sweep + 1
         prev_moves = moves
         if os.environ.get("PLM_DEBUG_SWEEPS"):

@@ -137,7 +137,10 @@ def knn_lsh(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     raw = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("raw_v"))
-    base = _normalized(embeddings, id_col, vec_col).persist()
+    # localCheckpoint, not persist — the normalized table feeds bucketing
+    # and the two score joins, and must release with the result instead of
+    # living for the session (see operators/dedup.py minhash_lsh_pairs)
+    base = _normalized(embeddings, id_col, vec_col).localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         if planes == "axis":

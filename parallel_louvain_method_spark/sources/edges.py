@@ -54,9 +54,28 @@ def write_communities(assign: DataFrame, path: str) -> None:
     assign.write.mode("overwrite").parquet(path)
 
 
-def community_membership(assign: DataFrame) -> DataFrame:
-    """Human-readable S4 variant: one row per community with member list."""
-    return assign.groupBy("comm").agg(
-        F.sort_array(F.collect_list("vtx")).alias("members"),
-        F.count("*").alias("size"),
+def community_membership(assign: DataFrame, member_cap: int = 1000) -> DataFrame:
+    """Human-readable S4 variant: one row per community with member list.
+
+    ``size`` is the EXACT community size; ``members`` lists at most
+    ``member_cap`` lowest vertex ids — a mega-community at corpus scale
+    would otherwise put millions of ids into one aggregation buffer /
+    output row (the ranked-collect cap from operators/dedup.py
+    exact_duplicates; window and groupBy share the key, still ONE
+    shuffle).  Raise ``member_cap`` explicitly for full small-graph dumps.
+    """
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("comm").orderBy("vtx"))
+    return (
+        assign.withColumn("_rn", rn)
+        .groupBy("comm")
+        .agg(
+            # collect_list skips nulls -> only the first member_cap ids
+            # ever enter the buffer
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= member_cap, F.col("vtx")))
+            ).alias("members"),
+            F.count("*").alias("size"),
+        )
     )

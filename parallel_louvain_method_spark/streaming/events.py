@@ -69,8 +69,15 @@ def cocommit_pair_stream(
     Stage 1 is the only STATEFUL operator: a watermarked windowed
     aggregation collecting the distinct user set per bucket; append mode
     finalizes each bucket exactly once when the watermark passes its
-    window end, so a pair is never double-emitted.  State per bucket is
-    bounded by the cap below plus the watermark horizon.
+    window end, so a pair is never double-emitted.  NOTE on state size:
+    the cap below bounds EMISSION, not in-flight state — while a bucket's
+    window is open, ``collect_set`` accumulates every distinct user seen,
+    so a pathological hot bucket holds its full distinct-user set until
+    the watermark closes it (bounded in TIME by the watermark horizon,
+    not in cardinality).  Deployments expecting adversarial buckets
+    should pre-aggregate with a per-(bucket, user-id-hash-prefix) salt or
+    an ``applyInPandasWithState`` cap upstream; the default cap keeps the
+    DOWNSTREAM pair-bomb bounded either way.
 
     Stage 2 is stateless projection on the finalized rows: buckets larger
     than ``max_users_per_bucket`` are DROPPED (the explicit k²/2 pair-bomb

@@ -49,3 +49,9 @@ def csr5_df(spark):
     return spark.createDataFrame(
         [(a, b, 1.0) for a, b in CSR5_EDGES], "src long, dst long, weight double"
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end scale tests"
+    )

@@ -346,3 +346,52 @@ def test_python_xxh64_matches_spark(spark):
         F.explode(_word_ngrams("text", 3)).alias("g")
     ).collect()
     assert {r["g"] for r in spark_ng} == set(word_ngrams(one, 3))
+
+
+def test_pipeline_caches_release(spark, docs, embeddings):
+    """r3 VERDICT #3: the sketch pipelines' reused intermediates (minhash
+    sigs, jaccard grams, knn normalized base) must not pin executor memory
+    for the whole session.  They are localCheckpoint'ed, so dropping the
+    result DataFrame releases them via GC + ContextCleaner — assert the
+    persistent-RDD set returns to its baseline."""
+    import gc
+    import time
+
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    # the module fixtures persist lazily — force their caches to exist
+    # BEFORE the baseline or they'd show up as false leaks
+    docs.count()
+    embeddings.count()
+    before = persistent_ids()
+    # one representative — ngram grams and the knn base follow the same
+    # localCheckpoint pattern; release latency is ~30 s per RDD (py4j
+    # finalizer + ContextCleaner), so testing all three would triple it
+    pairs = D.minhash_lsh_pairs(docs.limit(50), threshold=0.3)
+    pairs.count()
+    assert persistent_ids() - before, "expected a live checkpoint RDD"
+    del pairs
+    deadline = time.time() + 90
+    while time.time() < deadline and not persistent_ids() <= before:
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(0.5)
+    leaked = persistent_ids() - before
+    assert not leaked, leaked
+
+
+def test_community_membership_capped(spark):
+    """members lists at most member_cap lowest ids; size stays exact."""
+    from parallel_louvain_method_spark.sources.edges import community_membership
+
+    assign = spark.createDataFrame(
+        [(v, v % 2) for v in range(20)], "vtx long, comm long"
+    )
+    rows = {r["comm"]: r for r in community_membership(assign, member_cap=3).collect()}
+    assert rows[0]["size"] == 10 and rows[1]["size"] == 10
+    assert rows[0]["members"] == [0, 2, 4] and rows[1]["members"] == [1, 3, 5]
+    full = {r["comm"]: r for r in community_membership(assign).collect()}
+    assert len(full[0]["members"]) == 10
