@@ -31,7 +31,11 @@ from parallel_louvain_method_spark.operators.components import connected_compone
 from parallel_louvain_method_spark.operators.labelprop import label_propagation
 from parallel_louvain_method_spark.operators.louvain import louvain
 from parallel_louvain_method_spark.operators.pagerank import pagerank
-from parallel_louvain_method_spark.operators.similarity import knn_brute_force, knn_lsh
+from parallel_louvain_method_spark.operators.similarity import (
+    ivf_knn,
+    knn_brute_force,
+    knn_lsh,
+)
 from parallel_louvain_method_spark.operators.triangles import triangle_count
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 
@@ -293,6 +297,97 @@ def _simhash_oracle_sql(path: str, max_hamming: int = 7) -> str:
     """
 
 
+def _ivf_oracle_sql(
+    n_centroids: int = 8, n_probe: int = 2, iters: int = 2, k: int = 1
+) -> str:
+    """DuckDB twin of ``ivf_knn`` with the fixed Lloyd iterations unrolled
+    (the fixed-k PageRank oracle trick).  Deterministic init (lowest ids),
+    9-dp-snapped centroids after every normalize make the two engines'
+    centroid tables digit-identical despite their different float
+    summation orders; ranks (not cosines) are compared, as in the other
+    kNN gates."""
+    rnorm = "list_transform({l}, x -> round(x / sqrt(list_dot_product({l}, {l})), 9))"
+    parts = [
+        """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+            FROM embeddings WHERE vec_id < 200
+        ),
+        b AS (
+            SELECT vec_id AS id,
+                   list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+            FROM e
+        ),
+        c0 AS (
+            SELECT id AS cid, """ + rnorm.format(l="v") + f"""
+                   AS cv
+            FROM b ORDER BY id LIMIT {n_centroids}
+        ),"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+        a{i} AS (
+            SELECT id, cid FROM (
+                SELECT b.id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY list_dot_product(b.v, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM b CROSS JOIN c{i} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT a.cid, t.pos, AVG(b.v[t.pos]) AS m
+            FROM a{i} a JOIN b ON a.id = b.id,
+                 UNNEST(range(1, len(b.v) + 1)) AS t(pos)
+            GROUP BY a.cid, t.pos
+        ),
+        c{i + 1} AS (
+            SELECT cid, """ + rnorm.format(l="mv") + """ AS cv
+            FROM (SELECT cid, list(m ORDER BY pos) AS mv FROM m""" + str(i) + """ GROUP BY cid)
+        ),""")
+    cf = f"c{iters}"
+    parts.append(f"""
+        af AS (
+            SELECT id, cid FROM (
+                SELECT b.id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY list_dot_product(b.v, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM b CROSS JOIN {cf} c
+            ) WHERE rn = 1
+        ),
+        p AS (
+            SELECT query_id, cid FROM (
+                SELECT b.id AS query_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.id
+                           ORDER BY list_dot_product(b.v, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM b CROSS JOIN {cf} c
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT p.query_id, a.id AS neighbor_id
+            FROM p JOIN af a ON a.cid = p.cid
+            WHERE a.id <> p.query_id
+        ),
+        ranked AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_dot_product(qb.v, nb.v) DESC,
+                                c.neighbor_id ASC
+                   ) AS rank
+            FROM cand c
+            JOIN b qb ON qb.id = c.query_id
+            JOIN b nb ON nb.id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}""")
+    return "".join(parts)
+
+
 def _knn_lsh_axis_sql(
     n_planes: int = 4, n_tables: int = 8, dim: int = 64, k: int = 1
 ) -> str:
@@ -502,6 +597,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalizes per-element while the oracle divides the dot by norms —
     # last-ulp differences occasionally straddle a 9-dp rounding boundary
     # and break the string value-hash even though allclose(1e-9) holds.
+    # IVF coarse-quantizer ANN (the other scale family next to LSH):
+    # deterministic init + fixed Lloyd rounds + 9-dp-snapped centroids ->
+    # DuckDB twin with the iterations unrolled (_ivf_oracle_sql)
+    q["ivf_knn_top1"] = lambda s, d: ivf_knn(
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        ),
+        k=1,
+        n_centroids=8,
+        n_probe=2,
+        iters=2,
+        assign_method="expr",
+    ).select("query_id", "neighbor_id", "rank")
     q["knn_lsh_top1"] = lambda s, d: knn_lsh(
         _t(s, d, "embeddings").filter(F.col("vec_id") < 200),
         k=1,
@@ -636,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
     paths = _ensure_hash_artifacts()
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
+    o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)
     o["knn_lsh_top1"] = _knn_lsh_axis_sql(n_planes=4, n_tables=8, dim=64, k=1)
     o["knn_top3"] = """
         WITH e AS (

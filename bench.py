@@ -84,7 +84,10 @@ def main() -> None:
     from parallel_louvain_method_spark.operators.dedup import minhash_lsh_pairs
     from parallel_louvain_method_spark.operators.louvain import louvain
     from parallel_louvain_method_spark.operators.pagerank import pagerank
-    from parallel_louvain_method_spark.operators.similarity import knn_lsh
+    from parallel_louvain_method_spark.operators.similarity import (
+        ivf_knn,
+        knn_lsh,
+    )
     from parallel_louvain_method_spark.operators.triangles import triangle_count
     from parallel_louvain_method_spark.sources.corpus import (
         build_file_graph,
@@ -235,6 +238,13 @@ def main() -> None:
     timed(
         "knn_lsh_embeddings",
         lambda: knn_lsh(emb, k=5, n_planes=8, n_tables=4, dim=64).count(),
+    )
+    timed(
+        "ivf_knn_embeddings",
+        lambda: ivf_knn(
+            emb, k=5, n_centroids=128, n_probe=8, iters=2,
+            assign_method="matmul",
+        ).count(),
     )
 
     host["end"] = _host_snapshot()

@@ -772,6 +772,14 @@ def _sql_superstep_level(
     # afterwards.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # runtime bloom-filter injection is also pointless inside the loop —
+    # the sweep joins are already minimal and fixed-shape, every extra
+    # creation-side aggregate is a per-sweep job; with the stats-free
+    # checkpoint leaves (plans/lineage.py) the injector's size heuristics
+    # see defaultSizeInBytes anyway, so pin the decision to off
+    bloom_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    bloom_before = spark.conf.get(bloom_key, "true")
+    spark.conf.set(bloom_key, "false")
     try:
         return _sql_sweep_loop(
             spark, sym_edges, deg, m2, n_vertices, max_sweeps, anneal,
@@ -781,6 +789,7 @@ def _sql_superstep_level(
         # restore on EVERY exit path — an exception mid-sweep must not
         # leave AQE disabled for the rest of the shared session
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set(bloom_key, bloom_before)
 
 
 def _sql_sweep_loop(
@@ -841,9 +850,25 @@ def _sql_sweep_loop(
     cost of per-sweep driver re-planning.
     """
     sh = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    # static neighbor COUNT per vertex (one extra O(E)→O(n) partial-agg at
+    # level start): Σ nc over a sweep's movers is an exact upper bound on
+    # |movers ∪ neighbors(movers)|, so the delta-broadcast safety gate
+    # below reads it from the tiny state table instead of paying an extra
+    # edge-table scan + checkpoint per delta sweep (measured: the r4
+    # count-the-active-set gate cost ~0.05 efficiency at 87M edges)
+    nbr_cnt = sym_edges.groupBy(F.col("dst").alias("vtx")).agg(
+        F.count("*").alias("nc")
+    )
     state = fresh_checkpoint(
         assign.join(deg, "vtx")
-        .select("vtx", "comm", "degree", F.lit(1).alias("moved"))
+        .join(sh(nbr_cnt), "vtx", "left")
+        .select(
+            "vtx",
+            "comm",
+            "degree",
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.lit(1).alias("moved"),
+        )
     )
 
     # absolute caps on the delta machinery's DRIVER-SIDE broadcasts: the
@@ -892,18 +917,23 @@ def _sql_sweep_loop(
             and 0 < prev_moves <= min(delta_frac * n_vertices, delta_movers_cap)
         )
         if delta_sweep:
-            movers = state.filter(F.col("moved") == 1).select("vtx")
-            nbrs = sym_edges.join(
-                F.broadcast(movers.withColumnRenamed("vtx", "dst")), "dst"
-            ).select("src")
-            # materialize + count BEFORE committing to the broadcast: the
-            # mover count bounds nothing about the neighborhood (one
-            # high-degree mover can pull in ~all vertices), and a multi-GB
-            # driver-built broadcast is exactly what this loop forbids
-            active_vtx = fresh_checkpoint(
-                nbrs.union(movers.withColumnRenamed("vtx", "src")).distinct()
-            )
-            if active_vtx.count() <= delta_active_cap:
+            # bound BEFORE building the broadcast: the mover count bounds
+            # nothing about the neighborhood (one high-degree mover can
+            # pull in ~all vertices), and a multi-GB driver-built
+            # broadcast is exactly what this loop forbids.  Σ nc + |movers|
+            # ≥ |movers ∪ neighbors(movers)| exactly, read from the tiny
+            # state table — no edge scan spent deciding.
+            movers = state.filter(F.col("moved") == 1)
+            row = movers.agg(F.sum("nc"), F.count("*")).first()
+            bound = int(row[0] or 0) + int(row[1] or 0)
+            if bound <= delta_active_cap:
+                mv = movers.select("vtx")
+                nbrs = sym_edges.join(
+                    F.broadcast(mv.withColumnRenamed("vtx", "dst")), "dst"
+                ).select("src")
+                active_vtx = nbrs.union(
+                    mv.withColumnRenamed("vtx", "src")
+                ).distinct()
                 active_edges = active_edges.join(F.broadcast(active_vtx), "src")
             else:
                 delta_sweep = False  # neighborhood too big — run full
@@ -973,6 +1003,7 @@ def _sql_sweep_loop(
             F.col("new_comm"),
             F.coalesce("new_comm", "comm").alias("mid_comm"),
             "degree",
+            "nc",
         )
         # label-chase collapse (pointer jumping, the CC trick applied to
         # community labels): a community is labeled by its representative
@@ -1005,6 +1036,7 @@ def _sql_sweep_loop(
                 "vtx",
                 chased.alias("comm"),
                 "degree",
+                "nc",
                 (chased != F.col("old_comm")).cast("int").alias("moved"),
             )
         )

@@ -395,3 +395,40 @@ def test_community_membership_capped(spark):
     assert rows[0]["members"] == [0, 2, 4] and rows[1]["members"] == [1, 3, 5]
     full = {r["comm"]: r for r in community_membership(assign).collect()}
     assert len(full[0]["members"]) == 10
+
+
+def test_ivf_knn_recall_and_method_parity(spark, embeddings):
+    """IVF coarse-quantizer ANN: recovers a planted exact duplicate,
+    mostly agrees with brute force on top-1, and the expr (SQL-oracle)
+    and matmul (scale) assignment paths produce IDENTICAL output —
+    the centroid math is shared, only the argmax execution differs."""
+    from parallel_louvain_method_spark.operators.similarity import ivf_knn
+
+    sub = embeddings.limit(60).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    first = sub.first()
+    dup = spark.createDataFrame(
+        [(99999, first["embedding"])], sub.schema
+    )
+    data = sub.union(dup)
+    got = ivf_knn(
+        data, k=1, n_centroids=8, n_probe=2, iters=2, assign_method="expr"
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got}
+    # the planted duplicate shares its twin's cluster by construction
+    assert top1.get(99999) == first["vec_id"]
+    assert top1.get(first["vec_id"]) == 99999
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_brute_force(sub, k=1).collect()
+    }
+    agree = sum(1 for q, n in exact.items() if top1.get(q) == n)
+    assert agree / len(exact) >= 0.5
+    got_mm = ivf_knn(
+        data, k=1, n_centroids=8, n_probe=2, iters=2, assign_method="matmul"
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got_mm} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in got
+    }

@@ -63,6 +63,7 @@ print("RESULT " + json.dumps({{
     "cpus": {cpus}, "wall": round(wall, 2),
     "q": round(res.modularity, 6),
     "level_walls": [round(l.wall_sec, 2) for l in res.levels],
+    "sweep_walls_l0": [round(w, 2) for w in res.levels[0].sweep_wall_sec],
     "engines": [l.engine for l in res.levels],
     "sweeps": [l.sweeps for l in res.levels],
     "edges_processed": sum(l.n_edges_sym * l.sweeps for l in res.levels),
