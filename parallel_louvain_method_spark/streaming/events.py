@@ -2,10 +2,13 @@
 
 ``readStream`` over a parquet/file source with the ``events`` schema
 (event_id, ts, user_id, event_type, value, props), watermarked on ``ts``.
-Two streaming surfaces:
+Three streaming surfaces:
 
 - :func:`windowed_activity` — per (window, event_type) count/value
   aggregates with late-data handling;
+- :func:`user_sessions_stream` — per-user session windows as a CUSTOM
+  STATEFUL operator (``applyInPandasWithState`` + event-time timeouts),
+  parity-tested against the native ``session_window`` batch twin;
 - :func:`cocommit_pair_stream` — the streaming twin of
   ``sources/corpus.cocommit_edges``: distinct users co-occurring in the
   same (event_type, window) bucket become PAIR rows, emitted exactly once
@@ -148,4 +151,139 @@ def start_activity_sink(
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def user_sessions_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of :func:`user_sessions_stream` via the native
+    ``session_window`` — the parity ORACLE for the custom stateful
+    operator (same output schema, one row per session)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            # session_window's end is last_ts + gap; report the LAST EVENT
+            # time as the session end (the stateful twin's natural output)
+            (
+                F.col("w.end") - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            ).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_sessions_stream(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user SESSION WINDOWS as a custom stateful operator —
+    ``applyInPandasWithState`` with event-time timeouts (the
+    arbitrary-stateful-processing surface; the windowed aggregates above
+    only cover the declarative one).
+
+    One state row per user: ``(start, last, n, total)`` of the currently
+    OPEN session (timestamps as epoch-µs longs — Arrow-stable).  A batch
+    for a user is sorted by ``ts`` and split at gaps > ``gap_seconds``
+    VECTORIZED (numpy diff, no per-event Python loop); every closed
+    session emits immediately, the open tail persists in state with an
+    event-time timeout at ``last + gap`` — when the watermark passes it,
+    the timeout path emits the session and clears the state.  Output is
+    append-mode exactly-once, like the pair stream.
+
+    State is O(1) per ACTIVE user (four scalars) — bounded by user
+    cardinality within the watermark horizon, not by event volume; this
+    is the state bound the windowed ``collect_set`` aggregation above
+    explicitly cannot give.
+    """
+    import pandas as pd  # local: keep the module import-light
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        import numpy as np
+
+        parts = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(parts).sort_values("ts") if parts else pd.DataFrame()
+        if len(pdf) == 0:
+            return
+        ts = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        val = pdf["value"].fillna(0.0).to_numpy()
+        if state.exists:
+            start0, last0, n0, total0 = state.get
+        else:
+            start0, last0, n0, total0 = ts[0], ts[0] - 1, 0, 0.0
+        # session boundary BEFORE event i when the gap from the previous
+        # event (or the open tail's last ts) exceeds the budget
+        prev = np.concatenate(([last0], ts[:-1])) if state.exists else np.concatenate(([ts[0]], ts[:-1]))
+        newsess = (ts - prev) > gap_us
+        seg = np.cumsum(newsess)  # 0 = continuation of the open session
+        out = []
+        for s in range(int(seg.max()) + 1 if len(seg) else 0):
+            m = seg == s
+            if not m.any():
+                continue
+            seg_ts, seg_val = ts[m], val[m]
+            if s == 0 and state.exists:
+                cur = (start0, int(seg_ts[-1]), n0 + int(m.sum()), total0 + float(seg_val.sum()))
+            else:
+                cur = (int(seg_ts[0]), int(seg_ts[-1]), int(m.sum()), float(seg_val.sum()))
+            out.append(cur)
+        if state.exists and len(seg) and seg.max() >= 1 and not (seg == 0).any():
+            # the whole batch started a new session: the open tail closes
+            out.insert(0, (start0, last0, n0, total0))
+        closed, open_tail = out[:-1], out[-1]
+        state.update(open_tail)
+        state.setTimeoutTimestamp((open_tail[1] + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -110,3 +110,79 @@ def test_cocommit_pair_stream_matches_batch(spark, tmp_path):
     assert res.assignment.count() == edges.selectExpr(
         "src AS v"
     ).union(edges.selectExpr("dst AS v")).distinct().count()
+
+
+def test_user_sessions_stream_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must agree with the native
+    session_window batch twin on every CLOSED session (a session closes
+    when the event-time watermark passes last_ts + gap; the stream is fed
+    in multiple micro-batches so the watermark actually advances)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from parallel_louvain_method_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_event_stream,
+        user_sessions_batch,
+        user_sessions_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, value=1.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "e", value, "")
+
+    # user 1: session A (0, 5, 9 min), session B (120, 121); user 2: one
+    # session (3, 4); user 3: single-event session (1)
+    batch1 = [ev(1, 0, 1), ev(2, 5, 1), ev(3, 9, 1), ev(4, 3, 2),
+              ev(5, 4, 2), ev(6, 1, 3)]
+    batch2 = [ev(7, 120, 1), ev(8, 121, 1)]
+    # far-future flush: advances the watermark past every earlier session
+    batch3 = [ev(9, 600, 9)]
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    for i, rows in enumerate([batch1, batch2, batch3]):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # one file per trigger -> three micro-batches, watermark advances
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    sessions = user_sessions_stream(stream, gap_seconds=1800, watermark="1 minute")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    static = spark.read.parquet(src)
+    # closed = watermark (max ts - 1 min) passed session_end + gap
+    max_ts = static.agg(F.max("ts")).first()[0]
+    wm = max_ts - dt.timedelta(minutes=1)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in user_sessions_batch(static, gap_seconds=1800).collect()
+        if r["session_end"] + dt.timedelta(seconds=1800) < wm
+    }
+    assert want, "test must produce at least one closed session"
+    assert want <= got, (want - got, got)
+    # nothing emitted that the batch twin doesn't know (open-tail leaks)
+    all_batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in user_sessions_batch(static, gap_seconds=1800).collect()
+    }
+    assert got <= all_batch, (got - all_batch,)
