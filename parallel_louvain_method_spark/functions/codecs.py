@@ -1,0 +1,346 @@
+"""Pure-Python/numpy codecs for REAL media formats — no third-party libs.
+
+The container ships no PIL/ffmpeg/soundfile, but that only rules out the
+libraries, not the formats: 24-bit uncompressed BMP, 8-bit RGB(A) PNG,
+16-bit PCM WAV and uncompressed-DIB AVI are all fully decodable with the
+standard library (``struct``, ``zlib``, ``wave``) plus numpy.  These
+codecs make ``operators/multimodal.py``'s ``decode_mode="real"`` genuinely
+real: the bytes on the ``payload`` column are standards-conformant files
+(checked against their specifications' magic numbers, header layouts and
+checksums), and decode → transform → re-encode round-trips exactly.
+
+Every decoder validates magic/structure and raises ``ValueError`` on
+malformed input — the multimodal operators surface those per-row rather
+than crashing the batch.
+
+Scope (documented, asserted): BMP = BITMAPINFOHEADER, 24 bpp,
+uncompressed, bottom-up.  PNG = 8-bit truecolor RGB/RGBA, non-interlaced,
+all five scanline filters on decode, filter 0 on encode.  WAV = PCM
+16-bit, any channel count/rate.  AVI = single 'vids' stream of raw
+bottom-up BGR DIB frames ('00db' chunks).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap, BITMAPINFOHEADER, 24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) → 24-bit uncompressed BMP bytes."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects uint8 (H, W, 3)")
+    h, w, _ = img.shape
+    row_pad = (-(w * 3)) % 4
+    stride = w * 3 + row_pad
+    img_size = stride * h
+    # pixel rows bottom-up, channels BGR, 4-byte row alignment
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → RGB uint8 (H, W, 3)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", data, 14)
+    if hdr_sz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit truecolor RGB/RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """RGB(A) uint8 (H, W, 3|4) → PNG bytes (filter 0 scanlines)."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 (H, W, 3|4)")
+    h, w, ch = img.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → RGB(A) uint8.  8-bit truecolor, non-interlaced; all
+    five scanline filters reconstructed per the PNG spec §9."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG (need 8-bit RGB/RGBA non-interlaced)"
+                )
+            ch = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-to-right scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM 16-bit) via the stdlib wave module
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) PCM → WAV bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(samples.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 array (n, channels), sample_rate)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            if f.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            n, ch, rate = f.getnframes(), f.getnchannels(), f.getframerate()
+            raw = f.readframes(n)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a WAV: {e}") from e
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF, single uncompressed-DIB video stream, '00db' frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """RGB uint8 (n, H, W, 3) → minimal standards-conformant AVI bytes
+    (one 'vids' stream of raw bottom-up BGR DIB frames)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects uint8 (n, H, W, 3)")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_sz = stride * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10, n, 0, 1, frame_sz,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_sz, 0xFFFFFFFF,
+        0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → (RGB uint8 (n, H, W, 3), fps).  Supports the
+    uncompressed-DIB subset this module encodes (raw '00db' frames)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    w = h = fps = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif tag == b"strh":
+                if data[body_start : body_start + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", data, body_start + 20)
+                    fps = rate // max(scale, 1)
+            elif tag == b"strf":
+                _sz, w_, h_, _p, bpp = struct.unpack_from("<IiiHH", data, body_start)
+                if bpp != 24:
+                    raise ValueError("only 24-bit DIB AVI supported")
+                w, h = w_, abs(h_)
+            elif tag == b"00db":
+                frames.append(
+                    np.frombuffer(data, np.uint8, count=length, offset=body_start)
+                )
+            pos = body_start + length + (length & 1)
+
+    walk(12, 12 + struct.unpack_from("<I", data, 4)[0] - 4)
+    if w is None or not frames:
+        raise ValueError("AVI missing stream format or frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out[i] = rows[::-1, :, ::-1]
+    return out, int(fps or 0)
+
+
+# ---------------------------------------------------------------------------
+# transforms + features (numpy only)
+# ---------------------------------------------------------------------------
+
+
+def bilinear_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real bilinear resample of an RGB uint8 image (align-corners=False,
+    the OpenCV/PIL convention)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[np.ix_(y0, x0)].astype(np.float64)
+    b = img[np.ix_(y0, x1)].astype(np.float64)
+    c = img[np.ix_(y1, x0)].astype(np.float64)
+    d = img[np.ix_(y1, x1)].astype(np.float64)
+    out = (1 - wy) * ((1 - wx) * a + wx * b) + wy * ((1 - wx) * c + wx * d)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """4×4 mean-pooled grayscale grid, [0, 1] floats — a real (if simple)
+    visual descriptor: translation-sensitive layout signature."""
+    g = img[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+    side = int(np.sqrt(dim))
+    h, w = g.shape
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.zeros(side * side)
+    for i in range(side):
+        for j in range(side):
+            cell = g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i * side + j] = cell.mean()
+    return out.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
+    """RMS + zero-crossing rate + (dim-2) log-spectral band energies —
+    the classic cheap audio descriptor, via numpy rfft."""
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    if len(mono) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt((mono**2).mean()))
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array_split(spec, dim - 2)
+    energy = np.array([np.log1p(b.sum()) for b in bands])
+    denom = energy.max() if energy.max() > 0 else 1.0
+    return np.concatenate(([rms, zcr], energy / denom)).astype(np.float32)
