@@ -10,6 +10,9 @@ Usage (any Spark cluster; locally the session builder fills in master):
     ... cli.py pagerank  --edges /tmp/edges --out /tmp/ranks --iters 20
     ... cli.py components --edges /tmp/edges --out /tmp/cc
     ... cli.py triangles --edges /tmp/edges
+    ... cli.py dedup     --docs /data/documents --out /tmp/dups --method minhash
+    ... cli.py knn       --embeddings /data/emb --out /tmp/knn --method lsh --dim 64
+    ... cli.py text      --docs /data/documents --out /tmp/tok --op tokens
 
 On a real cluster, run through ``spark-submit`` so the session comes from
 the cluster manager; locally this module builds one via session.get_spark.
@@ -76,6 +79,33 @@ def main(argv: list[str] | None = None) -> int:
 
     tr = sub.add_parser("triangles")
     tr.add_argument("--edges", required=True)
+
+    dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
+    dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
+    dd.add_argument("--out", required=True)
+    dd.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "jaccard"],
+        default="minhash",
+    )
+    dd.add_argument("--threshold", type=float, default=0.7)
+    dd.add_argument("--max-hamming", type=int, default=3)
+
+    kn = sub.add_parser("knn", help="top-k similarity search over embeddings")
+    kn.add_argument("--embeddings", required=True, help="parquet with vec_id, embedding")
+    kn.add_argument("--out", required=True)
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--method", choices=["brute", "lsh", "ivf"], default="lsh")
+    kn.add_argument("--dim", type=int, help="embedding dimensionality (skips infer job)")
+
+    tx = sub.add_parser("text", help="text analysis over a documents table")
+    tx.add_argument("--docs", required=True)
+    tx.add_argument("--out", required=True)
+    tx.add_argument(
+        "--op",
+        choices=["tokens", "quality", "langid", "fingerprints"],
+        default="tokens",
+    )
 
     args = p.parse_args(argv)
     spark = _spark(f"plm-{args.cmd}")
@@ -164,6 +194,49 @@ def main(argv: list[str] | None = None) -> int:
                 {"triangles": triangle_count(read_edge_parquet(spark, args.edges))}
             )
         )
+    elif args.cmd == "dedup":
+        from parallel_louvain_method_spark.operators import dedup as D
+
+        docs = spark.read.parquet(args.docs)
+        if args.method == "exact":
+            out = D.exact_duplicates(docs)
+        elif args.method == "minhash":
+            out = D.minhash_lsh_pairs(docs, threshold=args.threshold)
+        elif args.method == "simhash":
+            out = D.simhash_near_dups(docs, max_hamming=args.max_hamming)
+        else:
+            out = D.ngram_jaccard_pairs(docs, threshold=args.threshold)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"method": args.method, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "knn":
+        from parallel_louvain_method_spark.operators.similarity import (
+            ivf_knn,
+            knn_brute_force,
+            knn_lsh,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        if args.method == "brute":
+            out = knn_brute_force(emb, k=args.k)
+        elif args.method == "lsh":
+            out = knn_lsh(emb, k=args.k, dim=args.dim)
+        else:
+            out = ivf_knn(emb, k=args.k)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"method": args.method, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "text":
+        from parallel_louvain_method_spark.operators import text as T
+
+        docs = spark.read.parquet(args.docs)
+        fn = {
+            "tokens": T.token_counts,
+            "quality": T.quality_scores,
+            "langid": T.language_id,
+            "fingerprints": T.fingerprints,
+        }[args.op]
+        out = fn(docs)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": spark.read.parquet(args.out).count()}))
     return 0
 
 

@@ -69,3 +69,27 @@ def test_read_corpus_parquet_seam(spark, tmp_path):
     a = corpus.select(F.sha2("content", 256).alias("h")).distinct()
     b = back.select(F.sha2("content", 256).alias("h")).distinct()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_pipeline_subcommands(spark, tmp_path):
+    """The spark-submit CLI covers the pipeline ops too (dedup / knn /
+    text) — a reference user drives everything through one entrypoint."""
+    from parallel_louvain_method_spark.cli import main
+
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    emb_src = "/root/testdata/sf0.001/embeddings.parquet"
+    out1 = str(tmp_path / "dups")
+    assert main(["dedup", "--docs", docs_src, "--out", out1,
+                 "--method", "exact"]) == 0
+    spark.read.parquet(out1)  # readable sink with the op's schema
+    out2 = str(tmp_path / "knn")
+    assert main(["knn", "--embeddings", emb_src, "--out", out2,
+                 "--method", "ivf", "--k", "2"]) == 0
+    got = spark.read.parquet(out2)
+    assert {"query_id", "neighbor_id", "cosine", "rank"} <= set(got.columns)
+    assert got.count() > 0
+    out3 = str(tmp_path / "tok")
+    assert main(["text", "--docs", docs_src, "--out", out3,
+                 "--op", "tokens"]) == 0
+    n_docs = spark.read.parquet(docs_src).count()
+    assert spark.read.parquet(out3).count() == n_docs
