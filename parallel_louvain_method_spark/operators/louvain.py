@@ -951,14 +951,33 @@ def _sql_sweep_loop(
             F.col("degree"),
             F.col("tot").alias("tot_own"),
         )
-        cand = (
-            active_edges.join(sh(s_dst), "dst")
-            .groupBy("src", "dst_comm")
-            # tot_dst is constant within a (dst_comm) group — max() recovers
-            # it in the SAME aggregation, saving a per-sweep totals join
-            .agg(F.sum("weight").alias("w_to"), F.max("tot_dst").alias("tot"))
-            .join(sh(s_src), "src")
-        )
+        if sweep == 0:
+            # sweep-0 fast path: every community is a singleton, so the
+            # candidate aggregation below groups NOTHING — (src, dst_comm)
+            # = (src, dst) is already unique in the deduped symmetric
+            # table, w(v→{dst}) is the single edge weight and tot({dst})
+            # is dst's degree.  Skipping the groupBy removes one full
+            # E-row exchange from the most expensive sweep of the level.
+            cand = (
+                active_edges.join(sh(s_dst), "dst")
+                .select(
+                    "src",
+                    "dst_comm",
+                    F.col("weight").alias("w_to"),
+                    F.col("tot_dst").alias("tot"),
+                )
+                .join(sh(s_src), "src")
+            )
+        else:
+            cand = (
+                active_edges.join(sh(s_dst), "dst")
+                .groupBy("src", "dst_comm")
+                # tot_dst is constant within a (dst_comm) group — max()
+                # recovers it in the SAME aggregation, saving a per-sweep
+                # totals join
+                .agg(F.sum("weight").alias("w_to"), F.max("tot_dst").alias("tot"))
+                .join(sh(s_src), "src")
+            )
         is_own = F.col("dst_comm") == F.col("src_comm")
         gain = (
             F.col("w_to")
