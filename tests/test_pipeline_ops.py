@@ -490,3 +490,54 @@ def test_ivf_knn_recall_and_method_parity(spark, embeddings):
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got_mm} == {
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in got
     }
+
+
+def test_codecs_roundtrip_property():
+    """Property-based round-trips for the stdlib media codecs: any image
+    shape / sample count / frame stack must encode+decode bit-exactly
+    (no SparkSession needed — the codecs are pure functions)."""
+    from hypothesis import given, settings, strategies as st
+
+    from parallel_louvain_method_spark.functions import codecs
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31)
+    )
+    def roundtrip_images(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+        # same-size bilinear resize is the identity
+        assert np.array_equal(codecs.bilinear_resize(img, w, h), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 5000),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip_audio(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+        dec, got_rate = codecs.decode_wav(codecs.encode_wav(s, rate))
+        assert got_rate == rate and np.array_equal(dec, s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 6), h=st.integers(1, 24), w=st.integers(1, 24),
+        fps=st.integers(1, 30), seed=st.integers(0, 2**31),
+    )
+    def roundtrip_video(n, h, w, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        dec, got_fps = codecs.decode_avi(codecs.encode_avi(frames, fps))
+        assert got_fps == fps and np.array_equal(dec, frames)
+
+    roundtrip_images()
+    roundtrip_audio()
+    roundtrip_video()
