@@ -7,10 +7,13 @@
 SURVEY.md §2 (+ the training-data pipeline ops).  SQL-expressible operators
 carry a DuckDB oracle; the sketch pipelines (MinHash, SimHash, LSH-ANN)
 are oracled through their hash seam (a pure-Python XXH64 twin materializes
-the hashed-shingle intermediates for DuckDB — ``_ensure_hash_artifacts``);
-only the genuinely iterative operators (Louvain, LPA) are rows-only, their
-correctness carried by the golden pytest suite (tests/ — reference values
-from /root/reference/tests/main_test.cpp).
+the hashed intermediates for DuckDB — ``_ensure_hash_artifacts``), and the
+iterative operators are oracled through FIXED-STEP variants (``lpa_k2``:
+two unrolled LPA rounds with pyhash activity bits; ``louvain_sweep1``: one
+synchronous sql-engine sweep, float-exact on the integer-weight gate
+graph).  Only the full multilevel Louvain and full convergence-driven LPA
+runs remain rows-only, their correctness carried by the golden pytest
+suite (tests/ — reference values from /root/reference/tests/main_test.cpp).
 
 Column-name contract: every computed column is aliased identically in the
 Spark query and the oracle SQL.  Floating aggregations that are
@@ -178,6 +181,179 @@ def _ensure_hash_artifacts(sf_dir: str = _GATE_SF_DIR) -> dict[str, str]:
             paths[kind],
         )
     return paths
+
+
+def _ensure_lpa_half_artifact(
+    sf_dir: str = _GATE_SF_DIR, iters: int = 2
+) -> str:
+    """Materialize the per-(vertex, round) ACTIVITY BITS of label
+    propagation's hashed halves — the one non-SQL-expressible step of a
+    fixed-round LPA (``pmod(xxhash64(src, round), 2)``).  The chained
+    multi-column xxhash64 (long then int, seed threading) is reproduced by
+    the pure-Python twin (parity pinned in pytest), and the vertex set is
+    computed by DuckDB itself from the same parquet the oracle reads."""
+    import os
+    import struct
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_louvain_method_spark.functions.pyhash import xxh64
+
+    os.makedirs(_ORACLE_ARTIFACT_DIR, exist_ok=True)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_ORACLE_ARTIFACT_DIR}/lpa_half_bits_{base}.parquet"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    verts = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM ({_CC_EDGES_SQL})
+                    UNION SELECT dst AS v FROM ({_CC_EDGES_SQL})
+                )"""
+        ).fetchall()
+    ]
+    vs, its, bits = [], [], []
+    for v in verts:
+        h1 = xxh64(struct.pack("<q", int(v)), 42)
+        for it in range(iters):
+            h2 = xxh64(struct.pack("<i", it), h1 & ((1 << 64) - 1))
+            vs.append(int(v))
+            its.append(it)
+            bits.append(h2 % 2 == 0)
+    pq.write_table(
+        pa.table(
+            {
+                "vtx": pa.array(vs, pa.int64()),
+                "it": pa.array(its, pa.int32()),
+                "active": pa.array(bits, pa.bool_()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _lpa_oracle_sql(path: str, iters: int = 2) -> str:
+    """DuckDB twin of ``label_propagation(cc_edges, max_iter=iters)`` with
+    the rounds unrolled (iters small enough that the engine's
+    convergence-streak exit cannot fire, so fixed rounds ARE the
+    semantics).  Activity bits come from the pyhash artifact; the argmax
+    tie-break (highest weight, then lowest label) matches the engine's
+    ``max_by(label, struct(w, -label))``."""
+    parts = [
+        f"""WITH base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION SELECT dst AS src, src AS dst, weight FROM base
+            ) WHERE src <> dst
+        ),
+        bits AS (SELECT vtx, it, active FROM read_parquet('{path}')),
+        a0 AS (
+            SELECT v AS vtx, v AS label FROM (
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM base UNION SELECT dst AS v FROM base
+                )
+            )
+        ),"""
+    ]
+    for it in range(iters):
+        parts.append(f"""
+        w{it} AS (
+            SELECT e.src AS vtx, p.label, SUM(e.weight) AS w
+            FROM sym e
+            JOIN bits b ON b.vtx = e.src AND b.it = {it} AND b.active
+            JOIN a{it} p ON p.vtx = e.dst
+            GROUP BY 1, 2
+        ),
+        b{it} AS (
+            SELECT vtx, label AS nl FROM (
+                SELECT vtx, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vtx ORDER BY w DESC, label ASC
+                       ) AS rn
+                FROM w{it}
+            ) WHERE rn = 1
+        ),
+        a{it + 1} AS (
+            SELECT a.vtx, COALESCE(b.nl, a.label) AS label
+            FROM a{it} a LEFT JOIN b{it} b ON b.vtx = a.vtx
+        ),""")
+    sql = "".join(parts)
+    return sql.rstrip(",") + f"\n        SELECT vtx, label FROM a{iters}"
+
+
+def _louvain_sweep1_oracle_sql() -> str:
+    """DuckDB twin of ONE synchronous sql-engine Louvain sweep on the
+    cc subgraph — the first gate-checkable slice of the core operator
+    (previously Louvain was entirely rows-only).
+
+    Why this is value-EXACT despite floats: the graph's weights are
+    integral doubles, so degrees, community totals and m2 are exact in
+    fp64 regardless of summation order; gain = w − tot·deg/m2 then rounds
+    identically in both engines for identical integer inputs.  Semantics
+    mirrored from ``_sql_sweep_loop`` sweep 0: singleton communities (the
+    fast path — w(v→{dst}) is the edge weight, tot = dst's degree),
+    gain_stay = 0 (tot_own − deg = 0, no self-loops in this bipartite
+    graph), accept iff best_gain > 0 with ties to the lowest community,
+    then the movers-only pointer-jump label collapse (a mover chasing a
+    mover's new label one hop; mutual swaps map back to themselves)."""
+    return f"""
+        WITH base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION SELECT dst AS src, src AS dst, weight FROM base
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src AS vtx, SUM(weight) AS degree FROM sym GROUP BY 1),
+        m2 AS (SELECT SUM(weight) AS m2 FROM sym),
+        verts AS (SELECT vtx FROM deg),
+        cand AS (
+            SELECT e.src, e.dst AS dst_comm, e.weight AS w_to,
+                   dd.degree AS tot, ds.degree AS deg_src
+            FROM sym e
+            JOIN deg dd ON dd.vtx = e.dst
+            JOIN deg ds ON ds.vtx = e.src
+        ),
+        scored AS (
+            SELECT src, dst_comm,
+                   w_to - tot * deg_src / (SELECT m2 FROM m2) AS gain
+            FROM cand
+        ),
+        best AS (
+            SELECT src, dst_comm AS best_comm, gain AS best_gain FROM (
+                SELECT src, dst_comm, gain,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY src ORDER BY gain DESC, dst_comm ASC
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        proposals AS (
+            SELECT src AS vtx, best_comm AS new_comm
+            FROM best WHERE best_gain > 0
+        ),
+        mid AS (
+            SELECT v.vtx,
+                   COALESCE(p.new_comm, v.vtx) AS mid_comm,
+                   p.new_comm IS NOT NULL AS moved
+            FROM verts v LEFT JOIN proposals p ON p.vtx = v.vtx
+        ),
+        jump AS (
+            SELECT vtx AS jkey, mid_comm AS jump_comm FROM mid WHERE moved
+        )
+        SELECT a.vtx,
+               CASE WHEN a.moved THEN COALESCE(j.jump_comm, a.mid_comm)
+                    ELSE a.mid_comm END AS comm
+        FROM mid a LEFT JOIN jump j ON j.jkey = a.mid_comm
+    """
 
 
 def _minhash_oracle_sql(
@@ -639,6 +815,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _edges(s, d), n_blocks=1
     ).assignment
     q["label_propagation"] = lambda s, d: label_propagation(_cc_edges(s, d))
+    # fixed-2-round LPA: too few rounds for the convergence-streak exit to
+    # fire, so the rounds unroll into SQL; the hashed-half activity bits
+    # flow through the pyhash seam (_ensure_lpa_half_artifact) — this
+    # leaves Louvain as the gate's ONLY rows-only operator
+    q["lpa_k2"] = lambda s, d: label_propagation(_cc_edges(s, d), max_iter=2)
+
+    # one synchronous sql-engine Louvain sweep — gate-checkable because the
+    # cc subgraph's integer weights make every float exact in both engines
+    # (_louvain_sweep1_oracle_sql); the multilevel run stays rows-only
+    def _louvain_sweep1(s, d):
+        from parallel_louvain_method_spark.operators.graph import symmetric_edges
+        from parallel_louvain_method_spark.operators.louvain import louvain_level
+
+        sym = symmetric_edges(_cc_edges(s, d))
+        assign, _deg, _m2, _stats = louvain_level(
+            s, sym, mode="superstep", superstep_engine="sql", max_sweeps=1
+        )
+        return assign.select("vtx", "comm")
+
+    q["louvain_sweep1"] = _louvain_sweep1
 
     return q
 
@@ -745,6 +941,8 @@ def oracle_sql() -> dict[str, str]:
                  * SQRT(list_dot_product(b.v, b.v))) >= 0.2
     """
     paths = _ensure_hash_artifacts()
+    o["lpa_k2"] = _lpa_oracle_sql(_ensure_lpa_half_artifact(), iters=2)
+    o["louvain_sweep1"] = _louvain_sweep1_oracle_sql()
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)
