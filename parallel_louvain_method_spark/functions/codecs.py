@@ -109,6 +109,15 @@ def decode_png(data: bytes) -> np.ndarray:
     five scanline filters reconstructed per the PNG spec §9."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_body(data)
+    except (struct.error, zlib.error) as e:
+        # the per-row contract is ValueError for any malformed payload —
+        # truncated chunks/IDAT must not escape as struct/zlib errors
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png_body(data: bytes) -> np.ndarray:
     pos, w = 8, None
     idat = b""
     while pos + 8 <= len(data):
@@ -149,21 +158,28 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-to-right scan
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 1:  # Sub: recon[x] = Σ raw mod 256 — a per-lane cumsum
+            cur = (line.reshape(-1, ch).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: left-dependency forces a scan,
+            # but only per PIXEL — channels vectorize as lanes
+            px = line.reshape(-1, ch)
+            pv = prev.reshape(-1, ch)
+            cur2 = np.zeros_like(px)
+            zero = np.zeros(ch, np.int32)
+            for i in range(px.shape[0]):
+                a = cur2[i - 1] if i else zero
+                b = pv[i]
+                c = pv[i - 1] if i else zero
+                if f == 3:
+                    cur2[i] = (px[i] + ((a + b) >> 1)) & 0xFF
                 else:
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pr) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pr = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur2[i] = (px[i] + pr) & 0xFF
+            cur = cur2.reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur.astype(np.uint8)
@@ -252,7 +268,15 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     uncompressed-DIB subset this module encodes (raw '00db' frames)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
+    try:
+        return _decode_avi_body(data)
+    except struct.error as e:
+        # same per-row contract as decode_png: truncated/length-lying RIFF
+        # chunks surface as ValueError, never as a raw struct.error
+        raise ValueError(f"malformed AVI: {e}") from e
 
+
+def _decode_avi_body(data: bytes) -> tuple[np.ndarray, int]:
     w = h = fps = None
     frames: list[np.ndarray] = []
 
@@ -316,10 +340,12 @@ def bilinear_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
-    """4×4 mean-pooled grayscale grid, [0, 1] floats — a real (if simple)
-    visual descriptor: translation-sensitive layout signature."""
+    """Mean-pooled grayscale grid, [0, 1] floats — a real (if simple)
+    visual descriptor: translation-sensitive layout signature.  Always
+    returns exactly ``dim`` values (a ⌈√dim⌉² grid truncated row-major),
+    so image rows stack with audio/fake rows of the same ``dim``."""
     g = img[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
-    side = int(np.sqrt(dim))
+    side = int(np.ceil(np.sqrt(dim)))
     h, w = g.shape
     ys = np.linspace(0, h, side + 1).astype(int)
     xs = np.linspace(0, w, side + 1).astype(int)
@@ -328,7 +354,7 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
         for j in range(side):
             cell = g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             out[i * side + j] = cell.mean()
-    return out.astype(np.float32)
+    return out[:dim].astype(np.float32)
 
 
 def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:

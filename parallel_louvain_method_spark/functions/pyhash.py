@@ -95,7 +95,11 @@ def word_ngrams(text: str | None, n: int) -> list[str]:
     matching Java's default regex class)."""
     if text is None:
         return []
-    words = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+    # Spark's F.trim strips SPACES only (0x20) — Python str.strip() with
+    # no argument strips all whitespace and would silently diverge on
+    # tab/newline-padded text (extra empty boundary tokens on the Spark
+    # side), so mirror the exact Java semantics
+    words = re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
     if n == 1:
         return list(dict.fromkeys(words))
     if len(words) < n:

@@ -386,7 +386,12 @@ def simhash_near_dups(
     extra = 64 % n_chunks
     widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    sigs = simhash_signatures(docs, text_col, shingle_n).persist()
+    # localCheckpoint, not persist — released with the result's lifetime
+    # (same fix as minhash_lsh_pairs/ngram_jaccard_pairs above; a bare
+    # persist() pins the signatures in executor memory for the session)
+    sigs = simhash_signatures(docs, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",

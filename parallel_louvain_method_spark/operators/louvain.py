@@ -744,6 +744,7 @@ def _sql_superstep_level(
     anneal: bool,
     stats: LevelStats,
     min_moves_frac: float,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Superstep loop where every sweep is PURE DataFrame algebra.
 
@@ -783,7 +784,7 @@ def _sql_superstep_level(
     try:
         return _sql_sweep_loop(
             spark, sym_edges, deg, m2, n_vertices, max_sweeps, anneal,
-            stats, min_moves_frac, assign,
+            stats, min_moves_frac, assign, unique_pairs=unique_pairs,
         )
     finally:
         # restore on EVERY exit path — an exception mid-sweep must not
@@ -804,6 +805,7 @@ def _sql_sweep_loop(
     min_moves_frac: float,
     assign: DataFrame,
     delta_frac: float = 0.05,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """The sweep loop of the at-scale sql engine.  Three design rules make
     it SCALE WITH EXECUTORS (r2's measured failure mode was serial
@@ -951,13 +953,17 @@ def _sql_sweep_loop(
             F.col("degree"),
             F.col("tot").alias("tot_own"),
         )
-        if sweep == 0:
+        if sweep == 0 and unique_pairs:
             # sweep-0 fast path: every community is a singleton, so the
-            # candidate aggregation below groups NOTHING — (src, dst_comm)
-            # = (src, dst) is already unique in the deduped symmetric
-            # table, w(v→{dst}) is the single edge weight and tot({dst})
-            # is dst's degree.  Skipping the groupBy removes one full
-            # E-row exchange from the most expensive sweep of the level.
+            # candidate aggregation below groups NOTHING — valid ONLY
+            # under the caller-declared ``unique_pairs`` invariant (one
+            # row per (src, dst); set-dedup alone keeps parallel edges
+            # with distinct weights, whose w(v→{dst}) must SUM as in the
+            # reference's compute_neighbors).  Then (src, dst_comm) =
+            # (src, dst) is unique, w(v→{dst}) is the single edge weight
+            # and tot({dst}) is dst's degree.  Skipping the groupBy
+            # removes one full E-row exchange from the most expensive
+            # sweep of the level.
             cand = (
                 active_edges.join(sh(s_dst), "dst")
                 .select(
@@ -1152,10 +1158,17 @@ def louvain_level(
     n_vertices_hint: int | None = None,
     dense_hint: bool | None = None,
     pre_partitioned: str | None = None,
+    unique_pairs: bool = False,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
-    ``sym_edges`` must already be symmetric + deduped.  ``m2`` defaults to
+    ``sym_edges`` must already be symmetric + deduped.  ``unique_pairs``
+    declares the stronger invariant that (src, dst) is UNIQUE (parallel
+    edges already weight-summed — coarsen output and the multilevel
+    driver's level-0 build both guarantee it); it only enables the sql
+    engine's sweep-0 aggregation skip, never changes semantics, and must
+    stay False for raw set-deduped input where parallel edges with
+    distinct weights survive.  ``m2`` defaults to
     Σ degree = total symmetric weight, which equals the reference's
     ``2·ecount`` on unit-weight simple graphs (SURVEY.md §1.5) and is the
     standard 2m on weighted/coarse graphs.
@@ -1366,6 +1379,7 @@ def louvain_level(
         assign = _sql_superstep_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
+            unique_pairs=unique_pairs,
         )
         stats.engine = "sql"
         t_q = time.monotonic()
@@ -1630,8 +1644,18 @@ def louvain(
         superstep_engine == "auto" and n_verts > broadcast_vertex_threshold
     )
     part_key = "dst" if will_sql else "src"
-    sym = dedup_op(symmetrize_op(edges).repartition(n_parts, part_key)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # then a weight-sum collapse of parallel edges: set-dedup keeps parallel
+    # edges with DISTINCT weights (reference std::set semantics), whose
+    # contributions always SUM downstream (compute_neighbors, degrees,
+    # modularity) — summing them once here is semantics-preserving, gives
+    # every level the unique-(src, dst) invariant the sql engine's sweep-0
+    # fast path needs (coarsen output already has it), and is another
+    # exchange-free hash aggregation on the same single-key partitioning
+    sym = (
+        dedup_op(symmetrize_op(edges).repartition(n_parts, part_key))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     level0_cache: DataFrame | None = sym
     pre_part: str | None = part_key
@@ -1668,6 +1692,10 @@ def louvain(
             n_vertices_hint=nv_hint,
             dense_hint=True if nv_hint is not None else None,
             pre_partitioned=pre_part if level_no == start_level else None,
+            # level 0 collapsed parallel edges above; coarsen's groupBy
+            # guarantees it for every later level (and for checkpointed
+            # tables, which this driver wrote from one of the two)
+            unique_pairs=True,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0

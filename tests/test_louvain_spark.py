@@ -318,3 +318,44 @@ def test_sql_engine_end_to_end_past_cutover(spark):
             # r3's failure curve was 2.1 -> 2.7 -> 11.8 -> 129 s; a healthy
             # tail stays within a small factor of the median
             assert max(walls) <= max(4 * med, med + 10), (lv.level, walls)
+
+
+def test_multigraph_parallel_edges_sum(spark, golden16_df):
+    """Parallel edges with distinct weights survive set-dedup (reference
+    std::set semantics, src/graph.h:25) and their contributions SUM in
+    compute_neighbors (src/community.cpp:122-148).  The multilevel driver
+    collapses them at its level-0 build, so louvain() on a multigraph must
+    equal louvain() on the pre-summed simple graph; and the sql engine's
+    sweep-0 fast path (unique_pairs=True on collapsed input) must equal
+    the aggregation path (unique_pairs=False on the raw multigraph)."""
+    base = golden16_df
+    # split every even-src edge's unit weight into 0.25 + 0.75 parallel rows
+    split = base.filter(F.col("src") % 2 == 0)
+    multi = (
+        base.filter(F.col("src") % 2 != 0)
+        .union(split.withColumn("weight", F.col("weight") * 0.25))
+        .union(split.withColumn("weight", F.col("weight") * 0.75))
+    )
+    r_simple = louvain(spark, base, n_blocks=1)
+    r_multi = louvain(spark, multi, n_blocks=1)
+    assert r_multi.modularity == pytest.approx(r_simple.modularity, abs=EPS)
+    got_m = {r["vtx"]: r["comm"] for r in r_multi.assignment.collect()}
+    got_s = {r["vtx"]: r["comm"] for r in r_simple.assignment.collect()}
+    assert got_m == got_s
+
+    # sql-engine seam: one synchronous sweep, fast path vs aggregation path
+    sym_multi = G.symmetric_edges(multi)
+    sym_sum = sym_multi.groupBy("src", "dst").agg(
+        F.sum("weight").alias("weight")
+    )
+    a_fast, _, _, _ = louvain_level(
+        spark, sym_sum, mode="superstep", superstep_engine="sql",
+        max_sweeps=1, unique_pairs=True,
+    )
+    a_agg, _, _, _ = louvain_level(
+        spark, sym_multi, mode="superstep", superstep_engine="sql",
+        max_sweeps=1, unique_pairs=False,
+    )
+    fast = {r["vtx"]: r["comm"] for r in a_fast.collect()}
+    agg = {r["vtx"]: r["comm"] for r in a_agg.collect()}
+    assert fast == agg

@@ -425,9 +425,10 @@ def test_pipeline_caches_release(spark, docs, embeddings):
     docs.count()
     embeddings.count()
     before = persistent_ids()
-    # one representative — ngram grams and the knn base follow the same
-    # localCheckpoint pattern; release latency is ~30 s per RDD (py4j
-    # finalizer + ContextCleaner), so testing all three would triple it
+    # one representative — ngram grams, simhash sigs and the knn base
+    # follow the same localCheckpoint pattern; release latency is ~30 s
+    # per RDD (py4j finalizer + ContextCleaner), so testing each would
+    # multiply it
     pairs = D.minhash_lsh_pairs(docs.limit(50), threshold=0.3)
     pairs.count()
     assert persistent_ids() - before, "expected a live checkpoint RDD"
@@ -541,3 +542,144 @@ def test_codecs_roundtrip_property():
     roundtrip_images()
     roundtrip_audio()
     roundtrip_video()
+
+
+def test_codecs_malformed_payloads_raise_valueerror():
+    """Per-row poison contract: decoders raise ValueError (and ONLY
+    ValueError) on malformed payloads — the multimodal operators catch
+    exactly that class per row, so a struct.error/zlib.error escaping
+    from a truncated chunk would kill the whole Arrow batch."""
+    from parallel_louvain_method_spark.functions import codecs
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    frames = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    payloads = [
+        (codecs.encode_png(img), codecs.decode_png),
+        (codecs.encode_bmp(img), codecs.decode_bmp),
+        (codecs.encode_avi(frames, fps=5), codecs.decode_avi),
+        (codecs.encode_wav(np.zeros(64, np.int16)), codecs.decode_wav),
+    ]
+    for payload, dec in payloads:
+        # every truncation point: decode must return or raise ValueError —
+        # anything else (struct.error, zlib.error, IndexError) propagates
+        # and fails this test
+        for cut in range(0, len(payload), max(1, len(payload) // 40)):
+            try:
+                dec(payload[:cut])
+            except ValueError:
+                pass
+    # the reviewer's exact repro: valid PNG magic, truncated chunk
+    with pytest.raises(ValueError):
+        codecs.decode_png(codecs.encode_png(img)[:20])
+    # valid chunk framing + CRC but a non-zlib IDAT stream
+    bad_idat = (
+        codecs._PNG_MAGIC
+        + codecs._png_chunk(
+            b"IHDR",
+            __import__("struct").pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0),
+        )
+        + codecs._png_chunk(b"IDAT", b"not a zlib stream")
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad_idat)
+    # AVI with a length-lying RIFF size walking past the buffer
+    avi = codecs.encode_avi(frames, fps=5)
+    lying = avi[:4] + b"\xff\xff\xff\x7f" + avi[8:]
+    with pytest.raises(ValueError):
+        codecs.decode_avi(lying[: len(lying) - 8])
+
+
+def test_png_all_filters_decode():
+    """decode_png reconstructs all five scanline filters per PNG spec §9.
+    The repo encoder only emits filter 0, so this test filters a known
+    image itself (one filter type per scanline, cycling 0..4) and pins
+    the decode against the original pixels."""
+    import struct
+    import zlib
+
+    from parallel_louvain_method_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        line = img[y].reshape(-1).astype(int)
+        prev = img[y - 1].reshape(-1).astype(int) if y else np.zeros(w * ch, int)
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((int(line[x]) - pred) & 0xFF)
+    data = (
+        codecs._PNG_MAGIC
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), img)
+
+
+def test_image_features_exact_dim():
+    """image_features returns exactly dim values for ANY dim (non-square
+    dims were truncated to ⌊√dim⌋² before, misaligning image rows with
+    audio/fake rows of the same requested dim)."""
+    from parallel_louvain_method_spark.functions import codecs
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    for dim in (1, 5, 10, 16, 17):
+        feats = codecs.image_features(img, dim)
+        assert feats.shape == (dim,), dim
+    # the default 16 (perfect square) keeps the original 4x4 grid values
+    legacy = codecs.image_features(img, 16)
+    assert legacy.shape == (16,)
+
+
+def test_pyhash_whitespace_parity(spark):
+    """Spark's F.trim strips SPACES only; the pure-Python twin must not
+    strip tabs/newlines either (str.strip() would), or the MinHash/SimHash
+    oracle artifacts diverge on whitespace-padded text — common real text
+    ends with a newline."""
+    from parallel_louvain_method_spark.functions.pyhash import hashed_shingles
+    from parallel_louvain_method_spark.operators.dedup import (
+        minhash_hashed_shingles,
+        simhash_hashed_tokens,
+    )
+
+    texts = [
+        (1, "\tleading tab one two"),
+        (2, "trailing newline one two\n"),
+        (3, "  spaces  and\ttab  inside  "),
+        (4, "crlf ending one two\r\n"),
+        (5, "\n\nblank\n\nlines\n\n"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    spark_mh = {
+        (r["doc_id"], r["h"]) for r in minhash_hashed_shingles(docs).collect()
+    }
+    py_mh = {
+        (i, h)
+        for i, t in texts
+        for h in hashed_shingles(t, 3, (1 << 31) - 1)
+    }
+    assert spark_mh == py_mh
+    spark_sh = {
+        (r["doc_id"], r["h"]) for r in simhash_hashed_tokens(docs).collect()
+    }
+    py_sh = {(i, h) for i, t in texts for h in hashed_shingles(t, 2)}
+    assert spark_sh == py_sh
