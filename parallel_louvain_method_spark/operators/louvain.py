@@ -121,6 +121,14 @@ class LevelStats:
     # each level, and the auto-cutover (barrier -> sql past the broadcast
     # threshold) becomes a testable seam instead of an invisible branch
     engine: str = ""
+    # barrier engine only: per-phase CRITICAL PATH across tasks — for each
+    # instrumented phase (unpack / deg_exchange / kernel_i / gather_i), the
+    # MAX wall over all barrier tasks.  In a BSP stage the slowest task
+    # gates every barrier, so these maxima decompose the level's wall into
+    # compute (kernel_*) vs data-movement (unpack, gather_*) — the split
+    # that lets a scaling run attribute efficiency per phase instead of
+    # reporting one end-to-end scalar (BENCH_SCALING.md §0)
+    phase_crit: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -534,26 +542,28 @@ def _barrier_superstep_level(
     # pack: one binary blob per partition.  NOT persisted and NOT counted —
     # the barrier stage below is its only consumer, so the pack fuses into
     # that stage and the full edge table crosses the JVM->Python boundary
-    # exactly ONCE per level.
+    # exactly ONCE per level.  mapInArrow, not mapInPandas: the pack wants
+    # raw numpy columns, and the pandas wrapper's Series construction was
+    # measured at ~2× the whole conversion cost on this path.
     def _pack(batches):
         import pickle
 
         import numpy as _np
-        import pandas as _pd
+        import pyarrow as _pa
 
         ss, dd, ww = [], [], []
         for b in batches:
-            ss.append(b["src"].to_numpy())
-            dd.append(b["dst"].to_numpy())
-            ww.append(b["weight"].to_numpy())
+            ss.append(b.column(0).to_numpy(zero_copy_only=False))
+            dd.append(b.column(1).to_numpy(zero_copy_only=False))
+            ww.append(b.column(2).to_numpy(zero_copy_only=False))
         s = _np.concatenate(ss) if ss else _np.empty(0, _np.int32)
         d = _np.concatenate(dd) if dd else _np.empty(0, _np.int32)
         w = _np.concatenate(ww) if ww else _np.empty(0, _np.float64)
-        yield _pd.DataFrame(
+        yield _pa.RecordBatch.from_pydict(
             {"n": [len(s)], "blob": [pickle.dumps((s, d, w), protocol=4)]}
         )
 
-    blobs = edges_p.mapInPandas(_pack, schema="n long, blob binary")
+    blobs = edges_p.mapInArrow(_pack, schema="n long, blob binary")
 
     nv = int(n_vertices)
     m2_ = float(m2)
@@ -680,20 +690,20 @@ def _barrier_superstep_level(
             moves_log if pid == 0 else None,
             pickle.dumps(assign_slice, protocol=4),
             pickle.dumps((my_v, my_deg), protocol=4),
-            {k: round(v, 2) for k, v in timings.items()} if pid == 0 else None,
+            {k: round(v, 3) for k, v in timings.items()},
         )
 
     t_job = time.monotonic()
-    results = blobs.rdd.barrier().mapPartitions(_level).collect()
-    if os.environ.get("PLM_DEBUG_SWEEPS"):
-        for r in results:
-            if r[6] is not None:
-                print(
-                    f"[louvain] barrier level: job={time.monotonic() - t_job:.1f}s "
-                    f"task0={r[6]}",
-                    file=sys.stderr, flush=True,
-                )
-
+    # larger Arrow batches for the one bulk transfer of the level: the
+    # session default (64k rows) is sized for wide documents/media rows,
+    # but the pack reads 3 fixed-width columns — fewer, bigger batches
+    # measurably cut the JVM→Python conversion wall.  Restore on exit.
+    _abatch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+    try:
+        results = blobs.rdd.barrier().mapPartitions(_level).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", _abatch)
     import pickle as _pickle
 
     comm_arr = np.empty(nv, dtype=np.int64)
@@ -701,7 +711,7 @@ def _barrier_superstep_level(
     w_int_total = 0.0
     n_rows = 0
     moves_log = []
-    for pid, n_part, w_int, mlog, ablob, dblob, _tm in results:
+    for pid, n_part, w_int, mlog, ablob, dblob, tm in results:
         comm_arr[pid::n_parts] = _pickle.loads(bytes(ablob))
         dv, dd = _pickle.loads(bytes(dblob))
         if len(dv):
@@ -710,6 +720,15 @@ def _barrier_superstep_level(
         n_rows += n_part
         if mlog is not None:
             moves_log = list(mlog)
+        for k, v in (tm or {}).items():
+            if v > stats.phase_crit.get(k, 0.0):
+                stats.phase_crit[k] = v
+    if os.environ.get("PLM_DEBUG_SWEEPS"):
+        print(
+            f"[louvain] barrier level: job={time.monotonic() - t_job:.1f}s "
+            f"phase_crit={ {k: round(v, 2) for k, v in stats.phase_crit.items()} }",
+            file=sys.stderr, flush=True,
+        )
     if stats.n_edges_sym == 0:
         stats.n_edges_sym = int(n_rows)
     stats.moves_per_sweep.extend(int(m) for m in moves_log)

@@ -82,6 +82,15 @@ def test_golden16_barrier_engine(spark, golden16_df):
     got_deg = {r["vtx"]: r["degree"] for r in deg.collect()}
     want = {r["vtx"]: r["degree"] for r in G.degrees(sym).collect()}
     assert {k: v for k, v in got_deg.items() if v > 0} == want
+    # phase telemetry: per-phase critical path (max over tasks) covers the
+    # one bulk transfer, the degree exchange, and one (kernel, gather)
+    # pair per executed sweep — the decomposition BENCH_SCALING.md's
+    # per-phase attribution reads
+    assert {"unpack", "deg_exchange"} <= set(stats.phase_crit)
+    for i in range(stats.sweeps):
+        assert f"kernel_{i}" in stats.phase_crit, i
+        assert f"gather_{i}" in stats.phase_crit, i
+    assert all(v >= 0.0 for v in stats.phase_crit.values())
 
 
 def test_golden16_coarsen(spark, golden16_df):

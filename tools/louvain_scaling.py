@@ -67,6 +67,8 @@ print("RESULT " + json.dumps({{
     "engines": [l.engine for l in res.levels],
     "sweeps": [l.sweeps for l in res.levels],
     "edges_processed": sum(l.n_edges_sym * l.sweeps for l in res.levels),
+    "phases_l0": {{k: round(v, 2)
+                   for k, v in getattr(res.levels[0], "phase_crit", {{}}).items()}},
 }}))
 spark.stop()
 """
@@ -122,6 +124,34 @@ def main() -> None:
     eff = (r_lo["wall"] / r_hi["wall"]) / (hi / lo)
     tp_lo = r_lo["edges_processed"] / r_lo["wall"]
     tp_hi = r_hi["edges_processed"] / r_hi["wall"]
+
+    # per-phase attribution (barrier engine): the level-0 critical paths
+    # decompose the BSP wall into compute (kernel_*) vs data movement
+    # (unpack = the one bulk JVM→Python transfer; gather_* + deg_exchange
+    # = the allGather barriers).  Phase efficiency = how THAT phase alone
+    # scaled lo→hi — the in-situ version of the kernel/shuffle
+    # microbenchmarks (tools/kernel_scaling.py, tools/shuffle_scaling.py).
+    phase_eff = None
+    p_lo, p_hi = r_lo.get("phases_l0") or {}, r_hi.get("phases_l0") or {}
+    if p_lo and p_hi:
+        def bucket(p):
+            k = sum(v for n, v in p.items() if n.startswith("kernel_"))
+            c = sum(
+                v for n, v in p.items()
+                if n.startswith("gather_") or n == "deg_exchange"
+            )
+            return {"kernel": k, "comm": c, "unpack": p.get("unpack", 0.0)}
+        b_lo, b_hi = bucket(p_lo), bucket(p_hi)
+        phase_eff = {
+            name: round((b_lo[name] / b_hi[name]) / (hi / lo), 3)
+            for name in b_lo
+            if b_hi.get(name)
+        }
+        phase_eff["buckets"] = {
+            f"local[{lo}]": {k: round(v, 1) for k, v in b_lo.items()},
+            f"local[{hi}]": {k: round(v, 1) for k, v in b_hi.items()},
+        }
+
     print(
         json.dumps(
             {
@@ -132,6 +162,7 @@ def main() -> None:
                 f"local[{hi}]": r_hi,
                 "eff_wall": round(eff, 3),
                 "eff_throughput": round((tp_hi / tp_lo) / (hi / lo), 3),
+                "phase_eff_l0": phase_eff,
                 "loadavg_before": load0,
                 "loadavg_after": _loadavg(),
             }
