@@ -129,6 +129,15 @@ class LevelStats:
     # that lets a scaling run attribute efficiency per phase instead of
     # reporting one end-to-end scalar (BENCH_SCALING.md §0)
     phase_crit: dict = field(default_factory=dict)
+    # ... and the SUM across tasks (total work).  The max is what gates the
+    # wall but any one stolen core inflates it; the sum is conserved under
+    # repartitioning, so comparing phase SUMS between core counts is the
+    # steal-robust attribution: kernel sum ≈ constant when compute scales,
+    # unpack sum GROWS when concurrent converters saturate the memory bus.
+    # Caveat shared with phase_crit: a task's gather_i/deg_exchange wall
+    # includes time WAITING at the barrier for stragglers of the previous
+    # phase, so comm phases absorb skew from compute/transfer phases.
+    phase_sum: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -369,22 +378,32 @@ def _broadcast_superstep_level(
         sweep_no = sweep
 
         def run(batches, _state=state_bc, _deg=deg_bc, _m2=m2, _mg=min_gain, _sw=sweep_no):
+            # mapInArrow, not mapInPandas: this engine pays the JVM→Python
+            # conversion EVERY sweep, and the pandas Series wrapper was
+            # measured at ~2× the raw Arrow→numpy cost (same finding as the
+            # barrier engine's pack step)
             import numpy as _np
-            import pandas as _pd
+            import pyarrow as _pa
 
-            pdf = _pd.concat(list(batches), ignore_index=True)
-            if len(pdf) == 0:
-                yield _pd.DataFrame(
-                    {"vtx": _pd.Series(dtype="int64"),
-                     "comm": _pd.Series(dtype="int64"),
-                     "moved": _pd.Series(dtype="int32")}
+            ss, dd, ww = [], [], []
+            for b in batches:
+                ss.append(b.column(0).to_numpy(zero_copy_only=False))
+                dd.append(b.column(1).to_numpy(zero_copy_only=False))
+                ww.append(b.column(2).to_numpy(zero_copy_only=False))
+            if not ss:
+                yield _pa.RecordBatch.from_pydict(
+                    {
+                        "vtx": _np.empty(0, _np.int64),
+                        "comm": _np.empty(0, _np.int64),
+                        "moved": _np.empty(0, _np.int32),
+                    }
                 )
                 return
+            s = _np.concatenate(ss)
+            d = _np.concatenate(dd)
+            w = _np.concatenate(ww)
             comm, tot = _state.value
             degv = _deg.value
-            s = pdf["src"].to_numpy()
-            d = pdf["dst"].to_numpy()
-            w = pdf["weight"].to_numpy()
             out_v, out_c = kernels.louvain_block_local_dense(
                 s, d, w, comm, degv, tot, _m2, _mg, max_inner=6, seed=_sw,
             )
@@ -394,7 +413,7 @@ def _broadcast_superstep_level(
             # O(n_vertices) every sweep
             keep = comm[out_v] != out_c
             out_v, out_c = out_v[keep], out_c[keep]
-            yield _pd.DataFrame(
+            yield _pa.RecordBatch.from_pydict(
                 {
                     "vtx": out_v.astype("int64"),
                     "comm": out_c.astype("int64"),
@@ -403,7 +422,7 @@ def _broadcast_superstep_level(
             )
 
         t_sw = time.monotonic()
-        proposals = edges_p.mapInPandas(run, schema=PROPOSAL_SCHEMA).toPandas()
+        proposals = edges_p.mapInArrow(run, schema=PROPOSAL_SCHEMA).toPandas()
         state_bc.destroy()
         if os.environ.get("PLM_DEBUG_SWEEPS"):
             print(
@@ -723,6 +742,7 @@ def _barrier_superstep_level(
         for k, v in (tm or {}).items():
             if v > stats.phase_crit.get(k, 0.0):
                 stats.phase_crit[k] = v
+            stats.phase_sum[k] = stats.phase_sum.get(k, 0.0) + v
     if os.environ.get("PLM_DEBUG_SWEEPS"):
         print(
             f"[louvain] barrier level: job={time.monotonic() - t_job:.1f}s "

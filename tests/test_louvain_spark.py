@@ -91,6 +91,10 @@ def test_golden16_barrier_engine(spark, golden16_df):
         assert f"kernel_{i}" in stats.phase_crit, i
         assert f"gather_{i}" in stats.phase_crit, i
     assert all(v >= 0.0 for v in stats.phase_crit.values())
+    # the work-sum twin covers the same phases, and sum >= max always
+    assert set(stats.phase_sum) == set(stats.phase_crit)
+    for k, mx in stats.phase_crit.items():
+        assert stats.phase_sum[k] >= mx - 1e-9, k
 
 
 def test_golden16_coarsen(spark, golden16_df):

@@ -69,6 +69,8 @@ print("RESULT " + json.dumps({{
     "edges_processed": sum(l.n_edges_sym * l.sweeps for l in res.levels),
     "phases_l0": {{k: round(v, 2)
                    for k, v in getattr(res.levels[0], "phase_crit", {{}}).items()}},
+    "phases_l0_sum": {{k: round(v, 2)
+                       for k, v in getattr(res.levels[0], "phase_sum", {{}}).items()}},
 }}))
 spark.stop()
 """
@@ -152,6 +154,34 @@ def main() -> None:
             f"local[{hi}]": {k: round(v, 1) for k, v in b_hi.items()},
         }
 
+    # sum-based (work) attribution: phase SUMS across tasks are conserved
+    # under repartitioning, so work_inflation = sum_hi / sum_lo is the
+    # steal-robust signal — 1.0 means the phase's total work was unchanged
+    # (perfect scaling when cores do it concurrently); >1 means per-core
+    # throughput DEGRADED at hi (shared-bus saturation, or steal).  This is
+    # robust to a single slow task, which corrupts max-based phase_eff.
+    work_inflation = None
+    s_lo = r_lo.get("phases_l0_sum") or {}
+    s_hi = r_hi.get("phases_l0_sum") or {}
+    if s_lo and s_hi:
+        def bucket_s(p):
+            k = sum(v for n, v in p.items() if n.startswith("kernel_"))
+            c = sum(
+                v for n, v in p.items()
+                if n.startswith("gather_") or n == "deg_exchange"
+            )
+            return {"kernel": k, "comm": c, "unpack": p.get("unpack", 0.0)}
+        bs_lo, bs_hi = bucket_s(s_lo), bucket_s(s_hi)
+        work_inflation = {
+            name: round(bs_hi[name] / bs_lo[name], 3)
+            for name in bs_lo
+            if bs_lo.get(name)
+        }
+        work_inflation["sums"] = {
+            f"local[{lo}]": {k: round(v, 1) for k, v in bs_lo.items()},
+            f"local[{hi}]": {k: round(v, 1) for k, v in bs_hi.items()},
+        }
+
     print(
         json.dumps(
             {
@@ -163,6 +193,7 @@ def main() -> None:
                 "eff_wall": round(eff, 3),
                 "eff_throughput": round((tp_hi / tp_lo) / (hi / lo), 3),
                 "phase_eff_l0": phase_eff,
+                "work_inflation_l0": work_inflation,
                 "loadavg_before": load0,
                 "loadavg_after": _loadavg(),
             }
