@@ -235,10 +235,9 @@ def louvain_sequential_edges(
 
 
 def _vectorized_moves(
-    s: np.ndarray,
+    s_pos: np.ndarray,
     c: np.ndarray,
     w: np.ndarray,
-    v_ids: np.ndarray,
     v_comm: np.ndarray,
     v_deg: np.ndarray,
     tot_of,  # callable comm-id array -> tot array
@@ -248,35 +247,43 @@ def _vectorized_moves(
 ) -> tuple[np.ndarray, np.ndarray]:
     """One synchronous vectorized move pass.
 
-    ``(s, c, w)``: COO rows (src, neighbor-community, weight), self-loops
-    already excluded.  ``v_ids`` sorted unique vertices with current
-    community/degree.  Returns (positions_into_v_ids, new_comms) for movers.
+    ``(s_pos, c, w)``: COO rows (src as POSITION into the caller's sorted
+    block-vertex table, neighbor-community, weight), self-loops already
+    excluded.  Taking positions instead of raw ids keeps every per-pass
+    lookup a plain gather: the previous id-based variant re-ran
+    ``np.searchsorted`` over all rows on EVERY pass, which profiles at
+    ~600 ns/row on this host (~5 s per 8.7M-row pass) vs ~5 ns/row for the
+    gather — the positions are structural (fixed per level) and belong to
+    the caller.  Returns (positions, new_comms) for movers.
     """
     if active is not None:
-        keep = active[np.searchsorted(v_ids, s)]
-        s, c, w = s[keep], c[keep], w[keep]
-    if len(s) == 0:
+        keep = active[s_pos]
+        s_pos, c, w = s_pos[keep], c[keep], w[keep]
+    if len(s_pos) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    # group by (s, c): a fused single-key argsort is ~2x a two-key lexsort;
-    # fall back to lexsort if the fused key could overflow int64
+    # group by (s_pos, c): a fused single-key argsort is ~2x a two-key
+    # lexsort (radix path for int keys); fall back to lexsort if the fused
+    # key could overflow int64.  s_pos is a bijective, order-preserving
+    # relabel of the block's src ids, so grouping and every tie-break below
+    # are identical to grouping on the ids themselves.
     c_span = int(c.max()) + 1 if len(c) else 1
-    if len(s) and float(int(s.max()) + 1) * c_span < float(1 << 62):
-        key = s * np.int64(c_span) + c
+    if len(s_pos) and float(int(s_pos.max()) + 1) * c_span < float(1 << 62):
+        key = s_pos * np.int64(c_span) + c
         order = np.argsort(key, kind="stable")
     else:
-        order = np.lexsort((c, s))
-    s, c, w = s[order], c[order], w[order]
-    new_grp = np.empty(len(s), dtype=bool)
+        order = np.lexsort((c, s_pos))
+    s_pos, c, w = s_pos[order], c[order], w[order]
+    new_grp = np.empty(len(s_pos), dtype=bool)
     new_grp[:1] = True
-    new_grp[1:] = (s[1:] != s[:-1]) | (c[1:] != c[:-1])
+    new_grp[1:] = (s_pos[1:] != s_pos[:-1]) | (c[1:] != c[:-1])
     gidx = np.cumsum(new_grp) - 1
-    g_src = s[new_grp]
+    g_src = s_pos[new_grp]
     g_comm = c[new_grp]
     g_w = np.bincount(gidx, weights=w)
 
-    pos = np.searchsorted(v_ids, g_src)
+    pos = g_src
     own_mask = g_comm == v_comm[pos]
-    w_own = np.zeros(len(v_ids))
+    w_own = np.zeros(len(v_comm))
     w_own[pos[own_mask]] = g_w[own_mask]
     deg = v_deg
     tot_own = tot_of(v_comm)
@@ -358,6 +365,10 @@ def louvain_block_local(
     s = src[keep]
     d = dst[keep]
     w = weight[keep].astype(np.float64)
+    # structural row->block-position maps, ONCE per call (not per inner
+    # pass): searchsorted costs ~600 ns/row on this host, so it must never
+    # sit inside the pass loop
+    s_pos = np.searchsorted(v_ids, s)
     d_pos = np.searchsorted(v_ids, d)
     d_pos = np.clip(d_pos, 0, len(v_ids) - 1)
     d_in_block = v_ids[d_pos] == d
@@ -373,10 +384,9 @@ def louvain_block_local(
         h = (v_ids * np.int64(0x9E3779B9) + np.int64(seed * 1315423911 + inner)) & np.int64(0x7FFFFFFF)
         active = (h >> 13) & 1 == 0
         mover_pos, mover_comm = _vectorized_moves(
-            s,
+            s_pos,
             c_now,
             w,
-            v_ids,
             v_comm,
             v_deg,
             lambda cc: c_tot[comm_index(cc)],
@@ -407,6 +417,47 @@ def louvain_block_local(
     return v_ids, v_comm
 
 
+class DenseBlockPrep(NamedTuple):
+    """Structural (per-LEVEL) state of a dense block kernel call: the
+    self-loop-filtered COO rows and their row->block-position maps.  None
+    of it depends on communities, so a sweep loop that holds the block in
+    memory (the barrier engine) computes it once and passes it to every
+    :func:`louvain_block_local_dense` call of the level."""
+
+    s: np.ndarray
+    d: np.ndarray
+    w: np.ndarray
+    v_ids: np.ndarray
+    s_pos: np.ndarray
+    d_pos: np.ndarray
+    d_in_block: np.ndarray
+
+
+def prepare_dense_block(
+    s: np.ndarray, d: np.ndarray, w: np.ndarray, n_vertices: int
+) -> DenseBlockPrep:
+    """Build :class:`DenseBlockPrep` for dense ids ``0..n_vertices-1``.
+
+    The row->position maps use a dense scatter + gather (``pos[v_ids] =
+    arange; pos[s]``) instead of ``np.searchsorted``: ids are dense by
+    this engine's contract, and binary search profiles ~100x slower than
+    the gather at block scale (~600 ns vs ~5 ns per row on this host).
+    """
+    keep = s != d
+    s, d, w = s[keep], d[keep], w[keep].astype(np.float64)
+    v_ids = np.unique(s)
+    pos = np.zeros(n_vertices, dtype=np.int64)
+    pos[v_ids] = np.arange(len(v_ids), dtype=np.int64)
+    s_pos = pos[s]
+    d_pos = pos[d]
+    # non-block dsts hit pos's zero default; v_ids[0] == d only when d IS
+    # in the block, so the membership test stays exact
+    d_in_block = (
+        v_ids[d_pos] == d if len(v_ids) else np.zeros(len(d), dtype=bool)
+    )
+    return DenseBlockPrep(s, d, w, v_ids, s_pos, d_pos, d_in_block)
+
+
 def louvain_block_local_dense(
     s: np.ndarray,
     d: np.ndarray,
@@ -418,6 +469,7 @@ def louvain_block_local_dense(
     min_gain: float = 0.0,
     max_inner: int = 6,
     seed: int = 0,
+    pre: DenseBlockPrep | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-local-convergence kernel for DENSE global state arrays.
 
@@ -428,24 +480,25 @@ def louvain_block_local_dense(
     table costs ~400 ms per megarow pass vs ~20 ms for direct indexing,
     making this ~4x the general kernel (:func:`louvain_block_local`).
 
+    ``pre`` (optional): the block's :class:`DenseBlockPrep`, for callers
+    that run MANY sweeps over the same block (the barrier engine) — the
+    structural maps are community-independent, so hoisting them out of the
+    sweep loop removes the kernel's whole per-sweep setup cost.
+
     Mutates nothing global: totals are copied and updated by local deltas;
     ghosts (dst outside the block) stay at their sweep-start communities.
     Returns (vertices, new_comms) for the block's src vertices.
     """
-    if len(s) == 0:
+    if pre is None:
+        if len(s) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        pre = prepare_dense_block(s, d, w, len(comm_arr))
+    s, d, w, v_ids, s_pos, d_pos, d_in_block = pre
+    if len(v_ids) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    keep = s != d
-    s, d, w = s[keep], d[keep], w[keep].astype(np.float64)
-
-    v_ids = np.unique(s)
     v_comm = comm_arr[v_ids].copy()
     v_deg = deg_arr[v_ids].astype(np.float64)
     tot = tot_arr.astype(np.float64, copy=True)
-
-    s_pos = np.searchsorted(v_ids, s)  # once: rows -> block-vertex index
-    d_pos = np.searchsorted(v_ids, d)
-    d_pos = np.clip(d_pos, 0, len(v_ids) - 1)
-    d_in_block = v_ids[d_pos] == d
     ghost_comm = comm_arr[d]
 
     zero_streak = 0
@@ -457,10 +510,9 @@ def louvain_block_local_dense(
         ) & np.int64(0x7FFFFFFF)
         active = (h >> 13) & 1 == 0
         mover_pos, mover_comm = _vectorized_moves(
-            s,
+            s_pos,
             c_now,
             w,
-            v_ids,
             v_comm,
             v_deg,
             lambda cc: tot[cc],
@@ -543,11 +595,12 @@ def louvain_vectorized_edges(
         active = (h >> 13) & 1 == 0
         if sweep == 0:
             active = np.ones(n, dtype=bool)
+        # ids are locally densified (v_ids == arange(n)), so the row's src
+        # value IS its block position — no id->position map needed
         mover_pos, mover_comm = _vectorized_moves(
             s,
             comm[d],
             w,
-            v_ids,
             comm,
             deg,
             lambda cc: tot[cc],

@@ -578,11 +578,31 @@ def _barrier_superstep_level(
         s = _np.concatenate(ss) if ss else _np.empty(0, _np.int32)
         d = _np.concatenate(dd) if dd else _np.empty(0, _np.int32)
         w = _np.concatenate(ww) if ww else _np.empty(0, _np.float64)
+        # sort by src + delta-encode + zstd: the blob crosses two more
+        # process boundaries (Python->JVM, JVM->barrier-Python) before the
+        # kernel sees it, and at scale-test sizes those crossings are the
+        # level's bandwidth bill.  Sorted src deltas are mostly tiny ints
+        # and level-0 weights repeat, so zstd-1 lands ~4x (measured 139 MB
+        # -> 35 MB per 8.7M rows at ~0.7 s compress + ~0.6 s decompress,
+        # both fully parallel) — trading a little task CPU for 4x fewer
+        # bytes on the shared bus here and 4x less shuffle I/O on a real
+        # cluster.  Sorted rows also make the kernel's structural prep and
+        # its per-pass group-sort cache-friendlier.
+        if len(s):
+            order = _np.argsort(s, kind="stable")
+            s, d, w = s[order], d[order], w[order]
+            sdelta = _np.diff(s, prepend=_np.int32(0)).astype(_np.int32)
+        else:
+            sdelta = s
+        raw = pickle.dumps((sdelta, d, w), protocol=4)
+        comp = _pa.Codec("zstd", compression_level=1).compress(
+            raw, asbytes=True
+        )
         yield _pa.RecordBatch.from_pydict(
-            {"n": [len(s)], "blob": [pickle.dumps((s, d, w), protocol=4)]}
+            {"n": [len(s)], "raw_len": [len(raw)], "blob": [comp]}
         )
 
-    blobs = edges_p.mapInArrow(_pack, schema="n long, blob binary")
+    blobs = edges_p.mapInArrow(_pack, schema="n long, raw_len long, blob binary")
 
     nv = int(n_vertices)
     m2_ = float(m2)
@@ -607,10 +627,20 @@ def _barrier_superstep_level(
         pid = ctx.partitionId()
         t_start = _time.monotonic()
         blob = None
+        raw_len = 0
         for r in rows:
             blob = r["blob"]
+            raw_len = r["raw_len"]
         if blob is not None:
-            s, d, w = pickle.loads(bytes(blob))
+            import pyarrow as _pa
+
+            raw = _pa.Codec("zstd").decompress(
+                bytes(blob), int(raw_len), asbytes=True
+            )
+            sdelta, d, w = pickle.loads(raw)
+            # src was delta-encoded against 0 by the pack step; cumsum in
+            # int64 (no overflow), back to the ids' native int32
+            s = _np.cumsum(sdelta, dtype=_np.int64).astype(_np.int32)
         else:
             s = _np.empty(0, _np.int32)
             d = _np.empty(0, _np.int32)
@@ -643,6 +673,13 @@ def _barrier_superstep_level(
             if len(gv):
                 degv[gv.astype(_np.int64)] = gd
         timings["deg_exchange"] = _time.monotonic() - t0
+        # structural prep (self-loop filter + row->position maps) ONCE per
+        # level: it is community-independent, and leaving it inside the
+        # kernel re-paid it every sweep (searchsorted alone measured ~5 s
+        # per 8.7M-row call on this host)
+        t0 = _time.monotonic()
+        pre = _k.prepare_dense_block(s, d, w, nv) if len(s) else None
+        timings["prep"] = _time.monotonic() - t0
         comm = _np.arange(nv, dtype=_np.int64)
         moves_log: list[int] = []
         best_moves, best_sweep = float("inf"), -1
@@ -653,7 +690,7 @@ def _barrier_superstep_level(
             if len(s):
                 out_v, out_c = _k.louvain_block_local_dense(
                     s, d, w, comm, degv, tot, m2_, min_gain,
-                    max_inner=6, seed=sweep,
+                    max_inner=6, seed=sweep, pre=pre,
                 )
                 keep = comm[out_v] != out_c
                 mv_v = out_v[keep].astype(_np.int32)
@@ -740,8 +777,9 @@ def _barrier_superstep_level(
         if mlog is not None:
             moves_log = list(mlog)
         for k, v in (tm or {}).items():
-            if v > stats.phase_crit.get(k, 0.0):
-                stats.phase_crit[k] = v
+            # max(), not a > guard: a 0.000-rounded phase must still CREATE
+            # its key so crit/sum stay aligned
+            stats.phase_crit[k] = max(stats.phase_crit.get(k, 0.0), v)
             stats.phase_sum[k] = stats.phase_sum.get(k, 0.0) + v
     if os.environ.get("PLM_DEBUG_SWEEPS"):
         print(
