@@ -182,3 +182,67 @@ def test_vectorized_matches_quality_class(e):
     q0 = kernels.modularity(np.zeros(len(deg)), deg, float(csr.weights.sum()))
     assert q_seq >= q0 - 1e-9
     assert q_vec >= q0 - 1e-9
+
+
+@given(random_edge_lists())
+@settings(max_examples=30, deadline=None)
+def test_dense_kernel_prep_hoist_parity(e):
+    """louvain_block_local_dense(pre=prepare_dense_block(...)) is
+    bit-identical to the self-prepping call: the structural maps are
+    community-independent, so hoisting them (the barrier engine's per-level
+    optimization) must not change a single move."""
+    src, dst, w = e
+    keep = src != dst
+    if not keep.any():
+        return
+    src, dst, w = src[keep], dst[keep], w[keep]
+    nv = int(max(src.max(), dst.max())) + 1
+    s = src.astype(np.int32)
+    d = dst.astype(np.int32)
+    comm = np.arange(nv, dtype=np.int64)
+    deg = np.bincount(s, weights=w, minlength=nv) + np.bincount(
+        d, weights=w, minlength=nv
+    )
+    m2 = float(deg.sum())
+    tot = np.bincount(comm, weights=deg, minlength=nv)
+    pre = kernels.prepare_dense_block(s, d, w, nv)
+    for seed in (0, 1):
+        v_a, c_a = kernels.louvain_block_local_dense(
+            s, d, w, comm, deg, tot, m2, seed=seed
+        )
+        v_b, c_b = kernels.louvain_block_local_dense(
+            s, d, w, comm, deg, tot, m2, seed=seed, pre=pre
+        )
+        assert v_a.tolist() == v_b.tolist()
+        assert c_a.tolist() == c_b.tolist()
+
+
+def test_barrier_blob_delta_zstd_roundtrip():
+    """The barrier pack's sort + delta + zstd transport encoding restores
+    (src, dst, weight) exactly, including the row reordering being a
+    permutation (multiset equality) — the transport must be lossless."""
+    import pickle
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n, nv = 100_000, 5_000
+    s = rng.integers(0, nv, n).astype(np.int32)
+    d = rng.integers(0, nv, n).astype(np.int32)
+    w = rng.integers(1, 9, n).astype(np.float64)
+    # encode exactly as _pack does
+    order = np.argsort(s, kind="stable")
+    ss, dd, ww = s[order], d[order], w[order]
+    sdelta = np.diff(ss, prepend=np.int32(0)).astype(np.int32)
+    raw = pickle.dumps((sdelta, dd, ww), protocol=4)
+    comp = pa.Codec("zstd", compression_level=1).compress(raw, asbytes=True)
+    assert len(comp) < len(raw)
+    # decode exactly as _level does
+    back = pa.Codec("zstd").decompress(comp, len(raw), asbytes=True)
+    s2delta, d2, w2 = pickle.loads(back)
+    s2 = np.cumsum(s2delta, dtype=np.int64).astype(np.int32)
+    assert (s2 == ss).all() and (d2 == dd).all() and (w2 == ww).all()
+    # permutation of the original rows (same multiset of edges)
+    a = sorted(zip(s.tolist(), d.tolist(), w.tolist()))
+    b = sorted(zip(s2.tolist(), d2.tolist(), w2.tolist()))
+    assert a == b
