@@ -14,9 +14,10 @@ Operators:
                          dropped and counted, not exploded;
 - ``cocommit_edges``   — file pairs co-occurring in a commit (self-join on
                          the (repo, commit) group key) with the same cap;
-- ``build_repo_graph`` / ``build_file_graph`` — string keys densified to
-                         the canonical long-id edge table via the sorted
-                         renumber operator.
+- ``build_repo_graph`` / ``build_file_graph`` — the ints-early production
+                         builders: node names dense-ranked once, then
+                         dedup/cap/self-join/aggregation run entirely on
+                         longs (strings cross the shuffle exactly once).
 
 Column pruning is load-bearing at 100 TB: every builder projects
 ``content`` away immediately after hashing, so the scan schema the optimizer
@@ -210,21 +211,96 @@ def densify(string_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return edges, mapping
 
 
+def _capped_pair_edges_int(
+    keyed: DataFrame, max_group: int
+) -> tuple[DataFrame, DataFrame]:
+    """``(bucket: long, id: long)`` distinct rows -> dense-id edge table
+    ``(src, dst, weight)`` with the explicit k²/2 skew cap.
+
+    The all-long twin of the string pair builders: every shuffle column
+    (dedup, cap count, self-join, pair aggregation) is 8 bytes, not a
+    repo/path/commit string — at corpus scale the strings are the shuffle
+    bill, and they only need to cross the wire ONCE (the name->dense-id
+    join in the callers below).
+    """
+    # three consumers (cap counts + both self-join sides) would otherwise
+    # re-run the upstream name-join + distinct three times — materialize
+    # the (tiny, all-long) deduped table once
+    keyed = keyed.localCheckpoint(eager=True)
+    sizes = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    dropped = sizes.filter(F.col("n") > max_group)
+    ok = keyed.join(F.broadcast(dropped.select("bucket")), "bucket", "left_anti")
+    a = ok.select("bucket", F.col("id").alias("src"))
+    b = ok.select("bucket", F.col("id").alias("dst"))
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return edges, dropped
+
+
 def build_repo_graph(
     corpus: DataFrame, max_group: int = 1000
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared-content repo graph: ``(edges[src,dst,weight], id_map, dropped)``."""
-    str_edges, dropped = shared_content_edges(corpus, "repo", max_group)
-    edges, mapping = densify(str_edges)
+    """Shared-content repo graph: ``(edges[src,dst,weight], id_map, dropped)``.
+
+    Ints-early pipeline: repo names are dense-ranked FIRST (one string
+    shuffle), then dedup / cap / self-join / pair aggregation all run on
+    longs.  Output is identical to densify(shared_content_edges(...)) —
+    dense ids are monotone in sorted names, so ``src < dst`` selects the
+    same canonical pair direction — but the content hashes and node names
+    never re-cross the wire.  The bucket key is ``xxhash64(content)``
+    rather than the sha256 string: equality differs only on an xxhash64
+    collision (P ≈ k²/2⁶⁵ — ~0.03 even at 10⁹ distinct contents; a
+    deployment at 10¹²+ distinct contents should rank contents exactly
+    instead).  ``dropped`` reports the capped buckets as (bucket, n).
+
+    Contract change vs the old densify(string_edges) composition: the id
+    map ranks EVERY distinct node name in the corpus — isolated nodes
+    included — so ids are stable under ``max_group`` and the map is the
+    corpus's node universe, not just the edge participants.  (On a corpus
+    with no isolated nodes the two pipelines are row-identical; pinned by
+    test_int_builders_match_string_pipeline.)
+    """
+    names = corpus.select(F.col("repo").alias("name")).distinct()
+    mapping = dense_ids(names, "name")
+    keyed = (
+        corpus.select(
+            F.col("repo").alias("name"),
+            F.xxhash64("content").alias("bucket"),
+        )
+        .join(mapping, "name")
+        .select("bucket", F.col("new_id").alias("id"))
+        .distinct()
+    )
+    edges, dropped = _capped_pair_edges_int(keyed, max_group)
     return edges, mapping, dropped
 
 
 def build_file_graph(
     corpus: DataFrame, max_group: int = 1000
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Co-commit file graph: ``(edges[src,dst,weight], id_map, dropped)``."""
-    str_edges, dropped = cocommit_edges(corpus, max_group)
-    edges, mapping = densify(str_edges)
+    """Co-commit file graph: ``(edges[src,dst,weight], id_map, dropped)``.
+
+    Same ints-early design as :func:`build_repo_graph`: file names
+    (``repo::path``) cross the shuffle once into the dense-id map, and the
+    co-commit bucket is ``xxhash64(repo, commit)`` (collision note above).
+    """
+    name = F.concat(F.col("repo"), F.lit("::"), F.col("path"))
+    names = corpus.select(name.alias("name")).distinct()
+    mapping = dense_ids(names, "name")
+    keyed = (
+        corpus.select(
+            name.alias("name"),
+            F.xxhash64("repo", "commit").alias("bucket"),
+        )
+        .join(mapping, "name")
+        .select("bucket", F.col("new_id").alias("id"))
+        .distinct()
+    )
+    edges, dropped = _capped_pair_edges_int(keyed, max_group)
     return edges, mapping, dropped
 
 

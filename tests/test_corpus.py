@@ -88,3 +88,29 @@ def test_repo_graph_louvain_recovers_pools(spark, corpus):
     assert res.modularity > 0.5
     got = res.n_communities
     assert 3 <= got <= 6
+
+
+def test_int_builders_match_string_pipeline(spark, corpus):
+    """build_file_graph / build_repo_graph (ints-early) produce exactly the
+    densify(string_edges) result — dense ids are monotone in sorted names,
+    so the int pipeline's src<dst picks the same canonical direction."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        build_file_graph,
+        build_repo_graph,
+        densify,
+        shared_content_edges,
+    )
+
+    for builder, string_fn in (
+        (build_file_graph, cocommit_edges),
+        (build_repo_graph, lambda c: shared_content_edges(c, "repo")),
+    ):
+        e_int, mapping, _ = builder(corpus)
+        str_edges, _ = string_fn(corpus)
+        e_str, mapping_str = densify(str_edges)
+        assert sorted(map(tuple, e_int.collect())) == sorted(
+            map(tuple, e_str.collect())
+        )
+        assert sorted(map(tuple, mapping.collect())) == sorted(
+            map(tuple, mapping_str.collect())
+        )
