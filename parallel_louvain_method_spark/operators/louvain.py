@@ -518,10 +518,13 @@ def _barrier_superstep_level(
     src-partition's adjacency is packed into a single numpy blob, and a
     barrier stage (``RDD.barrier().mapPartitions``) holds it in worker
     memory for the whole level, exchanging per-sweep MOVER DELTAS through
-    ``BarrierTaskContext.allGather`` — the Spark-native re-expression of
-    the reference's MPI communicate-deltas design
-    (src/distcommunity.cpp:212-385), with Spark's barrier scheduler
-    replacing MPI_Barrier.
+    an in-stage raw-TCP star all-gather (functions/exchange.py) — the
+    re-expression of the reference's MPI communicate-deltas design
+    (src/distcommunity.cpp:212-385).  ``BarrierTaskContext.allGather``
+    remains the bootstrap (degree exchange + hub address + connect
+    handshake) and the verified whole-level fallback; it is not used per
+    sweep because its driver-coordinated sync has a measured ~1 s latency
+    floor per call regardless of payload.
 
     Per-sweep traffic is O(movers), not O(edges): sweep 0 gathers ~n/2
     int32 pairs, decaying geometrically after.  Every task applies the
@@ -663,16 +666,64 @@ def _barrier_superstep_level(
         else:
             my_v = _np.empty(0, _np.int64)
             my_deg = _np.empty(0, _np.float64)
-        deg_payload = base64.b64encode(
-            pickle.dumps((my_v.astype(_np.int32), my_deg), protocol=4)
-        ).decode("ascii")
+        # per-sweep sync transport: ctx.allGather routes through the
+        # driver's BarrierCoordinator whose task-side wait loop has a
+        # measured ~1.0 s floor PER SYNC regardless of payload (hardcoded
+        # Thread.sleep poll) — sweeps x 1 s of pure latency.  The star
+        # transport (functions/exchange.py, the MPI_Allgather analog)
+        # exchanges per-sweep movers over raw TCP inside the stage;
+        # task 0's address rides the one-time degree allGather below, and
+        # a status allGather confirms EVERY task connected before anyone
+        # commits — all tasks take the same branch or all fall back, so
+        # the sync semantics are preserved either way.
+        from parallel_louvain_method_spark.functions.exchange import (
+            StarAllGather,
+        )
+
+        xg = StarAllGather(pid, n_parts_)
+        hub_addr = None
+        if pid == 0 and n_parts_ > 1:
+            try:
+                hub_addr = xg.listen()
+            except OSError:
+                hub_addr = None
+
         t0 = _time.monotonic()
         degv = _np.zeros(nv, dtype=_np.float64)
-        for g in ctx.allGather(deg_payload):
-            gv, gd = pickle.loads(base64.b64decode(g))
-            if len(gv):
-                degv[gv.astype(_np.int64)] = gd
+        if n_parts_ > 1:
+            deg_payload = base64.b64encode(
+                pickle.dumps(
+                    (my_v.astype(_np.int32), my_deg, hub_addr), protocol=4
+                )
+            ).decode("ascii")
+            for g in ctx.allGather(deg_payload):
+                gv, gd, gaddr = pickle.loads(base64.b64decode(g))
+                if gaddr is not None:
+                    hub_addr = gaddr
+                if len(gv):
+                    degv[gv.astype(_np.int64)] = gd
+        elif len(my_v):
+            # single partition: everything is local, no sync needed
+            degv[my_v] = my_deg
         timings["deg_exchange"] = _time.monotonic() - t0
+
+        t0 = _time.monotonic()
+        use_sockets = n_parts_ == 1
+        if n_parts_ > 1:
+            try:
+                if hub_addr is None:
+                    raise ConnectionError("no hub advertised")
+                if pid == 0:
+                    xg.accept_all()
+                else:
+                    xg.connect(tuple(hub_addr))
+                st = "ok"
+            except Exception:
+                st = "fail"
+            use_sockets = all(x == "ok" for x in ctx.allGather(st))
+            if not use_sockets:
+                xg.close()
+        timings["xchg_setup"] = _time.monotonic() - t0
         # structural prep (self-loop filter + row->position maps) ONCE per
         # level: it is community-independent, and leaving it inside the
         # kernel re-paid it every sweep (searchsorted alone measured ~5 s
@@ -683,53 +734,66 @@ def _barrier_superstep_level(
         comm = _np.arange(nv, dtype=_np.int64)
         moves_log: list[int] = []
         best_moves, best_sweep = float("inf"), -1
-        for sweep in range(max_sweeps_):
-            t0 = _time.monotonic()
-            min_gain = _math.exp(-(sweep + 1)) if anneal_ else 0.0
-            tot = _np.bincount(comm, weights=degv, minlength=nv)
-            if len(s):
-                out_v, out_c = _k.louvain_block_local_dense(
-                    s, d, w, comm, degv, tot, m2_, min_gain,
-                    max_inner=6, seed=sweep, pre=pre,
-                )
-                keep = comm[out_v] != out_c
-                mv_v = out_v[keep].astype(_np.int32)
-                mv_c = out_c[keep].astype(_np.int32)
-            else:
-                mv_v = _np.empty(0, _np.int32)
-                mv_c = _np.empty(0, _np.int32)
-            payload = base64.b64encode(
-                pickle.dumps((mv_v, mv_c), protocol=4)
-            ).decode("ascii")
-            timings[f"kernel_{sweep}"] = _time.monotonic() - t0
-            t0 = _time.monotonic()
-            # the superstep barrier: every task contributes its (disjoint —
-            # src-partitioned) movers and receives everyone's
-            gathered = ctx.allGather(payload)
-            timings[f"gather_{sweep}"] = _time.monotonic() - t0
-            total_moves = 0
-            for g in gathered:
-                gv, gc = pickle.loads(base64.b64decode(g))
-                if len(gv):
-                    comm[gv.astype(_np.int64)] = gc.astype(_np.int64)
-                total_moves += len(gv)
-            moves_log.append(int(total_moves))
-            # identical inputs -> identical exit decision on every task
-            if total_moves == 0:
-                break
-            threshold = int(mmf_ * nv)
-            if sweep > 0 and threshold > 0 and total_moves <= threshold:
-                break
-            if (
-                sweep > 0
-                and total_moves >= 50
-                and total_moves >= 0.9 * moves_log[-2]
-            ):
-                break
-            if total_moves < best_moves:
-                best_moves, best_sweep = total_moves, sweep
-            elif sweep - best_sweep >= 8:
-                break
+        try:
+            for sweep in range(max_sweeps_):
+                t0 = _time.monotonic()
+                min_gain = _math.exp(-(sweep + 1)) if anneal_ else 0.0
+                tot = _np.bincount(comm, weights=degv, minlength=nv)
+                if len(s):
+                    out_v, out_c = _k.louvain_block_local_dense(
+                        s, d, w, comm, degv, tot, m2_, min_gain,
+                        max_inner=6, seed=sweep, pre=pre,
+                    )
+                    keep = comm[out_v] != out_c
+                    mv_v = out_v[keep].astype(_np.int32)
+                    mv_c = out_c[keep].astype(_np.int32)
+                else:
+                    mv_v = _np.empty(0, _np.int32)
+                    mv_c = _np.empty(0, _np.int32)
+                payload = pickle.dumps((mv_v, mv_c), protocol=4)
+                timings[f"kernel_{sweep}"] = _time.monotonic() - t0
+                t0 = _time.monotonic()
+                # the superstep barrier: every task contributes its
+                # (disjoint — src-partitioned) movers and receives
+                # everyone's; both transports return the same multiset on
+                # every task, so exit decisions stay identical
+                if use_sockets:
+                    frames = xg.exchange(payload)
+                else:
+                    frames = [
+                        base64.b64decode(g)
+                        for g in ctx.allGather(
+                            base64.b64encode(payload).decode("ascii")
+                        )
+                    ]
+                timings[f"gather_{sweep}"] = _time.monotonic() - t0
+                total_moves = 0
+                for fr in frames:
+                    gv, gc = pickle.loads(fr)
+                    if len(gv):
+                        comm[gv.astype(_np.int64)] = gc.astype(_np.int64)
+                    total_moves += len(gv)
+                moves_log.append(int(total_moves))
+                # identical inputs -> identical exit decision on every task
+                if total_moves == 0:
+                    break
+                threshold = int(mmf_ * nv)
+                if sweep > 0 and threshold > 0 and total_moves <= threshold:
+                    break
+                if (
+                    sweep > 0
+                    and total_moves >= 50
+                    and total_moves >= 0.9 * moves_log[-2]
+                ):
+                    break
+                if total_moves < best_moves:
+                    best_moves, best_sweep = total_moves, sweep
+                elif sweep - best_sweep >= 8:
+                    break
+        finally:
+            # python workers are REUSED across tasks — sockets must not
+            # leak into the next task on this worker
+            xg.close()
         # local internal-weight partial for the level's modularity
         if len(s):
             same = comm[s64] == comm[d64]
