@@ -609,26 +609,47 @@ def louvain_vectorized_edges(
             active=active,
         )
         if len(mover_pos):
-            comm[mover_pos] = mover_comm
+            # label-chase collapse (the sql engine's pointer jump, same
+            # scoping): a community is labeled by its representative's id,
+            # so when v adopts label u in the SAME sweep that u itself
+            # moves, v would otherwise chase u one sweep per hop and the
+            # hashed-halves cascade stretches the level to ~log(n) sweeps.
+            # Chase exactly one hop, movers only, against the mid-state —
+            # a mutual swap (u<->w) maps both back to themselves, which
+            # also neutralizes synchronous pair-swaps.
+            old = comm[mover_pos].copy()
+            moved_flag = np.zeros(n, dtype=bool)
+            moved_flag[mover_pos] = True
+            mid = comm.copy()
+            mid[mover_pos] = mover_comm
+            chase = moved_flag[mover_comm]
+            final_label = np.where(chase, mid[mover_comm], mover_comm)
+            comm[mover_pos] = final_label
+            n_moved = int((final_label != old).sum())
             q_now = q_of(comm)
             if q_now > best_q + 1e-15:
                 best_q = q_now
                 best_comm = comm.copy()
                 improved = True
+            if n_moved == 0:
+                zero_streak += 1
+                if zero_streak >= 3:
+                    break
+                continue
             zero_streak = 0
             # near-convergence exit (the kernel-internal twin of the
             # superstep loops' min_moves_frac): under 0.1% of vertices
             # still moving is label churn — the best-Q snapshot below
             # protects quality, and coarse levels otherwise spend 10+
             # one-mover sweeps here (pure serial time on the level driver)
-            if sweep > 0 and len(mover_pos) <= max(1, n // 1000):
+            if sweep > 0 and n_moved <= max(1, n // 1000):
                 break
             # stall exit: a handful of vertices toggling between equal-gain
             # homes can trickle 1-2 moves per sweep indefinitely; if the
             # per-sweep floor hasn't improved for 6 sweeps the residual is
             # label churn, not structure (same rule as the superstep loops)
-            if len(mover_pos) < best_moves:
-                best_moves, best_sweep = len(mover_pos), sweep
+            if n_moved < best_moves:
+                best_moves, best_sweep = n_moved, sweep
             elif sweep - best_sweep >= 6:
                 break
         else:
