@@ -59,8 +59,18 @@ def label_propagation(
 
     zero_streak = 0
     for it in range(max_iter):
-        # weight to each neighboring label, for this round's active parity
-        active = sym.filter(F.pmod(F.xxhash64("src", F.lit(it)), F.lit(2)) == 0)
+        # weight to each neighboring label, for this round's active parity.
+        # The round seed rides as DATA (1-row broadcast cross join) so the
+        # generated source is round-invariant and the codegen cache hits —
+        # a literal seed compiled a fresh janino class per round (see the
+        # louvain sql loop's params note, operators/louvain.py).  rnd is
+        # INT to keep xxhash64's typed hashing identical to F.lit(it).
+        params = edges.sparkSession.createDataFrame([(it,)], "rnd int")
+        active = (
+            sym.crossJoin(F.broadcast(params))
+            .filter(F.pmod(F.xxhash64("src", F.col("rnd")), F.lit(2)) == 0)
+            .drop("rnd")
+        )
         label_w = (
             active.join(hint(labels.withColumnRenamed("vtx", "dst")), "dst")
             .groupBy(F.col("src").alias("vtx"), F.col("label"))

@@ -1044,6 +1044,27 @@ def _sql_sweep_loop(
     for sweep in range(max_sweeps):
         t_sw = time.monotonic()
         min_gain = math.exp(-(sweep + 1)) if anneal else 0.0
+        # Per-sweep scalars (hash seed, anneal margin, m2) ride as DATA —
+        # a 1-row broadcast cross join — NEVER as literals.  A literal is
+        # pasted into the whole-stage-codegen SOURCE, so every sweep
+        # compiled a fresh janino class per stage; freshly loaded classes
+        # run interpreted until the JIT catches up, measured here as
+        # random 10-40x per-sweep CPU inflation (task Executor CPU Time
+        # grew 2.7→3.9 s on identical 5.7k-row inputs while a pure-CPU
+        # probe in a sibling process stayed flat; disabling codegen
+        # removed every stall).  With the scalars as columns the sweep's
+        # plan SOURCE is identical across sweeps AND levels (m2 was the
+        # only cross-level literal), the codegen cache hits, and each of
+        # the loop's ~5 stage shapes compiles exactly once per session —
+        # which at the 10^9-vertex design point also removes the
+        # per-sweep serial driver compile latency.
+        # swp is INT on purpose: xxhash64 hashes by input type, and the
+        # pre-params code seeded with F.lit(sweep) (int32) — keeping the
+        # type keeps every historical half-assignment bit-identical
+        params = spark.createDataFrame(
+            [(sweep, float(min_gain), float(m2))],
+            "swp int, min_gain double, m2 double",
+        )
         tot = state.groupBy("comm").agg(F.sum("degree").alias("tot"))
         state2 = state.join(sh(tot), "comm").select(
             "vtx", "comm", "degree", "tot"
@@ -1062,9 +1083,16 @@ def _sql_sweep_loop(
             # a CONFIRMATION sweep must examine EVERY vertex — the
             # two-zero-delta exit below is only sound if the full sweep it
             # forced really was full, so the hashed-half filter is skipped
-            # along with the delta filter
-            active_edges = active_edges.filter(
-                F.pmod(F.xxhash64("src", F.lit(sweep)), F.lit(2)) == 0
+            # along with the delta filter.  The sweep seed arrives via the
+            # 1-row params BNLJ (appends swp in-stage; a 1-row build side
+            # preserves the edge cache's dst partitioning) so the filter's
+            # generated source is sweep-invariant.
+            active_edges = (
+                active_edges.crossJoin(F.broadcast(params.select("swp")))
+                .filter(
+                    F.pmod(F.xxhash64("src", F.col("swp")), F.lit(2)) == 0
+                )
+                .drop("swp")
             )
         delta_sweep = (
             not force_full
@@ -1099,11 +1127,15 @@ def _sql_sweep_loop(
             F.col("comm").alias("dst_comm"),
             F.col("tot").alias("tot_dst"),
         )
-        s_src = state2.select(
+        s_src = state2.crossJoin(
+            F.broadcast(params.select("min_gain", "m2"))
+        ).select(
             F.col("vtx").alias("src"),
             F.col("comm").alias("src_comm"),
             F.col("degree"),
             F.col("tot").alias("tot_own"),
+            "min_gain",
+            "m2",
         )
         if sweep == 0 and unique_pairs:
             # sweep-0 fast path: every community is a singleton, so the
@@ -1141,7 +1173,7 @@ def _sql_sweep_loop(
             F.col("w_to")
             - (F.col("tot") - F.when(is_own, F.col("degree")).otherwise(0.0))
             * F.col("degree")
-            / F.lit(m2)
+            / F.col("m2")
         )
         scored = cand.withColumn("gain", gain)
         per_src = scored.groupBy("src").agg(
@@ -1155,8 +1187,9 @@ def _sql_sweep_loop(
             F.first(
                 -(F.col("tot_own") - F.col("degree"))
                 * F.col("degree")
-                / F.lit(m2)
+                / F.col("m2")
             ).alias("gain_stay_base"),
+            F.first("min_gain").alias("min_gain"),
         )
         # acceptance: beat max(gain_stay, 0) by MORE than min_gain.  The
         # 0-floor is the reference's best_increase = 0.0 init
@@ -1169,7 +1202,7 @@ def _sql_sweep_loop(
         gain_stay = F.coalesce(F.col("gain_own_cand"), F.col("gain_stay_base"))
         accept = F.col("best_gain") > F.greatest(
             gain_stay, F.lit(0.0)
-        ) + F.lit(min_gain)
+        ) + F.col("min_gain")
         proposals = per_src.filter(accept).select(
             F.col("src").alias("vtx"), F.col("best_comm").alias("new_comm")
         )

@@ -224,14 +224,24 @@ def pagerank(
             else 0.0
         )
         redistribute = damping * dangling / n
+        # per-iteration scalars ride as DATA (1-row broadcast), not
+        # literals: a literal lands in the whole-stage-codegen source, so
+        # a per-iteration value (the dangling redistribute) would compile
+        # a fresh janino class every iteration — fresh classes run
+        # interpreted until the JIT catches up, measured as random
+        # multi-second per-sweep stalls in the louvain sql loop (same
+        # fix there, operators/louvain.py _sql_sweep_loop)
+        params = edges.sparkSession.createDataFrame(
+            [(float(redistribute),)], "redistribute double"
+        )
         new_ranks = verts.join(hint(contrib), "vtx", "left").na.fill(
             {"in_sum": 0.0}
-        ).select(
+        ).crossJoin(F.broadcast(params)).select(
             "vtx",
             (
                 F.lit(base)
                 + F.lit(damping) * F.col("in_sum")
-                + F.lit(redistribute)
+                + F.col("redistribute")
             ).alias("rank"),
         )
         # truncate lineage every iteration (iterative-lineage rule); the
