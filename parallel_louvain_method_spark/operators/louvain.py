@@ -897,6 +897,7 @@ def _sql_superstep_level(
     stats: LevelStats,
     min_moves_frac: float,
     unique_pairs: bool = False,
+    skew_salt: int = 0,
 ) -> DataFrame:
     """Superstep loop where every sweep is PURE DataFrame algebra.
 
@@ -937,6 +938,7 @@ def _sql_superstep_level(
         return _sql_sweep_loop(
             spark, sym_edges, deg, m2, n_vertices, max_sweeps, anneal,
             stats, min_moves_frac, assign, unique_pairs=unique_pairs,
+            skew_salt=skew_salt,
         )
     finally:
         # restore on EVERY exit path — an exception mid-sweep must not
@@ -958,6 +960,7 @@ def _sql_sweep_loop(
     assign: DataFrame,
     delta_frac: float = 0.05,
     unique_pairs: bool = False,
+    skew_salt: int = 0,
 ) -> DataFrame:
     """The sweep loop of the at-scale sql engine.  Three design rules make
     it SCALE WITH EXECUTORS (r2's measured failure mode was serial
@@ -998,10 +1001,17 @@ def _sql_sweep_loop(
     members' STATE rows (~16 B each) in one task — at 10^9 vertices and a
     50% mega-community that is ~8 GB in one partition.  The edge-side
     joins are unaffected (keyed by vtx), communities that large only
-    emerge near convergence, and the coarsen cadence caps level length;
-    if a deployment hits it, re-enabling AQE inside the loop
-    (``spark.sql.adaptive.enabled``) turns on skew-join splitting at the
-    cost of per-sweep driver re-planning.
+    emerge near convergence, and the coarsen cadence caps level length.
+    ``skew_salt > 1`` turns on EXPLICIT SALTING of that join: the state
+    side gains ``salt = xxhash64(vtx) mod S`` and the (small) totals side
+    replicates S× via a broadcast cross join, so a mega-community's state
+    rows spread over S tasks instead of one.  Pure plan algebra — no
+    per-sweep driver work, no semantic change (the joined rows are
+    identical; only their placement moves), at the cost of an S×-larger
+    totals exchange — so it stays opt-in for unskewed runs.  The
+    alternative is re-enabling AQE inside the loop
+    (``spark.sql.adaptive.enabled``) for runtime skew-join splitting at
+    the cost of per-sweep driver re-planning.
     """
     sh = lambda df: df.hint("shuffle_hash")  # noqa: E731
     # static neighbor COUNT per vertex (one extra O(E)→O(n) partial-agg at
@@ -1033,6 +1043,16 @@ def _sql_sweep_loop(
     # either cap the sweep simply runs full — correct, just unfiltered.
     delta_movers_cap = 1_000_000
     delta_active_cap = 4_000_000
+
+    # explicit-salting build side (see Skew note): a tiny S-row relation
+    # broadcast-cross-joined onto the totals each sweep replicates every
+    # (comm, tot) row S times executor-side — constant plan source across
+    # sweeps, so the codegen cache stays hot
+    salts = (
+        spark.range(skew_salt).select(F.col("id").cast("int").alias("salt"))
+        if skew_salt > 1
+        else None
+    )
 
     zero_streak = 0
     best_moves = float("inf")
@@ -1066,9 +1086,22 @@ def _sql_sweep_loop(
             "swp int, min_gain double, m2 double",
         )
         tot = state.groupBy("comm").agg(F.sum("degree").alias("tot"))
-        state2 = state.join(sh(tot), "comm").select(
-            "vtx", "comm", "degree", "tot"
-        )
+        if salts is not None:
+            # salted skew join: state exchanges on (comm, salt) so one
+            # mega-community spreads over skew_salt tasks; the totals side
+            # (≤ one row per community) pays the S× replication
+            state2 = (
+                state.withColumn(
+                    "salt",
+                    F.pmod(F.xxhash64("vtx"), F.lit(skew_salt)).cast("int"),
+                )
+                .join(sh(tot.crossJoin(F.broadcast(salts))), ["comm", "salt"])
+                .select("vtx", "comm", "degree", "tot")
+            )
+        else:
+            state2 = state.join(sh(tot), "comm").select(
+                "vtx", "comm", "degree", "tot"
+            )
 
         # sweep 0 activates EVERYONE (same rule as the local vectorized
         # kernel): under hashed halves a vertex first moves at its first
@@ -1344,6 +1377,7 @@ def louvain_level(
     dense_hint: bool | None = None,
     pre_partitioned: str | None = None,
     unique_pairs: bool = False,
+    skew_salt: int = 0,
 ) -> tuple[DataFrame, DataFrame, float, LevelStats]:
     """One Louvain level.  Returns (assign, deg, m2_used, stats).
 
@@ -1564,7 +1598,7 @@ def louvain_level(
         assign = _sql_superstep_level(
             spark, sym_edges, deg, m2, n_vertices,
             max_sweeps, anneal, stats, min_moves_frac,
-            unique_pairs=unique_pairs,
+            unique_pairs=unique_pairs, skew_salt=skew_salt,
         )
         stats.engine = "sql"
         t_q = time.monotonic()
@@ -1761,6 +1795,7 @@ def louvain(
     barrier_rows_per_task: int = 12_000_000,
     n_vertices: int | None = None,
     assume_dense: bool = False,
+    skew_salt: int = 0,
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
 
@@ -1770,6 +1805,11 @@ def louvain(
     ``<dir>/level=<k>/`` and ``resume=True`` restarts after the last
     complete level (S7; the reference's unimplemented TODO,
     src/distcommunity.cpp:899).
+
+    ``skew_salt > 1`` enables explicit salting of the sql engine's
+    per-sweep state⋈totals join (the one join in the engine keyed by
+    community id, hence the one a mega-community skews) — see
+    :func:`_sql_sweep_loop`'s Skew note for the mechanics and cost model.
 
     ``n_vertices`` + ``assume_dense=True`` skip the level-0 dense-id check
     (one count-distinct over the full vertex set) when the PRODUCER
@@ -1881,6 +1921,7 @@ def louvain(
             # guarantees it for every later level (and for checkpointed
             # tables, which this driver wrote from one of the two)
             unique_pairs=True,
+            skew_salt=skew_salt,
         )
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0

@@ -289,6 +289,58 @@ def test_sql_engine_quality_parity_planted(spark):
     )
 
 
+def test_sql_engine_skew_salt_parity(spark, golden16_df):
+    """Explicit salting for mega-community skew (north rule): with
+    ``skew_salt > 1`` the sql engine's per-sweep state⋈totals join keys
+    on (comm, salt) so one huge community spreads over S tasks.  Salting
+    must be placement-only — identical per-vertex assignments, identical
+    per-sweep move counts, identical modularity.  Exercised on golden16
+    AND a hub-heavy star-of-cliques where one community absorbs most
+    vertices (the skew shape the salt exists for)."""
+    base = louvain(
+        spark, golden16_df, mode="superstep", superstep_engine="sql"
+    )
+    salted = louvain(
+        spark, golden16_df, mode="superstep", superstep_engine="sql",
+        skew_salt=4,
+    )
+    assert salted.modularity == pytest.approx(base.modularity, abs=EPS)
+    got_b = {r["vtx"]: r["comm"] for r in base.assignment.collect()}
+    got_s = {r["vtx"]: r["comm"] for r in salted.assignment.collect()}
+    assert got_s == got_b
+    assert (
+        salted.levels[0].moves_per_sweep == base.levels[0].moves_per_sweep
+    )
+
+    # hub graph: vertex 0 linked to every other vertex + a sparse ring —
+    # sweep 0 collapses almost everything into one mega-community, so the
+    # salted join actually carries a skewed key before convergence
+    n = 400
+    star = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    ring = spark.range(1, n).select(
+        F.col("id").alias("src"),
+        (F.col("id") % (n - 1) + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    hub = star.union(ring)
+    a0, _, _, s0 = louvain_level(
+        spark, G.symmetric_edges(hub), mode="superstep",
+        superstep_engine="sql", max_sweeps=6,
+    )
+    a4, _, _, s4 = louvain_level(
+        spark, G.symmetric_edges(hub), mode="superstep",
+        superstep_engine="sql", max_sweeps=6, skew_salt=4,
+    )
+    assert s4.moves_per_sweep == s0.moves_per_sweep
+    assert {r["vtx"]: r["comm"] for r in a4.collect()} == {
+        r["vtx"]: r["comm"] for r in a0.collect()
+    }
+
+
 @pytest.mark.slow
 def test_sql_engine_end_to_end_past_cutover(spark):
     """CI guard for the declared 100 TB path (r3 VERDICT next-step #7):
