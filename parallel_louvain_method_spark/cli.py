@@ -61,6 +61,20 @@ def main(argv: list[str] | None = None) -> int:
         help="superstep engine (auto: barrier while dense ids fit memory, "
         "else sql)",
     )
+    lv.add_argument(
+        "--mode",
+        choices=["auto", "local", "superstep"],
+        default="auto",
+        help="level execution mode (auto: local below the edge threshold, "
+        "superstep above — superstep forces the distributed path)",
+    )
+    lv.add_argument(
+        "--skew-salt",
+        type=int,
+        default=0,
+        help="S>1 salts the sql engine's community-keyed sweep join so a "
+        "mega-community spreads over S tasks (placement-only; 0=off)",
+    )
 
     pr = sub.add_parser("pagerank")
     pr.add_argument("--edges", required=True)
@@ -142,7 +156,9 @@ def main(argv: list[str] | None = None) -> int:
             anneal=args.anneal,
             checkpoint_dir=args.checkpoint,
             resume=args.resume,
+            mode=args.mode,
             superstep_engine=args.engine,
+            skew_salt=args.skew_salt,
         )
         res.assignment.write.mode("overwrite").parquet(args.out)
         print(

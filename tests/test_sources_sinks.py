@@ -71,6 +71,26 @@ def test_read_corpus_parquet_seam(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_cli_louvain_sql_skew_salt(spark, tmp_path, golden16_df):
+    """The louvain subcommand drives the sql engine with explicit salting
+    end-to-end: parquet edges in, community parquet out, same communities
+    as the library call."""
+    from parallel_louvain_method_spark.cli import main
+    from parallel_louvain_method_spark.operators.louvain import louvain
+
+    edges_path = str(tmp_path / "edges")
+    golden16_df.write.parquet(edges_path)
+    out = str(tmp_path / "comms")
+    assert main(["louvain", "--edges", edges_path, "--out", out,
+                 "--mode", "superstep", "--engine", "sql",
+                 "--skew-salt", "4", "--blocks", "4"]) == 0
+    got = {r["vtx"]: r["comm"] for r in spark.read.parquet(out).collect()}
+    ref = louvain(spark, golden16_df, mode="superstep",
+                  superstep_engine="sql")
+    want = {r["vtx"]: r["comm"] for r in ref.assignment.collect()}
+    assert got == want
+
+
 def test_cli_pipeline_subcommands(spark, tmp_path):
     """The spark-submit CLI covers the pipeline ops too (dedup / knn /
     text) — a reference user drives everything through one entrypoint."""
