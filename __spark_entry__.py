@@ -39,7 +39,11 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
 )
-from parallel_louvain_method_spark.operators.triangles import triangle_count
+from parallel_louvain_method_spark.operators.kcore import kcore_peel
+from parallel_louvain_method_spark.operators.triangles import (
+    clustering_coefficient,
+    triangle_count,
+)
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 
 # ---------------------------------------------------------------------------
@@ -694,6 +698,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["connected_components"] = lambda s, d: connected_components(
         _cc_edges(s, d)
     ).select("vtx", "component")
+    # fixed-round peel twin of kcore() (same pattern as pagerank_k3):
+    # k=80 on the part-pair graph cascades 2000 -> 1903 -> 1878 -> 1865 at
+    # sf0.01, so both oracled rounds do real work
+    q["kcore80_peel2"] = lambda s, d: kcore_peel(_part_pairs(s, d), k=80, rounds=2)
+    # no rounding needed: Spark and the oracle evaluate the literally same
+    # IEEE expression (2.0·tri / (d·(d−1)) on exactly-representable ints)
+    q["clustering_coeff"] = lambda s, d: clustering_coefficient(
+        _part_pairs(s, d)
+    )
 
     # --- corpus / edge builders (S6/P8/J5/J6) ---
     q["shared_content_edges"] = lambda s, d: shared_content_edges(
@@ -864,6 +877,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src
                   JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    o["kcore80_peel2"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL}),
+        sym AS (
+            SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p
+        ),
+        d0 AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+        k1 AS (SELECT v FROM d0 WHERE d >= 80),
+        e1 AS (
+            SELECT s.src, s.dst FROM sym s
+            JOIN k1 a ON s.src = a.v JOIN k1 b ON s.dst = b.v
+        ),
+        d1 AS (SELECT src AS v, COUNT(*) AS d FROM e1 GROUP BY 1),
+        k2 AS (SELECT v FROM d1 WHERE d >= 80)
+        SELECT CAST(v AS BIGINT) AS vtx FROM k2
+    """
+    o["clustering_coeff"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL}),
+        t AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM p e1 JOIN p e2 ON e1.dst = e2.src
+                      JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        tv AS (
+            SELECT v, COUNT(*) AS n FROM (
+                SELECT a AS v FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t
+            ) GROUP BY 1
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT src AS v FROM p UNION ALL SELECT dst FROM p
+            ) GROUP BY 1
+        )
+        SELECT CAST(deg.v AS BIGINT) AS vtx,
+               CASE WHEN deg.d >= 2
+                    THEN 2.0 * COALESCE(tv.n, 0) / (deg.d * (deg.d - 1))
+                    ELSE 0.0 END AS coeff
+        FROM deg LEFT JOIN tv ON deg.v = tv.v
     """
     o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
     o["connected_components"] = f"""

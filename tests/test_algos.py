@@ -131,6 +131,51 @@ def test_triangles_random(spark):
     assert triangle_count(df) == _np_triangles(edges, n)
 
 
+def test_kcore_clique_with_tail(spark):
+    """5-clique (0..4) + path 4-5-6-7: the 2-core is exactly the clique,
+    and peeling must CASCADE — 7 (deg 1) falls in round 1, which drops 6
+    to deg 1 for round 2, then 5 in round 3 — exercising the fixpoint
+    loop, not just one pass."""
+    from parallel_louvain_method_spark.operators.kcore import kcore, kcore_peel
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    path = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in clique + path],
+        "src long, dst long, weight double",
+    )
+    assert {r["vtx"] for r in kcore(df, k=2).collect()} == {0, 1, 2, 3, 4}
+    # fixed-round twin: survivors shrink one path vertex per round
+    assert {r["vtx"] for r in kcore_peel(df, k=2, rounds=1).collect()} == set(
+        range(7)
+    )
+    assert {r["vtx"] for r in kcore_peel(df, k=2, rounds=2).collect()} == set(
+        range(6)
+    )
+    # k above the clique degree: everything peels away
+    assert kcore(df, k=5).count() == 0
+    # the 4-core is still the clique (each clique vertex has deg >= 4)
+    assert {r["vtx"] for r in kcore(df, k=4).collect()} == {0, 1, 2, 3, 4}
+
+
+def test_clustering_coefficient_triangle_pendant(spark):
+    """Triangle 0-1-2 plus pendant 2-3: coeff 1.0 at the degree-2 corners,
+    1/3 at the degree-3 vertex, 0.0 at the pendant."""
+    from parallel_louvain_method_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r["vtx"]: r["coeff"] for r in clustering_coefficient(df).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0 / 3.0)
+    assert got[3] == 0.0
+
+
 def test_lpa_two_cliques(spark):
     # two 4-cliques joined by one bridge edge -> LPA finds the two cliques
     k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
