@@ -81,6 +81,25 @@ def _loadavg() -> list[str]:
         return f.read().split()[:3]
 
 
+def _settle(threshold: float = 2.0, max_wait_s: int = 180) -> None:
+    """Wait for the 1-min loadavg to decay below ``threshold``.
+
+    The measured legs run right after the 32-core graph build (or after
+    each other); starting a taskset-pinned run while the build's load is
+    still decaying contaminates the FIRST leg (observed: a 4-core leg at
+    loadavg 19 ran 305 s vs 175-188 s clean — recorded as rejected
+    evidence in BENCH_SCALING.md §0aa).  Bounded wait: external steal can
+    keep the loadavg up forever, and the in-file loadavg fields still
+    record whatever state the run actually started in."""
+    import time
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_s:
+        if float(_loadavg()[0]) < threshold:
+            return
+        time.sleep(10)
+
+
 def run(cpus: int, path: str, nverts: int, engine: str) -> dict:
     code = _RUN.format(
         repo=REPO, cpus=cpus, path=path, nverts=nverts, engine=engine
@@ -120,8 +139,10 @@ def main() -> None:
     with open(path + ".nverts") as f:
         nverts = int(f.read().strip())
 
+    _settle()  # the 32-core build's load must not bleed into leg 1
     load0 = _loadavg()
     r_hi = run(hi, path, nverts, engine)
+    _settle()
     r_lo = run(lo, path, nverts, engine)
     eff = (r_lo["wall"] / r_hi["wall"]) / (hi / lo)
     tp_lo = r_lo["edges_processed"] / r_lo["wall"]
