@@ -93,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
 
     tr = sub.add_parser("triangles")
     tr.add_argument("--edges", required=True)
+    tr.add_argument(
+        "--coefficients",
+        help="also write per-vertex local clustering coefficients here",
+    )
+
+    kc = sub.add_parser("kcore", help="k-core membership by peeling")
+    kc.add_argument("--edges", required=True)
+    kc.add_argument("--out", required=True)
+    kc.add_argument("--k", type=int, required=True)
 
     dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
     dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
@@ -203,13 +212,23 @@ def main(argv: list[str] | None = None) -> int:
         labels.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"labels": labels.select("label").distinct().count()}))
     elif args.cmd == "triangles":
-        from parallel_louvain_method_spark.operators.triangles import triangle_count
-
-        print(
-            json.dumps(
-                {"triangles": triangle_count(read_edge_parquet(spark, args.edges))}
-            )
+        from parallel_louvain_method_spark.operators.triangles import (
+            clustering_coefficient,
+            triangle_count,
         )
+
+        tr_edges = read_edge_parquet(spark, args.edges)
+        if args.coefficients:
+            clustering_coefficient(tr_edges).write.mode("overwrite").parquet(
+                args.coefficients
+            )
+        print(json.dumps({"triangles": triangle_count(tr_edges)}))
+    elif args.cmd == "kcore":
+        from parallel_louvain_method_spark.operators.kcore import kcore
+
+        members = kcore(read_edge_parquet(spark, args.edges), k=args.k)
+        members.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"k": args.k, "core_size": members.count()}))
     elif args.cmd == "dedup":
         from parallel_louvain_method_spark.operators import dedup as D
 

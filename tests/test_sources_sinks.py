@@ -90,6 +90,19 @@ def test_cli_louvain_sql_skew_salt(spark, tmp_path, golden16_df):
     want = {r["vtx"]: r["comm"] for r in ref.assignment.collect()}
     assert got == want
 
+    # kcore + coefficient subcommands over the same parquet edges
+    out_kc = str(tmp_path / "core2")
+    assert main(["kcore", "--edges", edges_path, "--out", out_kc,
+                 "--k", "2"]) == 0
+    # golden16's 2-core is 0..14 (independent peel, BASELINE verify note)
+    assert {r["vtx"] for r in spark.read.parquet(out_kc).collect()} == set(
+        range(15)
+    )
+    out_cf = str(tmp_path / "coeffs")
+    assert main(["triangles", "--edges", edges_path,
+                 "--coefficients", out_cf]) == 0
+    assert spark.read.parquet(out_cf).count() == 16
+
 
 def test_cli_pipeline_subcommands(spark, tmp_path):
     """The spark-submit CLI covers the pipeline ops too (dedup / knn /
