@@ -88,7 +88,11 @@ def main() -> None:
         ivf_knn,
         knn_lsh,
     )
-    from parallel_louvain_method_spark.operators.triangles import triangle_count
+    from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.triangles import (
+        clustering_coefficient,
+        triangle_count,
+    )
     from parallel_louvain_method_spark.sources.corpus import (
         build_file_graph,
         build_repo_graph,
@@ -217,6 +221,11 @@ def main() -> None:
         timed("pagerank_10it", lambda: pagerank(sym, max_iter=10, tol=None).count())
     timed("connected_components", lambda: connected_components(file_edges).count())
     timed("triangle_count_repo", lambda: triangle_count(repo_edges))
+    timed("kcore10_file_graph", lambda: kcore(file_edges, k=10).count())
+    timed(
+        "clustering_coeff_repo",
+        lambda: clustering_coefficient(repo_edges).count(),
+    )
 
     if not only or "minhash_dedup_corpus" in only:
         docs = corpus.select(

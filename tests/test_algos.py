@@ -158,6 +158,44 @@ def test_kcore_clique_with_tail(spark):
     assert {r["vtx"] for r in kcore(df, k=4).collect()} == {0, 1, 2, 3, 4}
 
 
+def _np_kcore(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """Independent peeling reference (pure Python, no Spark code shared)."""
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return set(deg)
+        E = {(a, b) for a, b in E if a not in bad and b not in bad}
+        if not E:
+            return set()
+
+
+def test_kcore_matches_independent_peel_random(spark):
+    """Property on random graphs: kcore() equals a from-scratch peeling
+    for several k, including empty cores and the everything-survives k."""
+    from parallel_louvain_method_spark.operators.kcore import kcore
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (140 + 30 * trial, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+        )
+        for k in (1, 3, 5, 9):
+            want = _np_kcore(edges, k)
+            got = {r["vtx"] for r in kcore(df, k=k).collect()}
+            assert got == want, (trial, k)
+
+
 def test_clustering_coefficient_triangle_pendant(spark):
     """Triangle 0-1-2 plus pendant 2-3: coeff 1.0 at the degree-2 corners,
     1/3 at the degree-3 vertex, 0.0 at the pendant."""
