@@ -16,6 +16,12 @@ Env:
   SPARK_GRAFT_LOUVAIN_ENGINE  superstep engine override (auto|barrier|
                       numpy_broadcast|sql) — `sql` forces the join-based
                       at-scale path for scaling measurement
+  SPARK_GRAFT_QUIET_LOAD  1-min loadavg below which the host counts as
+                      quiet (default 4.0)
+  SPARK_GRAFT_QUIET_WAIT  max seconds to wait for a quiet window before
+                      starting (default 600); if it never arrives, the
+                      two Louvain rows run best-of-3 instead of
+                      SPARK_GRAFT_REPEAT
 
 Output: {"metric": ..., "value": <louvain wall sec>, "unit": "sec",
          "queries": {name: best sec, ...}, "queries_runs": {name: [..]},
@@ -59,13 +65,60 @@ def _host_snapshot() -> dict:
     return snap
 
 
+def _wait_for_quiet(threshold: float, budget_sec: float) -> dict:
+    """Bounded wait for an externally-quiet host BEFORE any bench work
+    starts (while loadavg still reflects only OTHER tenants — this box has
+    documented external VM steal, and r4's driver window ran at loadavg
+    13.6 producing 2x the recorded Louvain walls on provably identical
+    work).  Polls the 1-minute loadavg until it drops below ``threshold``
+    or the budget runs out; returns the evidence either way."""
+    t0 = time.monotonic()
+    load0 = load = _load1()
+    while load is not None and load >= threshold:
+        remaining = budget_sec - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        print(
+            f"[bench] waiting for quiet window: load1={load:.2f} "
+            f">= {threshold} ({remaining:.0f}s budget left)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(10.0, remaining))
+        load = _load1()
+    return {
+        "threshold": threshold,
+        "budget_sec": budget_sec,
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "load_at_start": load0,
+        "load_at_go": load,
+        "quiet": load is not None and load < threshold,
+    }
+
+
+def _load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "2")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     louvain_engine = os.environ.get("SPARK_GRAFT_LOUVAIN_ENGINE", "auto")
-    host = {"start": _host_snapshot()}
+    quiet = _wait_for_quiet(
+        threshold=float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0")),
+        budget_sec=float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600")),
+    )
+    # when no quiet window arrived within the budget, best-of-3 the two
+    # Louvain rows (the round's headline numbers) so one stolen run can't
+    # become the number of record
+    louvain_repeat = repeat if quiet["quiet"] else max(repeat, 3)
+    host = {"start": _host_snapshot(), "quiet_wait": quiet}
 
     # shuffle/spill to tmpfs when the box has one: local mode funnels every
     # "executor" through one machine's disk, which measures the sandbox
@@ -181,10 +234,11 @@ def main() -> None:
     nv_repo = G.max_vertex_id(repo_edges) + 1
 
     # ---- THE metric: Louvain to convergence on the co-commit file graph --
+    host["pre_louvain"] = _host_snapshot()
     louvain_wall = float("inf")
     res = None
     louvain_runs = []
-    for _ in range(repeat):
+    for _ in range(louvain_repeat):
         t0 = time.monotonic()
         r = louvain(
             spark, file_edges, n_blocks=cpus,
@@ -212,6 +266,7 @@ def main() -> None:
             spark, repo_edges, n_vertices=nv_repo, assume_dense=True,
             superstep_engine=louvain_engine,
         ).assignment.count(),
+        repeat_n=louvain_repeat,
     )
 
     # ---- other pillars ----------------------------------------------------

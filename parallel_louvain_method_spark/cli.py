@@ -24,7 +24,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def _spark(app: str) -> SparkSession:
@@ -102,6 +102,26 @@ def main(argv: list[str] | None = None) -> int:
     kc.add_argument("--edges", required=True)
     kc.add_argument("--out", required=True)
     kc.add_argument("--k", type=int, required=True)
+    kc.add_argument(
+        "--max-iter",
+        type=int,
+        default=None,
+        help="optional bound on peel rounds (raises if exhausted before "
+        "the fixpoint; default: peel to fixpoint, O(|V|) rounds worst case)",
+    )
+
+    cn = sub.add_parser(
+        "coreness", help="full k-core decomposition (per-vertex core number)"
+    )
+    cn.add_argument("--edges", required=True)
+    cn.add_argument("--out", required=True)
+    cn.add_argument(
+        "--max-k",
+        type=int,
+        default=None,
+        help="clamp core numbers at this k (survivors report max-k)",
+    )
+    cn.add_argument("--max-iter", type=int, default=None)
 
     dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
     dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
@@ -219,16 +239,51 @@ def main(argv: list[str] | None = None) -> int:
 
         tr_edges = read_edge_parquet(spark, args.edges)
         if args.coefficients:
-            clustering_coefficient(tr_edges).write.mode("overwrite").parquet(
+            # one enumeration serves both outputs: the coefficient path's
+            # per-vertex triangle counts sum to 3x the global count (each
+            # triangle contributes one to each of its three vertices)
+            coeffs = clustering_coefficient(
+                tr_edges, include_triangles=True
+            ).persist()
+            coeffs.select("vtx", "coeff").write.mode("overwrite").parquet(
                 args.coefficients
             )
-        print(json.dumps({"triangles": triangle_count(tr_edges)}))
+            n_tri = int(
+                (coeffs.agg(F.sum("triangles")).first()[0] or 0) // 3
+            )
+            coeffs.unpersist()
+            print(json.dumps({"triangles": n_tri}))
+        else:
+            print(json.dumps({"triangles": triangle_count(tr_edges)}))
     elif args.cmd == "kcore":
         from parallel_louvain_method_spark.operators.kcore import kcore
 
-        members = kcore(read_edge_parquet(spark, args.edges), k=args.k)
+        members = kcore(
+            read_edge_parquet(spark, args.edges),
+            k=args.k,
+            max_iter=args.max_iter,
+        )
         members.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"k": args.k, "core_size": members.count()}))
+    elif args.cmd == "coreness":
+        from parallel_louvain_method_spark.operators.kcore import coreness
+
+        cores = coreness(
+            read_edge_parquet(spark, args.edges),
+            max_k=args.max_k,
+            max_iter=args.max_iter,
+        )
+        cores.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "vertices": cores.count(),
+                    "max_coreness": int(
+                        cores.agg(F.max("coreness")).first()[0] or 0
+                    ),
+                }
+            )
+        )
     elif args.cmd == "dedup":
         from parallel_louvain_method_spark.operators import dedup as D
 

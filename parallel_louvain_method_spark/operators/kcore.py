@@ -23,12 +23,24 @@ Scale design (the same discipline as the other iterative operators):
   longs); Spark's planner broadcasts it while small and shuffles past
   that — no driver-side collection anywhere.
 
+Rounds-to-fixpoint is **O(|V|) worst case** (a path graph peeled at k=2
+loses one vertex per round from each end), so unlike the doubling loops
+(components.py: 50 rounds cover 2^50 vertices) no small constant bound is
+safely conservative — the peel therefore runs UNBOUNDED by default and
+RAISES if an explicit ``max_iter`` is exhausted before the fixpoint
+(ADVICE r4: the old silent 100-round cap could return a superset).
+
 :func:`kcore_peel` is the fixed-round twin (exactly ``rounds``
 iterations) whose algebra a DuckDB oracle can unroll — same pattern as
-``pagerank_k3`` / ``lpa_k2``.
+``pagerank_k3`` / ``lpa_k2``.  :func:`coreness` extends the peel to the
+full decomposition (every vertex's core number) by peeling at increasing
+k over the nested core subgraphs; :func:`coreness_peel` is its
+fixed-schedule oracle twin.
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -58,28 +70,49 @@ def _round(live: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     return keep, nxt
 
 
-def kcore(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
-    """Vertices of the k-core: ``DataFrame[vtx: long]``.
-
-    ``k >= 1``; isolated vertices (no edges at all) are never in a k-core
-    for k >= 1 and are not represented in the output.
-    """
-    if k < 1:
-        raise ValueError("kcore requires k >= 1")
-    spark = edges.sparkSession
-    live = fresh_checkpoint(_simple_sym(edges))
+def _peel_fixpoint(
+    live: DataFrame, k: int, max_iter: int | None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Peel ``live`` (checkpointed simple symmetric edges) at ``k`` until
+    the keep set stops shrinking.  Returns (keep, live_at_fixpoint,
+    keep_count).  Raises RuntimeError if ``max_iter`` rounds were not
+    enough — never silently returns a superset of the k-core."""
+    spark = live.sparkSession
     n_prev = -1
-    for _ in range(max_iter):
+    keep, nxt = live.select(F.col("src").alias("vtx")).distinct(), live
+    rounds = range(max_iter) if max_iter is not None else itertools.count()
+    for _ in rounds:
         keep, nxt = _round(live, k)
         n = keep.count()
         if n == 0:
-            return spark.createDataFrame([], "vtx long")
+            return spark.createDataFrame([], "vtx long"), nxt, 0
         if n == n_prev:
             # keep sets are nested round-over-round, so an unchanged count
             # proves the set is unchanged: global fixpoint
-            break
+            return keep, live, n
         n_prev = n
         live = fresh_checkpoint(nxt)
+    raise RuntimeError(
+        f"k-core peel (k={k}) did not reach a fixpoint within "
+        f"{max_iter} rounds (rounds-to-fixpoint is O(|V|) worst case); "
+        "raise max_iter or pass max_iter=None for the unbounded peel"
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int | None = None) -> DataFrame:
+    """Vertices of the k-core: ``DataFrame[vtx: long]``.
+
+    ``k >= 1``; isolated vertices (no edges at all) are never in a k-core
+    for k >= 1 and are not represented in the output.  ``max_iter`` is an
+    optional safety bound on peel rounds: when given and exhausted before
+    the fixpoint the peel RAISES (a silent cap would return a superset of
+    the true k-core); the default peels to the fixpoint, which always
+    terminates — the keep count strictly decreases every non-final round.
+    """
+    if k < 1:
+        raise ValueError("kcore requires k >= 1")
+    live = fresh_checkpoint(_simple_sym(edges))
+    keep, _live, _n = _peel_fixpoint(live, k, max_iter)
     return keep.select(F.col("vtx").cast("long").alias("vtx"))
 
 
@@ -95,3 +128,88 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         if i < rounds - 1:  # the last round's restriction is never read
             live = fresh_checkpoint(nxt)
     return keep.select(F.col("vtx").cast("long").alias("vtx"))
+
+
+def coreness(
+    edges: DataFrame, max_k: int | None = None, max_iter: int | None = None
+) -> DataFrame:
+    """Full k-core decomposition: ``DataFrame[vtx: long, coreness: long]``
+    — each vertex's core number (the largest k such that it belongs to
+    the k-core).  Isolated vertices are absent (as in :func:`kcore`);
+    every vertex with at least one simple edge has coreness >= 1.
+
+    Peels at increasing k over the NESTED core subgraphs: the (k+1)-core
+    is a subgraph of the k-core, so stage k+1 resumes from stage k's
+    fixpoint edges — total edge work is the sum of shrinking live sets,
+    never a restart from the full graph.  Vertices that drop out while
+    peeling at k have coreness k-1.  The number of stages is the graph
+    degeneracy (+1); ``max_k`` clamps it — survivors past stage
+    ``max_k + 1`` report coreness = ``max_k`` ("at least max_k"), which
+    bounds the stage count for gate twins and for graphs with dense
+    clique cores.  ``max_iter`` bounds each stage's peel rounds (raises
+    on exhaustion, like :func:`kcore`).
+
+    The accumulated result is a union of per-stage DISJOINT vertex sets;
+    it is re-checkpointed every few stages so the union plan never grows
+    with degeneracy.
+    """
+    spark = edges.sparkSession
+    live = fresh_checkpoint(_simple_sym(edges))
+    prev_keep = live.select(F.col("src").alias("vtx")).distinct()
+    n_prev = prev_keep.count()
+    if n_prev == 0:
+        return spark.createDataFrame([], "vtx long, coreness long")
+    out: DataFrame | None = None
+    k = 2
+    while True:
+        if max_k is not None and k > max_k:
+            final = prev_keep.withColumn("coreness", F.lit(max_k))
+            out = final if out is None else out.unionByName(final)
+            break
+        keep, live, n = _peel_fixpoint(live, k, max_iter)
+        if n < n_prev:
+            dropped = prev_keep.join(keep, "vtx", "left_anti").withColumn(
+                "coreness", F.lit(k - 1)
+            )
+            out = dropped if out is None else out.unionByName(dropped)
+        if n == 0:
+            break
+        prev_keep, n_prev = keep, n
+        k += 1
+        if k % 8 == 0 and out is not None:
+            out = fresh_checkpoint(out)
+        prev_keep = fresh_checkpoint(prev_keep)
+    return out.select(
+        F.col("vtx").cast("long").alias("vtx"),
+        F.col("coreness").cast("long").alias("coreness"),
+    )
+
+
+def coreness_peel(edges: DataFrame, max_k: int, rounds: int) -> DataFrame:
+    """Fixed-schedule twin of :func:`coreness` — exactly ``rounds`` peel
+    iterations per stage k = 2 .. ``max_k``, survivors of the last stage
+    reported as coreness = ``max_k`` (the same clamp as
+    ``coreness(max_k=...)``).  Matches :func:`coreness` whenever every
+    stage reaches its fixpoint within ``rounds``; SQL-unrollable, so a
+    DuckDB oracle can replay the identical schedule (the ``kcore80_peel2``
+    pattern extended to the full decomposition)."""
+    if max_k < 2 or rounds < 1:
+        raise ValueError("coreness_peel requires max_k >= 2 and rounds >= 1")
+    live = fresh_checkpoint(_simple_sym(edges))
+    prev_keep = live.select(F.col("src").alias("vtx")).distinct()
+    out: DataFrame | None = None
+    for k in range(2, max_k + 1):
+        keep = prev_keep
+        for _ in range(rounds):
+            keep, nxt = _round(live, k)
+            live = fresh_checkpoint(nxt)
+        dropped = prev_keep.join(keep, "vtx", "left_anti").withColumn(
+            "coreness", F.lit(k - 1)
+        )
+        out = dropped if out is None else out.unionByName(dropped)
+        prev_keep = keep
+    out = out.unionByName(prev_keep.withColumn("coreness", F.lit(max_k)))
+    return out.select(
+        F.col("vtx").cast("long").alias("vtx"),
+        F.col("coreness").cast("long").alias("coreness"),
+    )

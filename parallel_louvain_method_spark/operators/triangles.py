@@ -13,7 +13,10 @@ lineage):
 3. wedges = oriented ⋈ oriented on the middle vertex;
 4. triangles = wedges semi-joined against oriented edges on (a, c).
 
-Two shuffle joins total; both run wholly in the JVM.
+Two shuffle joins total; both run wholly in the JVM.  The simple edge set
+and the degree table are computed ONCE per public entry point and shared
+between orientation, coefficient denominators, and the count (ADVICE r4:
+clustering_coefficient used to redo both O(E) passes).
 """
 
 from __future__ import annotations
@@ -24,90 +27,120 @@ from pyspark.storagelevel import StorageLevel
 from parallel_louvain_method_spark.operators.graph import symmetric_edges
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Simple undirected edges oriented by (degree, id)."""
-    simple = (
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """Simple undirected edge set: symmetric, self-loops dropped, parallel
+    edges collapsed."""
+    return (
         symmetric_edges(edges)
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    deg = simple.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+
+
+def _degrees(simple: DataFrame) -> DataFrame:
+    """Simple degree per vertex (symmetric input: groupBy(src) is exact)."""
+    return simple.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+
+
+def _orient(simple: DataFrame, deg: DataFrame) -> DataFrame:
+    """Keep one direction per edge: src → dst iff (deg, id) of src is
+    lower — the skew defense (no hub's out-list exceeds ~O(sqrt(m)))."""
     with_deg = (
-        simple.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+        simple.join(
+            deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"),
+            "src",
+        )
+        .join(
+            deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"),
+            "dst",
+        )
     )
-    # keep one direction: src -> dst iff (deg, id) of src < (deg, id) of dst
     return with_deg.filter(
         (F.col("ds") < F.col("dd"))
         | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
     ).select("src", "dst")
 
 
-def triangle_count(edges: DataFrame) -> int:
-    """Total number of distinct triangles in the graph (exact)."""
-    oriented = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    wedges = (
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Simple undirected edges oriented by (degree, id)."""
+    simple = _simple_undirected(edges)
+    return _orient(simple, _degrees(simple))
+
+
+def _closed_wedges(oriented: DataFrame) -> DataFrame:
+    """Triangles as (a, b, c) rows: wedge at the lowest-ordered vertex,
+    closed against the oriented edge set."""
+    return (
         oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .join(
             oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
             "b",
         )
-    )
-    n = (
-        wedges.join(
+        .join(
             oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
             ["a", "c"],
-        ).count()
+        )
     )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Total number of distinct triangles in the graph (exact)."""
+    oriented = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = _closed_wedges(oriented).count()
     oriented.unpersist()
     return n
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """``DataFrame[vtx, triangles]`` — per-vertex triangle participation."""
-    oriented = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    closed = (
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .join(
-            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-            "b",
-        )
-        .join(
-            oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-            ["a", "c"],
-        )
-    )
+def triangles_per_vertex(
+    edges: DataFrame, oriented: DataFrame | None = None
+) -> DataFrame:
+    """``DataFrame[vtx, triangles]`` — per-vertex triangle participation.
+
+    ``oriented``: pre-computed (and ideally persisted) output of the
+    degree-ordered orientation; passed by callers that already built it
+    (``clustering_coefficient``) so the simple/degree passes run once.
+    """
+    own = oriented is None
+    if own:
+        oriented = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     per_vtx = (
-        closed.select(F.explode(F.array("a", "b", "c")).alias("vtx"))
+        _closed_wedges(oriented)
+        .select(F.explode(F.array("a", "b", "c")).alias("vtx"))
         .groupBy("vtx")
         .agg(F.count("*").alias("triangles"))
     )
-    oriented.unpersist()
+    if own:
+        oriented.unpersist()
     return per_vtx
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(
+    edges: DataFrame, include_triangles: bool = False
+) -> DataFrame:
     """Local clustering coefficient per vertex:
     ``coeff(v) = 2·triangles(v) / (d(v)·(d(v)−1))``, 0.0 below degree 2.
 
     ``DataFrame[vtx: long, coeff: double]`` over every vertex with at
-    least one edge.  Composes the degree-ordered triangle enumeration
-    (skew-safe: no hub enumerates its neighborhood squared) with the
-    simple-degree aggregation — two extra JVM-side joins over
-    :func:`triangles_per_vertex`, nothing per-row in Python.
+    least one edge; with ``include_triangles`` a ``triangles: long``
+    column is appended (0 for triangle-free vertices) so callers needing
+    the global count too can derive it as ``sum(triangles) / 3`` without
+    re-enumerating (ADVICE r4: the CLI used to run both shuffle joins
+    twice).
+
+    Composes the degree-ordered triangle enumeration (skew-safe: no hub
+    enumerates its neighborhood squared) with the simple-degree
+    aggregation.  The simple edge set is materialized ONCE
+    (``fresh_checkpoint`` — stats-free, result-lifetime blocks) and feeds
+    degrees, orientation, and the wedge joins; nothing per-row in Python.
     """
-    simple = (
-        symmetric_edges(edges)
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    deg = simple.groupBy(F.col("src").alias("vtx")).agg(
-        F.count("*").alias("d")
-    )
-    tri = triangles_per_vertex(edges)
-    return deg.join(tri, "vtx", "left").select(
+    from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
+
+    simple = fresh_checkpoint(_simple_undirected(edges))
+    deg = _degrees(simple)
+    oriented = _orient(simple, deg)
+    tri = triangles_per_vertex(edges, oriented=oriented)
+    out = deg.withColumnRenamed("v", "vtx").join(tri, "vtx", "left").select(
         F.col("vtx").cast("long").alias("vtx"),
         F.when(
             F.col("d") >= 2,
@@ -117,4 +150,6 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("coeff"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
     )
+    return out if include_triangles else out.drop("triangles")

@@ -196,6 +196,108 @@ def test_kcore_matches_independent_peel_random(spark):
             assert got == want, (trial, k)
 
 
+def test_kcore_max_iter_raises_not_superset(spark):
+    """A 6-path at k=2 needs 3 cascade rounds per end; max_iter=1 must
+    RAISE, never silently return the partially-peeled superset (ADVICE
+    r4: the old silent cap)."""
+    from parallel_louvain_method_spark.operators.kcore import kcore
+
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in path], "src long, dst long, weight double"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(df, k=2, max_iter=1)
+    # unbounded default reaches the true (empty) 2-core
+    assert kcore(df, k=2).count() == 0
+
+
+def _np_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent core-number reference straight from the definition:
+    coreness(v) = max k such that v is in the k-core (via _np_kcore)."""
+    core: dict[int, int] = {}
+    k = 1
+    while True:
+        members = _np_kcore(edges, k)
+        if not members:
+            return core
+        for v in members:
+            core[v] = k
+        k += 1
+
+
+def test_coreness_clique_with_tail(spark):
+    """5-clique + path tail: clique vertices have core number 4, the path
+    interior 1 (4 participates in the clique -> 4)."""
+    from parallel_louvain_method_spark.operators.kcore import (
+        coreness,
+        coreness_peel,
+    )
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    path = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in clique + path],
+        "src long, dst long, weight double",
+    )
+    got = {r["vtx"]: r["coreness"] for r in coreness(df).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1}
+    # clamp: survivors past max_k report max_k
+    got2 = {r["vtx"]: r["coreness"] for r in coreness(df, max_k=2).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
+    # fixed-schedule twin agrees when rounds cover every stage's fixpoint
+    got3 = {
+        r["vtx"]: r["coreness"]
+        for r in coreness_peel(df, max_k=4, rounds=4).collect()
+    }
+    assert got3 == got
+
+
+def test_coreness_matches_independent_random(spark):
+    """Property on random graphs: coreness() equals the from-scratch
+    min-degree-removal reference, and per-k slices equal kcore()."""
+    from parallel_louvain_method_spark.operators.kcore import coreness, kcore
+
+    rng = np.random.default_rng(41)
+    for trial in range(2):
+        n = 35
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (130 + 40 * trial, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+        )
+        want = _np_coreness(edges)
+        got = {r["vtx"]: r["coreness"] for r in coreness(df).collect()}
+        assert got == want, trial
+        # consistency with the membership operator: {v: core(v) >= k} == kcore(k)
+        for k in (2, 3):
+            assert {v for v, c in got.items() if c >= k} == {
+                r["vtx"] for r in kcore(df, k=k).collect()
+            }
+
+
+def test_clustering_coefficient_include_triangles(spark):
+    """include_triangles appends per-vertex counts; their sum is 3x the
+    global triangle count (the CLI's single-enumeration path)."""
+    from parallel_louvain_method_spark.operators.triangles import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (90, 2))]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    rows = clustering_coefficient(df, include_triangles=True).collect()
+    assert sum(r["triangles"] for r in rows) == 3 * triangle_count(df)
+    # default shape unchanged: no triangles column
+    assert "triangles" not in clustering_coefficient(df).columns
+
+
 def test_clustering_coefficient_triangle_pendant(spark):
     """Triangle 0-1-2 plus pendant 2-3: coeff 1.0 at the degree-2 corners,
     1/3 at the degree-3 vertex, 0.0 at the pendant."""

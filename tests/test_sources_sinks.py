@@ -102,6 +102,15 @@ def test_cli_louvain_sql_skew_salt(spark, tmp_path, golden16_df):
     assert main(["triangles", "--edges", edges_path,
                  "--coefficients", out_cf]) == 0
     assert spark.read.parquet(out_cf).count() == 16
+    # full decomposition subcommand: consistent with the kcore membership
+    # (coreness >= 2 exactly on the 2-core)
+    out_cn = str(tmp_path / "coreness")
+    assert main(["coreness", "--edges", edges_path, "--out", out_cn]) == 0
+    cores = {
+        r["vtx"]: r["coreness"]
+        for r in spark.read.parquet(out_cn).collect()
+    }
+    assert {v for v, c in cores.items() if c >= 2} == set(range(15))
 
 
 def test_cli_pipeline_subcommands(spark, tmp_path):
