@@ -11,7 +11,10 @@ the hashed intermediates for DuckDB — ``_ensure_hash_artifacts``), and the
 iterative operators are oracled through FIXED-STEP variants (``lpa_k2``:
 two unrolled LPA rounds with pyhash activity bits; ``louvain_sweep1``: one
 synchronous sql-engine sweep, float-exact on the integer-weight gate
-graph).  Only the full multilevel Louvain and full convergence-driven LPA
+graph; ``louvain_coarsen_sweep``: sweep → coarsen → sweep, gating the
+coarsen algebra; ``coreness_k3_peel3``: the full k-core decomposition on
+a fixed peel schedule).  Only the full multilevel Louvain and full
+convergence-driven LPA
 runs remain rows-only, their correctness carried by the golden pytest
 suite (tests/ — reference values from /root/reference/tests/main_test.cpp).
 
@@ -39,12 +42,13 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
 )
-from parallel_louvain_method_spark.operators.kcore import kcore_peel
+from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
 )
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
+from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
 # ---------------------------------------------------------------------------
 # shared building blocks
@@ -357,6 +361,181 @@ def _louvain_sweep1_oracle_sql() -> str:
                CASE WHEN a.moved THEN COALESCE(j.jump_comm, a.mid_comm)
                     ELSE a.mid_comm END AS comm
         FROM mid a LEFT JOIN jump j ON j.jkey = a.mid_comm
+    """
+
+
+def _louvain_coarsen_sweep_oracle_sql() -> str:
+    """DuckDB twin of the fixed-shape MULTILEVEL slice: one sql-engine
+    sweep (``_louvain_sweep1_oracle_sql``) → ``coarsen`` (dense
+    prefix-sum community renumber, weight-summed community graph whose
+    internal edges become self-loops at 2× internal weight,
+    ``operators/louvain.py:coarsen`` ≙ src/community.cpp:162-201) → one
+    more sql-engine sweep on the COARSE graph.  This gate-checks the
+    coarsen algebra end-to-end: the renumber map, the self-loop weights
+    (they enter degree and m2 but never the candidate set — the engine
+    filters src<>dst), and the level-1 sweep's gain/argmax on a weighted
+    graph with self-loops.
+
+    Float-exactness carries over from the sweep-1 argument: coarse
+    weights are sums of integral doubles (exact in any order), degrees
+    and m2 are exact, and gain = w − tot·deg/m2 is the literally same
+    IEEE expression in both engines.  Coarse sweep-0 specifics mirrored
+    from ``_sql_sweep_loop``: singleton communities, so w(v→{c}) is the
+    single coarse edge weight (coarsen output has unique pairs),
+    tot({c}) = degree(c) INCLUDING its self-loop weight, gain_stay = 0
+    (tot_own − deg = 0 even with self-loops), accept iff best_gain > 0
+    with ties to the lowest community, then the movers-only pointer-jump
+    collapse — identical to level 0."""
+    return f"""
+        WITH a1 AS ({_louvain_sweep1_oracle_sql()}),
+        sym0 AS (
+            SELECT src, dst, weight FROM (
+                SELECT src, dst, weight FROM ({_CC_EDGES_SQL})
+                UNION SELECT dst AS src, src AS dst, weight
+                FROM ({_CC_EDGES_SQL})
+            ) WHERE src <> dst
+        ),
+        cmap AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY comm) - 1 AS new_comm
+            FROM (SELECT DISTINCT comm FROM a1)
+        ),
+        a1m AS (
+            SELECT a1.vtx, cmap.new_comm AS comm FROM a1 JOIN cmap USING (comm)
+        ),
+        coarse AS (
+            SELECT ca.comm AS src, cb.comm AS dst, SUM(e.weight) AS weight
+            FROM sym0 e
+            JOIN a1m ca ON e.src = ca.vtx
+            JOIN a1m cb ON e.dst = cb.vtx
+            GROUP BY 1, 2
+        ),
+        deg2 AS (SELECT src AS vtx, SUM(weight) AS degree FROM coarse GROUP BY 1),
+        m22 AS (SELECT SUM(weight) AS m2 FROM coarse),
+        cand2 AS (
+            SELECT e.src, e.dst AS dst_comm, e.weight AS w_to,
+                   dd.degree AS tot, ds.degree AS deg_src
+            FROM coarse e
+            JOIN deg2 dd ON dd.vtx = e.dst
+            JOIN deg2 ds ON ds.vtx = e.src
+            WHERE e.src <> e.dst
+        ),
+        scored2 AS (
+            SELECT src, dst_comm,
+                   w_to - tot * deg_src / (SELECT m2 FROM m22) AS gain
+            FROM cand2
+        ),
+        best2 AS (
+            SELECT src, dst_comm AS best_comm, gain AS best_gain FROM (
+                SELECT src, dst_comm, gain,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY src ORDER BY gain DESC, dst_comm ASC
+                       ) AS rn
+                FROM scored2
+            ) WHERE rn = 1
+        ),
+        proposals2 AS (
+            SELECT src AS vtx, best_comm AS new_comm
+            FROM best2 WHERE best_gain > 0
+        ),
+        mid2 AS (
+            SELECT v.vtx,
+                   COALESCE(p.new_comm, v.vtx) AS mid_comm,
+                   p.new_comm IS NOT NULL AS moved
+            FROM deg2 v LEFT JOIN proposals2 p ON p.vtx = v.vtx
+        ),
+        jump2 AS (
+            SELECT vtx AS jkey, mid_comm AS jump_comm FROM mid2 WHERE moved
+        ),
+        a2 AS (
+            SELECT a.vtx,
+                   CASE WHEN a.moved THEN COALESCE(j.jump_comm, a.mid_comm)
+                        ELSE a.mid_comm END AS comm
+            FROM mid2 a LEFT JOIN jump2 j ON j.jkey = a.mid_comm
+        )
+        SELECT m.vtx, a2.comm
+        FROM a1m m JOIN a2 ON a2.vtx = m.comm
+    """
+
+
+def _coreness_peel_oracle_sql(max_k: int, rounds: int) -> str:
+    """DuckDB twin of ``coreness_peel(cc_edges, max_k, rounds)`` with
+    every peel round unrolled (the ``kcore80_peel2`` pattern extended to
+    the full fixed-schedule decomposition): stages k = 2..max_k of
+    exactly ``rounds`` degree-filter rounds each, live edges carried
+    ACROSS stages (the (k+1)-stage resumes from the k-stage's restricted
+    edge set, exactly like the engine), vertices dropped during stage k
+    reported as coreness k−1, survivors as max_k."""
+    parts = [
+        f"""
+        WITH base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        v0 AS (SELECT DISTINCT src AS v FROM sym),"""
+    ]
+    prev_live, prev_keep, idx = "sym", "v0", 0
+    drops: list[tuple[int, str, str]] = []
+    for k in range(2, max_k + 1):
+        for _ in range(rounds):
+            idx += 1
+            parts.append(f"""
+        d{idx} AS (SELECT src AS v, COUNT(*) AS d FROM {prev_live} GROUP BY 1),
+        k{idx} AS (SELECT v FROM d{idx} WHERE d >= {k}),
+        e{idx} AS (
+            SELECT s.src, s.dst FROM {prev_live} s
+            JOIN k{idx} a ON s.src = a.v JOIN k{idx} b ON s.dst = b.v
+        ),""")
+            prev_live = f"e{idx}"
+        drops.append((k - 1, prev_keep, f"k{idx}"))
+        prev_keep = f"k{idx}"
+    sel = [
+        f"""SELECT CAST(p.v AS BIGINT) AS vtx, CAST({c} AS BIGINT) AS coreness
+        FROM {pk} p LEFT JOIN {kk} q ON p.v = q.v WHERE q.v IS NULL"""
+        for c, pk, kk in drops
+    ]
+    sel.append(
+        f"SELECT CAST(v AS BIGINT) AS vtx, CAST({max_k} AS BIGINT) AS coreness"
+        f" FROM {prev_keep}"
+    )
+    return "".join(parts).rstrip(",") + "\n        " + "\n        UNION ALL ".join(sel)
+
+
+def _user_sessions_oracle_sql(gap_seconds: int) -> str:
+    """Gaps-and-islands DuckDB twin of ``user_sessions_batch`` (the
+    ``session_window`` operator, ``streaming/events.py:164``).  Boundary
+    semantics pinned empirically against Spark: an event at EXACTLY
+    last_ts + gap still merges (session windows [start, last+gap] touch),
+    so a new session starts strictly when ts > prev_ts + gap.  Timestamps
+    emit as fixed-width micro-second strings in both engines (the events
+    ``ts`` is TIMESTAMP_NTZ — wall-clock identical on both sides); the
+    order-sensitive double sum is rounded like the other float gates."""
+    return f"""
+        WITH lagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts > LAG(ts) OVER w
+                                     + INTERVAL {gap_seconds} SECONDS
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM lagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM sess GROUP BY user_id, sid
     """
 
 
@@ -849,6 +1028,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_sweep1"] = _louvain_sweep1
 
+    # fixed-shape MULTILEVEL slice: sweep → coarsen → sweep on the coarse
+    # graph — gate-checks the coarsen algebra (prefix-sum renumber,
+    # self-loop weights) that the full multilevel run exercises rows-only
+    def _louvain_coarsen_sweep(s, d):
+        from parallel_louvain_method_spark.operators.graph import symmetric_edges
+        from parallel_louvain_method_spark.operators.louvain import (
+            coarsen,
+            louvain_level,
+        )
+
+        sym = symmetric_edges(_cc_edges(s, d))
+        assign, _deg, _m2, _stats = louvain_level(
+            s, sym, mode="superstep", superstep_engine="sql", max_sweeps=1
+        )
+        coarse, cmap = coarsen(sym, assign)
+        assign2, _, _, _ = louvain_level(
+            s, coarse, mode="superstep", superstep_engine="sql", max_sweeps=1
+        )
+        return (
+            assign.join(cmap, "comm")
+            .select("vtx", F.col("new_comm").alias("cv"))
+            .join(assign2.withColumnsRenamed({"vtx": "cv"}), "cv")
+            .select("vtx", "comm")
+        )
+
+    q["louvain_coarsen_sweep"] = _louvain_coarsen_sweep
+
+    # fixed-schedule full k-core decomposition (A14 companion): 3 peel
+    # rounds per stage k = 2, 3 — both stages cascade on the bipartite cc
+    # subgraph (sf0.01 histogram: 36 / 86 / 2173 at coreness 1 / 2 / 3)
+    q["coreness_k3_peel3"] = lambda s, d: coreness_peel(
+        _cc_edges(s, d), max_k=3, rounds=3
+    )
+
+    # sessionization over the events table (gaps-and-islands; the batch
+    # twin of the applyInPandasWithState stream in streaming/events.py)
+    q["user_sessions"] = lambda s, d: user_sessions_batch(
+        _t(s, d, "events"), gap_seconds=1800
+    ).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
     return q
 
 
@@ -996,6 +1225,9 @@ def oracle_sql() -> dict[str, str]:
     paths = _ensure_hash_artifacts()
     o["lpa_k2"] = _lpa_oracle_sql(_ensure_lpa_half_artifact(), iters=2)
     o["louvain_sweep1"] = _louvain_sweep1_oracle_sql()
+    o["louvain_coarsen_sweep"] = _louvain_coarsen_sweep_oracle_sql()
+    o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
+    o["user_sessions"] = _user_sessions_oracle_sql(gap_seconds=1800)
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)
