@@ -35,6 +35,18 @@ import time
 _LEN = struct.Struct(">I")
 
 
+class AllGatherTransportError(ConnectionError):
+    """A star-exchange round failed mid-level (hub or peer socket died).
+
+    Raised INSTEAD of a silent per-task downgrade: once any round has
+    partially completed, tasks may disagree on which round they are in, so
+    a task-local fallback to ``ctx.allGather`` could pair round-r movers
+    with round-r+1 movers across tasks (divergent community state).  The
+    caller (``louvain_level``) recognizes this class by NAME in the
+    driver-side wrapped exception and retries the whole level over the
+    coordinator ``allGather`` from a consistent singleton state."""
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = bytearray(n)
     view = memoryview(buf)
@@ -89,10 +101,17 @@ class StarAllGather:
     sums).
     """
 
-    # generous: a round's wait legitimately spans the slowest task's whole
-    # per-sweep kernel
-    ROUND_TIMEOUT = 3600.0
+    # initial per-round socket timeout: a round's wait legitimately spans
+    # the slowest task's whole per-sweep kernel, but an HOUR of every task
+    # hanging on a dead hub (the old 3600) is an outage, not a wait.  The
+    # caller tightens this adaptively after the first sweep via
+    # ``set_round_timeout`` (a multiple of the slowest observed sweep), so
+    # this constant only governs the FIRST round after setup.
+    ROUND_TIMEOUT = 600.0
     SETUP_TIMEOUT = 30.0
+    # adaptive bounds for set_round_timeout
+    MIN_ROUND_TIMEOUT = 60.0
+    MAX_ROUND_TIMEOUT = 3600.0
 
     def __init__(self, rank: int, n: int):
         self.rank = int(rank)
@@ -138,8 +157,33 @@ class StarAllGather:
                 time.sleep(0.05)
         raise ConnectionError(f"could not reach all-gather hub {addr}: {last}")
 
+    def set_round_timeout(self, seconds: float) -> None:
+        """Adapt the per-round timeout to observed sweep walls (clamped to
+        [MIN, MAX]).  Callers pass a generous multiple of the slowest sweep
+        seen so far: a dead hub then stalls the stage for minutes — long
+        enough for any legitimate straggler, short enough that the stage
+        retry + allGather fallback bounds the outage."""
+        t = min(self.MAX_ROUND_TIMEOUT, max(self.MIN_ROUND_TIMEOUT, seconds))
+        for c in self._conns:
+            c.settimeout(t)
+        if self._sock is not None:
+            self._sock.settimeout(t)
+
     # -- rounds ----------------------------------------------------------
     def exchange(self, payload: bytes) -> list[bytes]:
+        """One all-gather round.  Any socket failure (hub death, peer
+        reset, timeout) surfaces as :class:`AllGatherTransportError` so
+        the level driver can distinguish transport loss from kernel bugs
+        and rerun the level on the coordinator path."""
+        try:
+            return self._exchange(payload)
+        except (OSError, EOFError, struct.error) as e:
+            raise AllGatherTransportError(
+                f"star all-gather round failed at rank {self.rank}/{self.n}: "
+                f"{e!r}"
+            ) from e
+
+    def _exchange(self, payload: bytes) -> list[bytes]:
         if self.n == 1:
             return [payload]
         if self.rank == 0:
@@ -155,6 +199,22 @@ class StarAllGather:
         _send_frame(self._sock, payload)
         (count,) = _LEN.unpack(_recv_exact(self._sock, 4))
         return [_recv_frame(self._sock) for _ in range(count)]
+
+    def kill_for_test(self) -> None:
+        """Failure injection (tests only): close the underlying sockets
+        WITHOUT forgetting them, simulating hub/NIC death — subsequent
+        rounds raise AllGatherTransportError on every rank instead of
+        silently no-opping over an empty connection list."""
+        for c in self._conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
 
     def close(self) -> None:
         for c in self._conns:

@@ -78,6 +78,15 @@ PROPOSAL_SCHEMA = "vtx long, comm long, moved int"
 _BARRIER_PROBED: dict[str, bool] = {}
 
 
+def _is_transport_error(exc: Exception) -> bool:
+    """True when a barrier-stage failure wraps a mid-level star-transport
+    loss (functions/exchange.py raises AllGatherTransportError inside the
+    worker; Spark embeds the class name in the wrapped message).  These
+    are RETRIABLE over the coordinator allGather — unlike kernel/data
+    bugs, which must propagate."""
+    return "AllGatherTransportError" in str(exc)
+
+
 def _is_worker_python_error(exc: Exception) -> bool:
     """True when a barrier-stage failure wraps a WORKER-side Python error
     (kernel or data bug) — those must propagate.  Spark embeds the worker
@@ -507,6 +516,7 @@ def _barrier_superstep_level(
     stats: LevelStats,
     min_moves_frac: float,
     pre_partitioned: str | None = None,
+    force_allgather: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Whole-level barrier execution: ALL sweeps inside ONE Spark stage.
 
@@ -536,6 +546,13 @@ def _barrier_superstep_level(
     per partition; partition count is capped at ``defaultParallelism``.
     Requires DENSE ids 0..n-1, like the broadcast engine.  Returns
     ``(assign, deg)``.
+
+    ``force_allgather=True`` skips the TCP setup entirely and syncs every
+    sweep over ``ctx.allGather`` — the retry path after a mid-level
+    transport failure (AllGatherTransportError): the level restarts from
+    consistent singleton state on the transport that needs no
+    connections, trading the ~1 s/sync coordinator floor for guaranteed
+    progress.
     """
     import numpy as np
 
@@ -624,6 +641,12 @@ def _barrier_superstep_level(
     max_sweeps_ = int(max_sweeps)
     mmf_ = float(min_moves_frac)
     n_parts_ = int(n_parts)
+    force_ag_ = bool(force_allgather)
+    # failure-injection hook (tests only), read DRIVER-side and shipped in
+    # the closure — the reused python-worker daemons never see env changes
+    # made after session start.  At this sweep rank 0 kills its transport
+    # sockets, simulating hub death mid-level.
+    _kill_sweep_ = int(os.environ.get("PLM_TEST_KILL_TRANSPORT_SWEEP", "-1"))
 
     def _level(rows):
         import base64
@@ -693,7 +716,7 @@ def _barrier_superstep_level(
 
         xg = StarAllGather(pid, n_parts_)
         hub_addr = None
-        if pid == 0 and n_parts_ > 1:
+        if pid == 0 and n_parts_ > 1 and not force_ag_:
             try:
                 hub_addr = xg.listen()
             except OSError:
@@ -720,7 +743,7 @@ def _barrier_superstep_level(
 
         t0 = _time.monotonic()
         use_sockets = n_parts_ == 1
-        if n_parts_ > 1:
+        if n_parts_ > 1 and not force_ag_:
             try:
                 if hub_addr is None:
                     raise ConnectionError("no hub advertised")
@@ -729,11 +752,29 @@ def _barrier_superstep_level(
                 else:
                     xg.connect(tuple(hub_addr))
                 st = "ok"
-            except Exception:
-                st = "fail"
-            use_sockets = all(x == "ok" for x in ctx.allGather(st))
+            except Exception as e:
+                st = f"fail: {e!r}"
+            statuses = ctx.allGather(st)
+            use_sockets = all(x == "ok" for x in statuses)
             if not use_sockets:
                 xg.close()
+                if pid == 0:
+                    # one diagnosable line: on multi-homed hosts a
+                    # non-routable _advertise_host pick lands here, and
+                    # the silent 10x slowdown (1 s/sync coordinator
+                    # floor) was otherwise invisible
+                    import sys as _sys
+
+                    bad = [x for x in statuses if x != "ok"]
+                    print(
+                        "[louvain/barrier] star-transport handshake failed"
+                        f" on {len(bad)}/{n_parts_} tasks"
+                        f" (hub={hub_addr}, first={bad[0] if bad else '?'});"
+                        " level falls back to coordinator allGather"
+                        " (~1 s/sync)",
+                        file=_sys.stderr,
+                        flush=True,
+                    )
         timings["xchg_setup"] = _time.monotonic() - t0
         # structural prep (self-loop filter + row->position maps) ONCE per
         # level: it is community-independent, and leaving it inside the
@@ -745,6 +786,7 @@ def _barrier_superstep_level(
         comm = _np.arange(nv, dtype=_np.int64)
         moves_log: list[int] = []
         best_moves, best_sweep = float("inf"), -1
+        slowest_sweep = 0.0
         try:
             for sweep in range(max_sweeps_):
                 t0 = _time.monotonic()
@@ -769,6 +811,13 @@ def _barrier_superstep_level(
                 # everyone's; both transports return the same multiset on
                 # every task, so exit decisions stay identical
                 if use_sockets:
+                    if pid == 0 and sweep == _kill_sweep_:
+                        xg.kill_for_test()  # injected hub death (tests)
+                    # a socket failure here raises AllGatherTransportError
+                    # (exchange.py): NOT downgraded task-locally, because
+                    # a partially-delivered round leaves tasks disagreeing
+                    # on the current sweep — the driver retries the whole
+                    # level over allGather from consistent state instead
                     frames = xg.exchange(payload)
                 else:
                     frames = [
@@ -778,6 +827,17 @@ def _barrier_superstep_level(
                         )
                     ]
                 timings[f"gather_{sweep}"] = _time.monotonic() - t0
+                if use_sockets:
+                    # adapt the round timeout to the slowest sweep seen:
+                    # gather wall includes waiting for the slowest peer's
+                    # kernel, so 20x that is generous for stragglers while
+                    # bounding a dead-hub stall to minutes, not the old
+                    # fixed hour
+                    slowest_sweep = max(
+                        slowest_sweep,
+                        timings[f"kernel_{sweep}"] + timings[f"gather_{sweep}"],
+                    )
+                    xg.set_round_timeout(20.0 * slowest_sweep)
                 total_moves = 0
                 for fr in frames:
                     gv, gc = pickle.loads(fr)
@@ -1553,6 +1613,29 @@ def louvain_level(
             stats.wall_sec = time.monotonic() - t0
             return assign, deg, m2, stats
         except Exception as exc:
+            if _is_transport_error(exc):
+                # mid-level socket loss (hub/peer death): the level state
+                # is consistent only at singleton init, so rerun the WHOLE
+                # level on the connectionless coordinator transport —
+                # bounded outage = adaptive ROUND_TIMEOUT + one level rerun
+                print(
+                    "[louvain] star transport failed mid-level; retrying "
+                    "the level over coordinator allGather",
+                    file=sys.stderr,
+                )
+                stats.moves_per_sweep.clear()
+                stats.sweeps = 0
+                stats.phase_crit.clear()
+                stats.phase_sum.clear()
+                assign, deg = _barrier_superstep_level(
+                    spark, sym_edges, m2, n_vertices,
+                    max_sweeps, anneal, stats, min_moves_frac,
+                    pre_partitioned=pre_partitioned,
+                    force_allgather=True,
+                )
+                stats.engine = "barrier"
+                stats.wall_sec = time.monotonic() - t0
+                return assign, deg, m2, stats
             if _is_worker_python_error(exc):
                 raise  # kernel/data bug inside the stage — surface it
             print(

@@ -424,3 +424,52 @@ def test_multigraph_parallel_edges_sum(spark, golden16_df):
     fast = {r["vtx"]: r["comm"] for r in a_fast.collect()}
     agg = {r["vtx"]: r["comm"] for r in a_agg.collect()}
     assert fast == agg
+
+
+def test_transport_error_classification_unit():
+    """Mid-level star-transport losses are retriable (level rerun over
+    allGather); they must NOT be classified as kernel bugs even though
+    they carry a worker Python traceback."""
+    from parallel_louvain_method_spark.operators.louvain import (
+        _is_transport_error,
+        _is_worker_python_error,
+    )
+
+    transport = Exception(
+        "Job aborted due to stage failure ... PythonException: Traceback "
+        "(most recent call last): AllGatherTransportError: star all-gather "
+        "round failed at rank 2/8: ConnectionError('peer closed mid-frame')"
+    )
+    kern = Exception(
+        "PythonException: Traceback (most recent call last): IndexError"
+    )
+    assert _is_transport_error(transport)
+    assert _is_worker_python_error(transport)  # ordering in the caller matters
+    assert not _is_transport_error(kern)
+
+
+def test_barrier_transport_death_midlevel_retries_on_allgather(
+    spark, golden16_df, monkeypatch, capfd
+):
+    """Failure injection (VERDICT r4 next-round #3): rank 0 kills every
+    transport socket at sweep 1 — the level must complete via the
+    coordinator-allGather retry within a bounded wall, converge, and say
+    so on stderr (no silent hour-long ROUND_TIMEOUT stall, no silent
+    partial gather)."""
+    import time
+
+    monkeypatch.setenv("PLM_TEST_KILL_TRANSPORT_SWEEP", "1")
+    sym = G.symmetric_edges(golden16_df)
+    t0 = time.monotonic()
+    assign, deg, m2, stats = louvain_level(
+        spark, sym, mode="superstep", superstep_engine="barrier"
+    )
+    wall = time.monotonic() - t0
+    assert wall < 300.0, wall
+    assert m2 == pytest.approx(56.0)
+    assert stats.engine == "barrier"
+    assert stats.moves_per_sweep[-1] == 0
+    assert assign.count() == 16
+    assert assign.select("vtx").distinct().count() == 16
+    err = capfd.readouterr().err
+    assert "retrying the level over coordinator allGather" in err

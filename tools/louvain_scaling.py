@@ -39,7 +39,7 @@ from parallel_louvain_method_spark.sources.corpus import (
 spark = get_spark(app_name="edges-build", cores={cores}, shuffle_partitions={cores})
 spark.sparkContext.setLogLevel("ERROR")
 corpus = synth_corpus(
-    spark, n_repos={repos}, files_per_repo=30, commits_per_repo=5
+    spark, n_repos={repos}, files_per_repo={files}, commits_per_repo=5
 )
 edges, mapping, _ = build_file_graph(corpus)
 edges.write.mode("overwrite").parquet({path!r})
@@ -116,14 +116,22 @@ def run(cpus: int, path: str, nverts: int, engine: str) -> dict:
 
 def main() -> None:
     repos = int(os.environ.get("SCALING_REPOS", "200000"))
-    path = os.environ.get("PLM_EDGES", f"/tmp/plm_edges_{repos}.parquet")
+    # mean-degree knob: edges/repo = C(files, 2), vertices = repos*files —
+    # SCALING_FILES=60 doubles the bench default's mean degree at half the
+    # vertices per edge (the compute-bound shape VERDICT r4 #2 asks for)
+    files = int(os.environ.get("SCALING_FILES", "30"))
+    path = os.environ.get(
+        "PLM_EDGES", f"/tmp/plm_edges_{repos}_f{files}.parquet"
+    )
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
     engine = os.environ.get("SCALING_ENGINE", "sql")
 
     if not os.path.exists(path):
         cores = os.cpu_count() or 16
-        build = _BUILD.format(repo=REPO, cores=cores, repos=repos, path=path)
+        build = _BUILD.format(
+            repo=REPO, cores=cores, repos=repos, files=files, path=path
+        )
         out = subprocess.run(
             [sys.executable, "-c", build],
             capture_output=True, text=True, timeout=5400, env=dict(os.environ),
@@ -208,6 +216,7 @@ def main() -> None:
             {
                 "engine": engine,
                 "repos": repos,
+                "files_per_repo": files,
                 "n_vertices": nverts,
                 f"local[{lo}]": r_lo,
                 f"local[{hi}]": r_hi,
