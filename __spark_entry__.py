@@ -13,10 +13,12 @@ two unrolled LPA rounds with pyhash activity bits; ``louvain_sweep1``: one
 synchronous sql-engine sweep, float-exact on the integer-weight gate
 graph; ``louvain_coarsen_sweep``: sweep → coarsen → sweep, gating the
 coarsen algebra; ``coreness_k3_peel3``: the full k-core decomposition on
-a fixed peel schedule).  Only the full multilevel Louvain and full
-convergence-driven LPA
-runs remain rows-only, their correctness carried by the golden pytest
-suite (tests/ — reference values from /root/reference/tests/main_test.cpp).
+a fixed peel schedule).  The full LPA run is oracled outright — at
+sf0.01 it executes exactly ``max_iter`` rounds, so it unrolls like
+``lpa_k2``.  Only the full multilevel Louvain run remains rows-only
+(unbounded levels + coarsening), its correctness carried by the golden
+pytest suite (tests/ — reference values from
+/root/reference/tests/main_test.cpp) plus the sweep1/coarsen_sweep twins.
 
 Column-name contract: every computed column is aliased identically in the
 Spark query and the oracle SQL.  Floating aggregations that are
@@ -192,14 +194,17 @@ def _ensure_hash_artifacts(sf_dir: str = _GATE_SF_DIR) -> dict[str, str]:
 
 
 def _ensure_lpa_half_artifact(
-    sf_dir: str = _GATE_SF_DIR, iters: int = 2
+    sf_dir: str = _GATE_SF_DIR, iters: int = 20
 ) -> str:
     """Materialize the per-(vertex, round) ACTIVITY BITS of label
     propagation's hashed halves — the one non-SQL-expressible step of a
     fixed-round LPA (``pmod(xxhash64(src, round), 2)``).  The chained
     multi-column xxhash64 (long then int, seed threading) is reproduced by
     the pure-Python twin (parity pinned in pytest), and the vertex set is
-    computed by DuckDB itself from the same parquet the oracle reads."""
+    computed by DuckDB itself from the same parquet the oracle reads.
+
+    The artifact always carries 20 rounds of bits (the engine's default
+    ``max_iter``); oracles that unroll fewer rounds join a prefix."""
     import os
     import struct
 
@@ -253,17 +258,22 @@ def _lpa_oracle_sql(path: str, iters: int = 2) -> str:
     convergence-streak exit cannot fire, so fixed rounds ARE the
     semantics).  Activity bits come from the pyhash artifact; the argmax
     tie-break (highest weight, then lowest label) matches the engine's
-    ``max_by(label, struct(w, -label))``."""
+    ``max_by(label, struct(w, -label))``.
+
+    Every CTE is ``MATERIALIZED``: DuckDB inlines plain CTEs, and each
+    round references the previous round's label table 2-3 times, so an
+    unmaterialized 20-round unroll expands to ~2^20 base scans (observed
+    as fd exhaustion before it even plans)."""
     parts = [
-        f"""WITH base AS ({_CC_EDGES_SQL}),
-        sym AS (
+        f"""WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
             SELECT src, dst, weight FROM (
                 SELECT src, dst, weight FROM base
                 UNION SELECT dst AS src, src AS dst, weight FROM base
             ) WHERE src <> dst
         ),
-        bits AS (SELECT vtx, it, active FROM read_parquet('{path}')),
-        a0 AS (
+        bits AS MATERIALIZED (SELECT vtx, it, active FROM read_parquet('{path}')),
+        a0 AS MATERIALIZED (
             SELECT v AS vtx, v AS label FROM (
                 SELECT DISTINCT v FROM (
                     SELECT src AS v FROM base UNION SELECT dst AS v FROM base
@@ -273,14 +283,14 @@ def _lpa_oracle_sql(path: str, iters: int = 2) -> str:
     ]
     for it in range(iters):
         parts.append(f"""
-        w{it} AS (
+        w{it} AS MATERIALIZED (
             SELECT e.src AS vtx, p.label, SUM(e.weight) AS w
             FROM sym e
             JOIN bits b ON b.vtx = e.src AND b.it = {it} AND b.active
             JOIN a{it} p ON p.vtx = e.dst
             GROUP BY 1, 2
         ),
-        b{it} AS (
+        b{it} AS MATERIALIZED (
             SELECT vtx, label AS nl FROM (
                 SELECT vtx, label,
                        ROW_NUMBER() OVER (
@@ -289,7 +299,7 @@ def _lpa_oracle_sql(path: str, iters: int = 2) -> str:
                 FROM w{it}
             ) WHERE rn = 1
         ),
-        a{it + 1} AS (
+        a{it + 1} AS MATERIALIZED (
             SELECT a.vtx, COALESCE(b.nl, a.label) AS label
             FROM a{it} a LEFT JOIN b{it} b ON b.vtx = a.vtx
         ),""")
@@ -1002,15 +1012,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["language_id"] = lambda s, d: T.language_id(_docs(s, d))
 
-    # --- iterative community ops (rows-only: no SQL twin) ---
+    # --- iterative community ops ---
+    # multilevel Louvain to convergence: the gate's ONLY rows-only
+    # operator (unbounded levels + coarsening; its algebra is gated by
+    # louvain_sweep1 + louvain_coarsen_sweep)
     q["louvain_communities"] = lambda s, d: louvain(
         s, _edges(s, d), n_blocks=1
     ).assignment
+    # full LPA run: oracled — at sf0.01 the run executes exactly
+    # max_iter=20 rounds (convergence streak never fires), so the rounds
+    # unroll into SQL like lpa_k2 (see oracle_sql)
     q["label_propagation"] = lambda s, d: label_propagation(_cc_edges(s, d))
-    # fixed-2-round LPA: too few rounds for the convergence-streak exit to
-    # fire, so the rounds unroll into SQL; the hashed-half activity bits
-    # flow through the pyhash seam (_ensure_lpa_half_artifact) — this
-    # leaves Louvain as the gate's ONLY rows-only operator
+    # fixed-2-round LPA: pins the per-round algebra at a point where the
+    # labels are still far from collapsed; the hashed-half activity bits
+    # flow through the pyhash seam (_ensure_lpa_half_artifact)
     q["lpa_k2"] = lambda s, d: label_propagation(_cc_edges(s, d), max_iter=2)
 
     # one synchronous sql-engine Louvain sweep — gate-checkable because the
@@ -1223,7 +1238,17 @@ def oracle_sql() -> dict[str, str]:
                  * SQRT(list_dot_product(b.v, b.v))) >= 0.2
     """
     paths = _ensure_hash_artifacts()
-    o["lpa_k2"] = _lpa_oracle_sql(_ensure_lpa_half_artifact(), iters=2)
+    lpa_bits = _ensure_lpa_half_artifact()  # 20 rounds; k2 joins it in {0,1}
+    o["lpa_k2"] = _lpa_oracle_sql(lpa_bits, iters=2)
+    # the FULL to-convergence run is gate-exact at sf0.01: the engine's
+    # per-round changed counts there are 1124, 825, ..., 1, 0, 0 — the
+    # 3-zero-round convergence streak never fires before max_iter=20, so
+    # the full run IS a fixed 20-round run on this input and unrolls like
+    # lpa_k2 (round trajectory established with an exact DuckDB+pyhash
+    # replica of labelprop.py's synchronous update; rounds past a true
+    # fixpoint would be no-ops anyway, so unrolling all 20 is safe even
+    # near convergence)
+    o["label_propagation"] = _lpa_oracle_sql(lpa_bits, iters=20)
     o["louvain_sweep1"] = _louvain_sweep1_oracle_sql()
     o["louvain_coarsen_sweep"] = _louvain_coarsen_sweep_oracle_sql()
     o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
