@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         "superstep above — superstep forces the distributed path)",
     )
     lv.add_argument(
+        "--input-symmetric",
+        action="store_true",
+        help="declare the edge table is already the engine's working "
+        "representation (both directions present, (src,dst) unique, "
+        "weights pre-summed) — skips the level-0 symmetrize/dedup "
+        "shuffle; WRONG declarations corrupt results",
+    )
+    lv.add_argument(
         "--skew-salt",
         type=int,
         default=0,
@@ -187,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=args.resume,
             mode=args.mode,
             superstep_engine=args.engine,
+            input_symmetric=args.input_symmetric,
             skew_salt=args.skew_salt,
         )
         res.assignment.write.mode("overwrite").parquet(args.out)

@@ -1878,6 +1878,7 @@ def louvain(
     barrier_rows_per_task: int = 12_000_000,
     n_vertices: int | None = None,
     assume_dense: bool = False,
+    input_symmetric: bool = False,
     skew_salt: int = 0,
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
@@ -1899,6 +1900,20 @@ def louvain(
     guarantees dense 0..n-1 ids — true for every `build_*_graph` /
     `_densify` output (sources/corpus.py), whose renumber map's row count
     is exactly ``n_vertices``.  Wrong hints corrupt results; omit them for
+    arbitrary input.
+
+    ``input_symmetric=True`` declares that ``edges`` is ALREADY the
+    engine's working representation — both directions of every edge
+    present, (src, dst) unique with weights pre-summed, self-loops one
+    row — i.e. exactly what ``symmetric_edges`` + the per-(src, dst)
+    weight collapse below would produce.  True for coarsen output, for
+    any level checkpoint written by this driver, and for a symmetric
+    adjacency table a graph store maintains natively.  Level 0 then skips
+    the symmetrize union AND the two hash aggregations and pays only the
+    single partitioning exchange — at 100 TB that is the difference
+    between re-shuffling the full edge corpus and a straight repartition
+    of it.  Like ``assume_dense``, a wrong declaration corrupts results
+    (asymmetric input under-counts one direction's degrees); omit for
     arbitrary input.
     """
     from parallel_louvain_method_spark.sources.checkpoint import (
@@ -1959,12 +1974,20 @@ def louvain(
     # every level the unique-(src, dst) invariant the sql engine's sweep-0
     # fast path needs (coarsen output already has it), and is another
     # exchange-free hash aggregation on the same single-key partitioning
-    sym = (
-        dedup_op(symmetrize_op(edges).repartition(n_parts, part_key))
-        .groupBy("src", "dst")
-        .agg(F.sum("weight").alias("weight"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if input_symmetric:
+        # producer-declared working representation (see docstring): no
+        # union, no set-dedup, no weight collapse — one exchange onto the
+        # engine's join/pack key and the level-0 cache is ready
+        sym = edges.select("src", "dst", "weight").repartition(
+            n_parts, part_key
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sym = (
+            dedup_op(symmetrize_op(edges).repartition(n_parts, part_key))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     level0_cache: DataFrame | None = sym
     pre_part: str | None = part_key
 

@@ -121,6 +121,36 @@ def test_multilevel_louvain(spark, golden16_df):
     assert res.assignment.select("vtx").distinct().count() == 16
 
 
+def test_louvain_input_symmetric_parity(spark, golden16_df):
+    """input_symmetric=True on the pre-built working representation must
+    reproduce the raw-input run exactly — same Q, same per-vertex
+    assignment — in both the local and superstep paths.  The declared
+    table is exactly what the level-0 build would have produced
+    (symmetrize + set-dedup + per-(src,dst) weight collapse)."""
+    from parallel_louvain_method_spark.operators.graph import symmetric_edges
+
+    pre = (
+        symmetric_edges(golden16_df)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    base = louvain(spark, golden16_df, n_blocks=1)
+    skip = louvain(spark, pre, n_blocks=1, input_symmetric=True)
+    assert skip.modularity == pytest.approx(base.modularity, abs=1e-9)
+    a = {r["vtx"]: r["comm"] for r in base.assignment.collect()}
+    b = {r["vtx"]: r["comm"] for r in skip.assignment.collect()}
+    assert a == b
+    # the distributed path reads the same level-0 cache; compare against
+    # the raw-input run of the SAME mode (superstep's visit order differs
+    # from local mode's, so cross-mode Q equality is not the invariant)
+    base_ss = louvain(spark, golden16_df, mode="superstep")
+    skip_ss = louvain(spark, pre, mode="superstep", input_symmetric=True)
+    assert skip_ss.modularity == pytest.approx(base_ss.modularity, abs=1e-9)
+    a_ss = {r["vtx"]: r["comm"] for r in base_ss.assignment.collect()}
+    b_ss = {r["vtx"]: r["comm"] for r in skip_ss.assignment.collect()}
+    assert a_ss == b_ss
+
+
 def test_checkpoint_resume(spark, golden16_df, tmp_path):
     ck = str(tmp_path / "ck")
     res1 = louvain(spark, golden16_df, n_blocks=1, checkpoint_dir=ck)
