@@ -57,7 +57,7 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet({path!r})
 t0 = time.monotonic()
 res = louvain(spark, edges, n_vertices={nverts}, assume_dense=True,
-              superstep_engine={engine!r})
+              superstep_engine={engine!r}, input_symmetric={presym})
 wall = time.monotonic() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "wall": round(wall, 2),
@@ -100,9 +100,12 @@ def _settle(threshold: float = 2.0, max_wait_s: int = 180) -> None:
         time.sleep(10)
 
 
-def run(cpus: int, path: str, nverts: int, engine: str) -> dict:
+def run(
+    cpus: int, path: str, nverts: int, engine: str, presym: bool = False
+) -> dict:
     code = _RUN.format(
-        repo=REPO, cpus=cpus, path=path, nverts=nverts, engine=engine
+        repo=REPO, cpus=cpus, path=path, nverts=nverts, engine=engine,
+        presym=presym,
     )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
@@ -147,6 +150,37 @@ def main() -> None:
     with open(path + ".nverts") as f:
         nverts = int(f.read().strip())
 
+    # SCALING_PRESYM=1: measure the producer-declared working-
+    # representation path (louvain(input_symmetric=True)) — the
+    # checkpointed/graph-store deployment where level 0 skips the
+    # symmetrize+dedup shuffle.  The symmetric weight-summed table is
+    # materialized ONCE here (it is the producer in this scenario).
+    presym = os.environ.get("SCALING_PRESYM", "") == "1"
+    if presym:
+        sym_path = path.removesuffix(".parquet") + "_sym.parquet"
+        if not os.path.exists(sym_path):
+            code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
+from parallel_louvain_method_spark import get_spark
+from parallel_louvain_method_spark.operators.graph import symmetric_edges
+spark = get_spark(app_name="sym-build", cores={os.cpu_count() or 16})
+spark.sparkContext.setLogLevel("ERROR")
+(symmetric_edges(spark.read.parquet({path!r}))
+ .groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+ .write.mode("overwrite").parquet({sym_path!r}))
+spark.stop()
+"""
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=5400,
+                env=dict(os.environ),
+            )
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr[-2000:])
+        path = sym_path
+
     _settle()  # the 32-core build's load must not bleed into leg 1
     load0 = _loadavg()
     # SCALING_PAIRS > 1: the r4d lesson is that single low-core runs of a
@@ -157,9 +191,9 @@ def main() -> None:
     pairs = int(os.environ.get("SCALING_PAIRS", "1"))
     lo_runs, hi_runs = [], []
     for _ in range(pairs):
-        lo_runs.append(run(lo, path, nverts, engine))
+        lo_runs.append(run(lo, path, nverts, engine, presym=presym))
         _settle()
-        hi_runs.append(run(hi, path, nverts, engine))
+        hi_runs.append(run(hi, path, nverts, engine, presym=presym))
         _settle()
 
     def _median_run(runs: list[dict]) -> dict:
@@ -233,6 +267,7 @@ def main() -> None:
                 "repos": repos,
                 "files_per_repo": files,
                 "n_vertices": nverts,
+                "input_symmetric": presym,
                 f"local[{lo}]": r_lo,
                 f"local[{hi}]": r_hi,
                 "eff_wall": round(eff, 3),
