@@ -269,6 +269,27 @@ def main() -> None:
         repeat_n=louvain_repeat,
     )
 
+    # the producer-invariant path: a graph store / checkpoint that already
+    # holds the symmetric weight-summed table — louvain skips the level-0
+    # symmetrize+dedup shuffle (the table build is the producer's cost and
+    # sits OUTSIDE the timed window by design)
+    if not only or "louvain_repo_presym" in only:
+        pre_repo = (
+            G.symmetric_edges(repo_edges)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .persist()
+        )
+        pre_repo.count()
+        timed(
+            "louvain_repo_presym",
+            lambda: louvain(
+                spark, pre_repo, n_vertices=nv_repo, assume_dense=True,
+                superstep_engine=louvain_engine, input_symmetric=True,
+            ).assignment.count(),
+        )
+        pre_repo.unpersist()
+
     # ---- other pillars ----------------------------------------------------
     if not only or "pagerank_10it" in only:
         sym = G.symmetric_edges(file_edges).persist()
