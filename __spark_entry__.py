@@ -812,6 +812,44 @@ def _knn_lsh_axis_sql(
     """
 
 
+def _unrolled_ppr_sql(
+    k: int = 3, damping: float = 0.85, seed_below: int = 100
+) -> str:
+    """Fixed-k PERSONALIZED PageRank oracle: teleport distribution p is
+    uniform over the seed set ``vtx < seed_below`` and zero elsewhere;
+    iteration starts from p (no danglings: symmetric graph, so the
+    dangling-mass term is exactly 0.0 on both sides)."""
+    parts = [
+        f"WITH e AS ({_SYM_SQL}),",
+        "ow AS (SELECT src AS vtx, SUM(weight) AS w FROM e GROUP BY 1),",
+        "v AS (SELECT DISTINCT src AS vtx FROM e),",
+        f"sc AS (SELECT COUNT(*) AS c FROM v WHERE vtx < {seed_below}),",
+        f"""sp AS (
+          SELECT v.vtx,
+                 CASE WHEN v.vtx < {seed_below} THEN 1.0 / sc.c
+                      ELSE 0.0 END AS p
+          FROM v CROSS JOIN sc
+        ),""",
+        "r0 AS (SELECT vtx, p AS rank FROM sp),",
+    ]
+    for i in range(k):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT sp.vtx,
+                     (1.0 - {damping}) * sp.p + {damping} * COALESCE(s.in_sum, 0.0) AS rank
+              FROM sp
+              LEFT JOIN (
+                SELECT e.dst AS vtx, SUM(e.weight / ow.w * r{i}.rank) AS in_sum
+                FROM e JOIN ow ON e.src = ow.vtx JOIN r{i} ON e.src = r{i}.vtx
+                GROUP BY 1
+              ) s ON sp.vtx = s.vtx
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip(",\n )") + ")"
+    parts.append(f"SELECT vtx, ROUND(rank, 8) AS rank FROM r{k}")
+    return "\n".join(parts)
+
+
 def _unrolled_pagerank_sql(k: int = 3, damping: float = 0.85) -> str:
     """Generated fixed-k PageRank oracle (no danglings: symmetric graph)."""
     parts = [
@@ -884,6 +922,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_k3"] = lambda s, d: pagerank(
         G.symmetric_edges(_edges(s, d)), damping=0.85, max_iter=3, tol=None
     ).select("vtx", F.round("rank", 8).alias("rank"))
+
+    # personalized PageRank: uniform teleport over the seed set vtx < 100
+    # (the low custkeys), zero elsewhere — exercises the reset path of the
+    # DataFrame engine (ids here are sparse, so the broadcast engine's
+    # dense gate routes around itself; broadcast-engine parity is pinned
+    # in pytest)
+    def _ppr_k3(s, d):
+        sym = G.symmetric_edges(_edges(s, d))
+        seeds = G.vertex_ids(sym).filter(F.col("v") < 100)
+        sc_ = seeds.count()
+        reset = seeds.select(
+            F.col("v").alias("vtx"), F.lit(1.0 / sc_).alias("p")
+        )
+        return pagerank(
+            sym, damping=0.85, max_iter=3, tol=None, reset=reset
+        ).select("vtx", F.round("rank", 8).alias("rank"))
+
+    q["ppr_k3_seed"] = _ppr_k3
     q["connected_components"] = lambda s, d: connected_components(
         _cc_edges(s, d)
     ).select("vtx", "component")
@@ -1163,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         FROM deg LEFT JOIN tv ON deg.v = tv.v
     """
     o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
+    o["ppr_k3_seed"] = _unrolled_ppr_sql(3, 0.85, seed_below=100)
     o["connected_components"] = f"""
         WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
         sym AS (

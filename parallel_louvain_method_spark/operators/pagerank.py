@@ -24,7 +24,10 @@ Scale notes:
 - convergence check ``max|Δ|`` is driver-side numpy on the broadcast
   engine; one extra small aggregation per iteration on the DataFrame
   engine; pass ``tol=None`` to run exactly ``max_iter`` rounds (needed
-  for fixed-k SQL-oracle comparison).
+  for fixed-k SQL-oracle comparison);
+- ``reset`` (a ``DataFrame[vtx, p]`` teleport distribution) turns either
+  engine into personalized PageRank; the classic path keeps its exact
+  original expression shapes.
 """
 
 from __future__ import annotations
@@ -43,8 +46,12 @@ def _pagerank_broadcast(
     max_iter: int,
     tol: float | None,
     weighted: bool,
+    p=None,
 ) -> DataFrame:
-    """Broadcast-state engine: dense ids 0..n-1 required (caller checks)."""
+    """Broadcast-state engine: dense ids 0..n-1 required (caller checks).
+
+    ``p`` (numpy float64[n], Σ=1) is the teleport distribution for
+    personalized PageRank; None means uniform (classic)."""
     import numpy as np
 
     spark = edges.sparkSession
@@ -73,8 +80,12 @@ def _pagerank_broadcast(
     # guard against division for danglings (they contribute via mass term)
     safe_out = np.where(dangling_mask, 1.0, out_w)
 
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
-    base = (1.0 - damping) / n
+    if p is None:
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+        base = (1.0 - damping) / n  # scalar: classic uniform teleport
+    else:
+        ranks = p.copy()
+        base = (1.0 - damping) * p  # vector: personalized teleport
     ow_bc = sc.broadcast(safe_out)
 
     for _ in range(max_iter):
@@ -119,7 +130,10 @@ def _pagerank_broadcast(
         in_sum = np.zeros(n, dtype=np.float64)
         in_sum[pdf["vtx"].to_numpy()] = pdf["in_sum"].to_numpy()
         dangling = float(ranks[dangling_mask].sum()) if has_danglings else 0.0
-        new_ranks = base + damping * in_sum + damping * dangling / n
+        if p is None:
+            new_ranks = base + damping * in_sum + damping * dangling / n
+        else:
+            new_ranks = base + damping * in_sum + damping * dangling * p
         delta = float(np.abs(new_ranks - ranks).max())
         ranks = new_ranks
         if tol is not None and delta < tol:
@@ -145,11 +159,22 @@ def pagerank(
     tol: float | None = 1e-6,
     weighted: bool = True,
     broadcast_vertex_threshold: int = 5_000_000,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[vtx: long, rank: double]``; Σ rank = 1.
 
     ``edges`` is interpreted as DIRECTED (src -> dst).  For the undirected
     semantics of the link graph, pass the symmetric table.
+
+    ``reset`` turns this into PERSONALIZED PageRank: a
+    ``DataFrame[vtx: long, p: double]`` teleport distribution (Σ p = 1;
+    vertices absent from it get p = 0 — rank flows to them only through
+    edges).  Both the (1-d) base term and the dangling-mass
+    redistribution use p instead of 1/n, and iteration starts from p, so
+    uniform p reproduces the classic operator.  The table is joined once
+    onto the vertex set (broadcast below the threshold) — a seed set of
+    any size up to |V| works; None keeps the classic uniform teleport on
+    the exact original expression shapes.
 
     While the vertex set is below ``broadcast_vertex_threshold`` the rank
     table gets an explicit broadcast hint in the per-iteration join:
@@ -173,9 +198,18 @@ def pagerank(
         # engine — require min >= 0, else use the DataFrame engine
         mx, mn = verts.agg(F.max("vtx"), F.min("vtx")).first()
         if mx is not None and int(mx) == n - 1 and int(mn) >= 0:
+            p_vec = None
+            if reset is not None:
+                import numpy as np
+
+                rp = reset.select("vtx", "p").toPandas()
+                p_vec = np.zeros(n, dtype=np.float64)
+                p_vec[rp["vtx"].to_numpy(dtype=np.int64)] = rp[
+                    "p"
+                ].to_numpy(dtype=np.float64)
             verts.unpersist()
             return _pagerank_broadcast(
-                edges, n, damping, max_iter, tol, weighted
+                edges, n, damping, max_iter, tol, weighted, p=p_vec
             )
 
     hint = (lambda df: F.broadcast(df)) if n <= broadcast_vertex_threshold else (lambda df: df)
@@ -197,7 +231,19 @@ def pagerank(
     )
     trans.count()
 
-    ranks = fresh_checkpoint(verts.select("vtx", F.lit(1.0 / n).alias("rank")))
+    verts_p: DataFrame | None = None
+    if reset is not None:
+        verts_p = (
+            verts.join(hint(reset.select("vtx", "p")), "vtx", "left")
+            .na.fill({"p": 0.0})
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        verts_p.count()
+        ranks = fresh_checkpoint(verts_p.select("vtx", F.col("p").alias("rank")))
+    else:
+        ranks = fresh_checkpoint(
+            verts.select("vtx", F.lit(1.0 / n).alias("rank"))
+        )
     base = (1.0 - damping) / n
     # dangling set is static — skip the per-iteration aggregation entirely
     # when it's empty (always true for symmetrized graphs)
@@ -223,7 +269,6 @@ def pagerank(
             if has_danglings
             else 0.0
         )
-        redistribute = damping * dangling / n
         # per-iteration scalars ride as DATA (1-row broadcast), not
         # literals: a literal lands in the whole-stage-codegen source, so
         # a per-iteration value (the dangling redistribute) would compile
@@ -231,19 +276,36 @@ def pagerank(
         # interpreted until the JIT catches up, measured as random
         # multi-second per-sweep stalls in the louvain sql loop (same
         # fix there, operators/louvain.py _sql_sweep_loop)
-        params = edges.sparkSession.createDataFrame(
-            [(float(redistribute),)], "redistribute double"
-        )
-        new_ranks = verts.join(hint(contrib), "vtx", "left").na.fill(
-            {"in_sum": 0.0}
-        ).crossJoin(F.broadcast(params)).select(
-            "vtx",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.col("in_sum")
-                + F.col("redistribute")
-            ).alias("rank"),
-        )
+        if reset is None:
+            redistribute = damping * dangling / n
+            params = edges.sparkSession.createDataFrame(
+                [(float(redistribute),)], "redistribute double"
+            )
+            new_ranks = verts.join(hint(contrib), "vtx", "left").na.fill(
+                {"in_sum": 0.0}
+            ).crossJoin(F.broadcast(params)).select(
+                "vtx",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.col("in_sum")
+                    + F.col("redistribute")
+                ).alias("rank"),
+            )
+        else:
+            # personalized: both teleport and dangling mass land on p(v)
+            params = edges.sparkSession.createDataFrame(
+                [(float(damping * dangling),)], "dmass double"
+            )
+            new_ranks = verts_p.join(hint(contrib), "vtx", "left").na.fill(
+                {"in_sum": 0.0}
+            ).crossJoin(F.broadcast(params)).select(
+                "vtx",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping) * F.col("in_sum")
+                    + F.col("dmass") * F.col("p")
+                ).alias("rank"),
+            )
         # truncate lineage every iteration (iterative-lineage rule); the
         # broadcast exchange of `contrib` forces a materialization per
         # iteration regardless, so deferring the checkpoint only re-runs
@@ -265,4 +327,6 @@ def pagerank(
     trans.unpersist()
     verts.unpersist()
     danglings.unpersist()
+    if verts_p is not None:
+        verts_p.unpersist()
     return ranks

@@ -75,6 +75,87 @@ def test_pagerank_golden16(spark, golden16_df):
         assert got[v] == pytest.approx(want[v], abs=1e-6), f"vtx {v}"
 
 
+def _np_ppr(edges, n, p, damping=0.85, iters=30):
+    """Dense personalized power iteration oracle (symmetric, unit w)."""
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+        A[b, a] = 1.0
+    out = A.sum(axis=1)
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.where(out > 0, r / np.where(out > 0, out, 1), 0.0)
+        dangling = r[out == 0].sum()
+        r = (1 - damping) * p + damping * (A.T @ contrib) + damping * dangling * p
+    return r
+
+
+def test_pagerank_personalized(spark, golden16_df):
+    """reset= exercises both engines; seeds {0, 5}, uniform over them.
+    Broadcast engine (dense ids) vs numpy oracle, and uniform reset must
+    reproduce the classic run bit-near-exactly."""
+    sym = symmetric_edges(golden16_df)
+    p = np.zeros(16)
+    p[[0, 5]] = 0.5
+    reset = spark.createDataFrame(
+        [(0, 0.5), (5, 0.5)], "vtx long, p double"
+    )
+    # dense ids -> broadcast engine
+    got = {
+        r["vtx"]: r["rank"]
+        for r in pagerank(sym, max_iter=30, tol=None, reset=reset).collect()
+    }
+    want = _np_ppr(GOLDEN16_EDGES, 16, p, iters=30)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in range(16):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), f"vtx {v}"
+    # seeds hold more rank than in the classic run; far vertices less
+    classic = {
+        r["vtx"]: r["rank"]
+        for r in pagerank(sym, max_iter=30, tol=None).collect()
+    }
+    assert got[0] > classic[0] and got[5] > classic[5]
+
+    # DataFrame engine (threshold 0 forbids broadcast) — same answer
+    got_df = {
+        r["vtx"]: r["rank"]
+        for r in pagerank(
+            sym, max_iter=30, tol=None, reset=reset,
+            broadcast_vertex_threshold=0,
+        ).collect()
+    }
+    for v in range(16):
+        assert got_df[v] == pytest.approx(want[v], abs=1e-9), f"vtx {v}"
+
+    # uniform reset over ALL vertices == the classic operator
+    uni = spark.createDataFrame(
+        [(v, 1.0 / 16) for v in range(16)], "vtx long, p double"
+    )
+    got_uni = {
+        r["vtx"]: r["rank"]
+        for r in pagerank(sym, max_iter=30, tol=None, reset=uni).collect()
+    }
+    for v in range(16):
+        assert got_uni[v] == pytest.approx(classic[v], abs=1e-12), f"vtx {v}"
+
+    # dangling mass teleports through p (not uniformly): directed chain
+    # 0 -> 1 -> 2 with all teleport on 0 — mass conserved in BOTH engines
+    chain = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    r0 = spark.createDataFrame([(0, 1.0)], "vtx long, p double")
+    for thr in (5_000_000, 0):  # broadcast engine, then DataFrame engine
+        got_ch = {
+            r["vtx"]: r["rank"]
+            for r in pagerank(
+                chain, max_iter=40, tol=None, reset=r0,
+                broadcast_vertex_threshold=thr,
+            ).collect()
+        }
+        assert sum(got_ch.values()) == pytest.approx(1.0, abs=1e-9), thr
+        assert got_ch[0] > got_ch[2], thr
+
+
 def test_pagerank_dangling(spark):
     # directed chain with a dangling sink: 0 -> 1 -> 2
     df = spark.createDataFrame(

@@ -140,15 +140,24 @@ def test_louvain_input_symmetric_parity(spark, golden16_df):
     a = {r["vtx"]: r["comm"] for r in base.assignment.collect()}
     b = {r["vtx"]: r["comm"] for r in skip.assignment.collect()}
     assert a == b
-    # the distributed path reads the same level-0 cache; compare against
-    # the raw-input run of the SAME mode (superstep's visit order differs
-    # from local mode's, so cross-mode Q equality is not the invariant)
-    base_ss = louvain(spark, golden16_df, mode="superstep")
-    skip_ss = louvain(spark, pre, mode="superstep", input_symmetric=True)
-    assert skip_ss.modularity == pytest.approx(base_ss.modularity, abs=1e-9)
-    a_ss = {r["vtx"]: r["comm"] for r in base_ss.assignment.collect()}
-    b_ss = {r["vtx"]: r["comm"] for r in skip_ss.assignment.collect()}
-    assert a_ss == b_ss
+    # the distributed paths read the same level-0 cache; compare against
+    # the raw-input run of the SAME mode/engine (superstep's visit order
+    # differs from local mode's, so cross-mode Q equality is not the
+    # invariant)
+    for eng in ("auto", "sql"):
+        base_ss = louvain(
+            spark, golden16_df, mode="superstep", superstep_engine=eng
+        )
+        skip_ss = louvain(
+            spark, pre, mode="superstep", superstep_engine=eng,
+            input_symmetric=True,
+        )
+        assert skip_ss.modularity == pytest.approx(
+            base_ss.modularity, abs=1e-9
+        ), eng
+        a_ss = {r["vtx"]: r["comm"] for r in base_ss.assignment.collect()}
+        b_ss = {r["vtx"]: r["comm"] for r in skip_ss.assignment.collect()}
+        assert a_ss == b_ss, eng
 
 
 def test_checkpoint_resume(spark, golden16_df, tmp_path):
