@@ -177,11 +177,24 @@ def main() -> None:
     queries: dict[str, float] = {}
     queries_runs: dict[str, list[float]] = {}
 
+    def _best_confirmed(runs: list[float]) -> bool:
+        """A best-of headline is trustworthy when a SECOND run lands
+        within 1.3x of it — identical deterministic work, so a lone fast
+        run next to a 2x+ outlier means steal hit the window and one more
+        sample is needed (bounded by the callers)."""
+        b = min(runs)
+        return sum(1 for r in runs if r <= b * 1.3) >= 2
+
     def timed(name: str, fn, default=None, repeat_n: int | None = None):
         """Run ``fn`` ``repeat_n`` times (default: SPARK_GRAFT_REPEAT),
         record every wall time and keep the BEST as the headline — the
         noise-robust measurement this box needs (documented external VM
-        steal, BASELINE.md)."""
+        steal, BASELINE.md).  Adaptive guard: when back-to-back runs of a
+        DETERMINISTIC query disagree by >2x, external steal hit at least
+        one of them mid-window (observed: identical ivf_knn runs 3.4 s
+        clean vs 24.9/35.8 s stolen in a window that STARTED quiet), so
+        take up to 2 extra samples — bounded, and only when the spread
+        already proves the window is bad."""
         if only and name not in only and not name.startswith("edge_build"):
             return default
         runs = []
@@ -191,6 +204,12 @@ def main() -> None:
             out = fn()
             dt = time.monotonic() - t0
             runs.append(round(dt, 3))
+        extra = 0
+        while len(runs) >= 2 and not _best_confirmed(runs) and extra < 2:
+            t0 = time.monotonic()
+            out = fn()
+            runs.append(round(time.monotonic() - t0, 3))
+            extra += 1
         queries_runs[name] = runs
         queries[name] = min(runs)
         print(
@@ -238,7 +257,14 @@ def main() -> None:
     louvain_wall = float("inf")
     res = None
     louvain_runs = []
-    for _ in range(louvain_repeat):
+    extra = 0
+    while len(louvain_runs) < louvain_repeat or (
+        louvain_repeat >= 2
+        and not _best_confirmed(louvain_runs)
+        and extra < 2
+    ):
+        if len(louvain_runs) >= louvain_repeat:
+            extra += 1
         t0 = time.monotonic()
         r = louvain(
             spark, file_edges, n_blocks=cpus,
