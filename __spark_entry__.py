@@ -812,6 +812,42 @@ def _knn_lsh_axis_sql(
     """
 
 
+def _adamic_adar_oracle_sql(max_degree: int = 64, min_common: int = 2) -> str:
+    """DuckDB twin of ``adamic_adar(cc_edges, max_degree, min_common)``:
+    wedge enumeration through capped centers, 1/LN(deg) weights (LN, not
+    DuckDB's log10 LOG), anti-join against existing edges; the float sum
+    is rounded to 9 dp on both sides."""
+    return f"""
+        WITH base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src AS w, COUNT(*) AS deg FROM sym GROUP BY 1),
+        nbrs AS (
+            SELECT s.src AS w, s.dst AS u, d.deg
+            FROM sym s JOIN deg d ON d.w = s.src
+            WHERE d.deg >= 2 AND d.deg <= {max_degree}
+        ),
+        wedge AS (
+            SELECT a.u AS src, b.u AS dst, 1.0 / LN(a.deg) AS aa_w
+            FROM nbrs a JOIN nbrs b ON a.w = b.w AND a.u < b.u
+        ),
+        pairs AS (
+            SELECT src, dst, COUNT(*) AS n_common, SUM(aa_w) AS aa
+            FROM wedge GROUP BY 1, 2
+        ),
+        existing AS (SELECT src, dst FROM sym WHERE src < dst)
+        SELECT p.src, p.dst, p.n_common,
+               ROUND(p.aa, 9) AS adamic_adar
+        FROM pairs p
+        LEFT JOIN existing e ON p.src = e.src AND p.dst = e.dst
+        WHERE e.src IS NULL AND p.n_common >= {min_common}
+    """
+
+
 def _unrolled_ppr_sql(
     k: int = 3, damping: float = 0.85, seed_below: int = 100
 ) -> str:
@@ -940,6 +976,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vtx", F.round("rank", 8).alias("rank"))
 
     q["ppr_k3_seed"] = _ppr_k3
+
+    # link prediction on the cc subgraph: 2-hop pairs through centers of
+    # degree <= 64 (max observed degree is 85, so the hub cap path does
+    # real work), Adamic-Adar weighted, existing edges excluded
+    def _adamic_adar_cc(s, d):
+        from parallel_louvain_method_spark.operators.linkpred import (
+            adamic_adar,
+        )
+
+        pairs, _dropped = adamic_adar(
+            _cc_edges(s, d), max_degree=64, min_common=2
+        )
+        return pairs.select(
+            "src", "dst", "n_common",
+            F.round("adamic_adar", 9).alias("adamic_adar"),
+        )
+
+    q["adamic_adar_cc"] = _adamic_adar_cc
     q["connected_components"] = lambda s, d: connected_components(
         _cc_edges(s, d)
     ).select("vtx", "component")
@@ -1220,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
     o["ppr_k3_seed"] = _unrolled_ppr_sql(3, 0.85, seed_below=100)
+    o["adamic_adar_cc"] = _adamic_adar_oracle_sql(max_degree=64, min_common=2)
     o["connected_components"] = f"""
         WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
         sym AS (

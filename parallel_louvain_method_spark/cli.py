@@ -106,6 +106,24 @@ def main(argv: list[str] | None = None) -> int:
         help="also write per-vertex local clustering coefficients here",
     )
 
+    lp2 = sub.add_parser(
+        "linkpred",
+        help="link prediction: common-neighbor / Adamic-Adar scores for "
+        "2-hop pairs (existing edges excluded by default)",
+    )
+    lp2.add_argument("--edges", required=True)
+    lp2.add_argument("--out", required=True)
+    lp2.add_argument(
+        "--max-degree", type=int, default=10_000,
+        help="hub cap on wedge centers (dropped-center count is printed; "
+        "0 disables the cap)",
+    )
+    lp2.add_argument("--min-common", type=int, default=1)
+    lp2.add_argument(
+        "--include-adjacent", action="store_true",
+        help="also score pairs that are already edges (embeddedness)",
+    )
+
     kc = sub.add_parser("kcore", help="k-core membership by peeling")
     kc.add_argument("--edges", required=True)
     kc.add_argument("--out", required=True)
@@ -264,6 +282,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"triangles": n_tri}))
         else:
             print(json.dumps({"triangles": triangle_count(tr_edges)}))
+    elif args.cmd == "linkpred":
+        from parallel_louvain_method_spark.operators.linkpred import (
+            adamic_adar,
+        )
+
+        pairs, dropped = adamic_adar(
+            read_edge_parquet(spark, args.edges),
+            max_degree=args.max_degree or None,
+            min_common=args.min_common,
+            exclude_adjacent=not args.include_adjacent,
+        )
+        pairs.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {"pairs": pairs.count(), "dropped_centers": dropped}
+            )
+        )
     elif args.cmd == "kcore":
         from parallel_louvain_method_spark.operators.kcore import kcore
 

@@ -167,6 +167,56 @@ def test_pagerank_dangling(spark):
     assert got[2] > got[1] > got[0]
 
 
+def test_adamic_adar_golden16(spark, golden16_df):
+    """Wedge scores vs a dense numpy oracle; hub cap observable."""
+    from parallel_louvain_method_spark.operators.linkpred import (
+        adamic_adar,
+        common_neighbors,
+    )
+
+    n = 16
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in GOLDEN16_EDGES:
+        if a != b:
+            A[a, b] = A[b, a] = True
+    deg = A.sum(axis=1)
+    want = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            if A[u, v]:
+                continue  # exclude_adjacent
+            commons = [w for w in range(n) if A[u, w] and A[v, w]]
+            if commons:
+                want[(u, v)] = (
+                    len(commons),
+                    sum(1.0 / np.log(deg[w]) for w in commons),
+                )
+
+    pairs, dropped = adamic_adar(golden16_df, max_degree=None, min_common=1)
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["adamic_adar"])
+        for r in pairs.collect()
+    }
+    assert dropped == 0
+    assert set(got) == set(want)
+    for k, (nc, aa) in want.items():
+        assert got[k][0] == nc, k
+        assert got[k][1] == pytest.approx(aa, abs=1e-9), k
+
+    # a tiny cap drops hub centers, observably, and only removes wedges
+    pairs_c, dropped_c = adamic_adar(
+        golden16_df, max_degree=int(deg.max()) - 1, min_common=1
+    )
+    assert dropped_c == int((deg == deg.max()).sum())
+    got_c = {
+        (r["src"], r["dst"]): r["n_common"] for r in pairs_c.collect()
+    }
+    assert all(got_c[k] <= want[k][0] for k in got_c)
+
+    cn, _ = common_neighbors(golden16_df, max_degree=None)
+    assert cn.columns == ["src", "dst", "n_common"]
+
+
 def test_connected_components_exact(spark):
     # two components + an isolated-by-self-loop vertex
     edges = [(0, 1), (1, 2), (3, 4), (5, 5)]
