@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--iters", type=int, default=20)
     pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument(
+        "--seeds",
+        help="comma-separated vertex ids: personalized PageRank with a "
+        "uniform teleport distribution over the seed set (default: "
+        "classic uniform over all vertices)",
+    )
 
     cc = sub.add_parser("components")
     cc.add_argument("--edges", required=True)
@@ -229,10 +235,17 @@ def main(argv: list[str] | None = None) -> int:
         from parallel_louvain_method_spark.operators.graph import symmetric_edges
         from parallel_louvain_method_spark.operators.pagerank import pagerank
 
+        reset = None
+        if args.seeds:
+            seeds = [int(v) for v in args.seeds.split(",") if v.strip()]
+            reset = spark.createDataFrame(
+                [(v, 1.0 / len(seeds)) for v in seeds], "vtx long, p double"
+            )
         ranks = pagerank(
             symmetric_edges(read_edge_parquet(spark, args.edges)),
             damping=args.damping,
             max_iter=args.iters,
+            reset=reset,
         )
         ranks.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"rows": ranks.count()}))

@@ -66,9 +66,21 @@ def adamic_adar(
         centers = centers.filter(F.col("deg") <= max_degree)
 
     # neighbor lists keyed by center, joined with the center's degree so
-    # the wedge join carries 1/ln(deg) along instead of re-joining later
-    nbrs = sym.select(F.col("src").alias("w"), F.col("dst").alias("u")).join(
-        centers, "w"
+    # the wedge join carries 1/ln(deg) along instead of re-joining later.
+    # Materialized PRE-PARTITIONED on the wedge key: the self-join below
+    # reads the same cache on both sides, and a persisted
+    # hashpartitioning(w) satisfies both sides' requirement — zero
+    # exchanges in the wedge stage itself (the n_parts shuffle here is
+    # the one the join would have done anyway, paid once instead of
+    # twice)
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    nbrs = (
+        sym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+        .join(centers, "w")
+        .repartition(n_parts, "w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wedges = (
         nbrs.alias("a")
@@ -89,9 +101,10 @@ def adamic_adar(
     if exclude_adjacent:
         existing = sym.filter(F.col("src") < F.col("dst"))
         pairs = pairs.join(existing, ["src", "dst"], "left_anti")
-    # result outlives the working cache (the dedup operators' lifetime
-    # rule, operators/dedup.py): checkpoint, then release sym
+    # result outlives the working caches (the dedup operators' lifetime
+    # rule, operators/dedup.py): checkpoint, then release
     out = pairs.localCheckpoint(eager=True)
+    nbrs.unpersist()
     sym.unpersist()
     return out, dropped
 
