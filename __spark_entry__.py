@@ -832,17 +832,24 @@ def _adamic_adar_oracle_sql(max_degree: int = 64, min_common: int = 2) -> str:
             WHERE d.deg >= 2 AND d.deg <= {max_degree}
         ),
         wedge AS (
-            SELECT a.u AS src, b.u AS dst, 1.0 / LN(a.deg) AS aa_w
+            SELECT a.u AS src, b.u AS dst,
+                   1.0 / LN(a.deg) AS aa_w, 1.0 / a.deg AS ra_w
             FROM nbrs a JOIN nbrs b ON a.w = b.w AND a.u < b.u
         ),
         pairs AS (
-            SELECT src, dst, COUNT(*) AS n_common, SUM(aa_w) AS aa
+            SELECT src, dst, COUNT(*) AS n_common,
+                   SUM(aa_w) AS aa, SUM(ra_w) AS ra
             FROM wedge GROUP BY 1, 2
         ),
         existing AS (SELECT src, dst FROM sym WHERE src < dst)
         SELECT p.src, p.dst, p.n_common,
-               ROUND(p.aa, 9) AS adamic_adar
+               ROUND(CAST(p.n_common AS DOUBLE)
+                     / (du.deg + dv.deg - p.n_common), 9) AS jaccard,
+               ROUND(p.aa, 9) AS adamic_adar,
+               ROUND(p.ra, 9) AS resource_alloc
         FROM pairs p
+        JOIN deg du ON du.w = p.src
+        JOIN deg dv ON dv.w = p.dst
         LEFT JOIN existing e ON p.src = e.src AND p.dst = e.dst
         WHERE e.src IS NULL AND p.n_common >= {min_common}
     """
@@ -990,7 +997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select(
             "src", "dst", "n_common",
+            F.round("jaccard", 9).alias("jaccard"),
             F.round("adamic_adar", 9).alias("adamic_adar"),
+            F.round("resource_alloc", 9).alias("resource_alloc"),
         )
 
     q["adamic_adar_cc"] = _adamic_adar_cc

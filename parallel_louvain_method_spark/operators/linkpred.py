@@ -18,7 +18,14 @@ formula).  Scores:
 - ``n_common``: |N(u) ∩ N(v)|
 - ``adamic_adar``: Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w)) — centers need
   deg ≥ 2 to form a wedge, so ln(deg) ≥ ln 2 > 0 and the division is
-  total.
+  total;
+- ``resource_alloc``: Σ_{w} 1 / deg(w) (same wedge aggregate, harsher
+  hub discount);
+- ``jaccard``: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — needs deg(u) and deg(v),
+  two joins of the (already reduced) pair table against the degree
+  table.  NOTE: with a ``max_degree`` cap the intersection COUNT only
+  sees wedges through kept centers while the union uses full degrees,
+  so capped jaccard is a lower bound (exact when nothing is dropped).
 """
 
 from __future__ import annotations
@@ -40,9 +47,10 @@ def adamic_adar(
 ) -> tuple[DataFrame, int]:
     """Returns ``(pairs, dropped_centers)``.
 
-    ``pairs``: ``DataFrame[src, dst, n_common, adamic_adar]`` with
-    ``src < dst``, one row per 2-hop pair sharing ≥ ``min_common``
-    neighbors (through centers of degree ≤ ``max_degree``).
+    ``pairs``: ``DataFrame[src, dst, n_common, jaccard, adamic_adar,
+    resource_alloc]`` with ``src < dst``, one row per 2-hop pair sharing
+    ≥ ``min_common`` neighbors (through centers of degree ≤
+    ``max_degree``).
     ``exclude_adjacent`` drops pairs that are already edges — the link-
     PREDICTION semantics (candidates are non-edges); pass False to score
     existing edges too (embeddedness).  ``dropped_centers`` is the number
@@ -90,17 +98,33 @@ def adamic_adar(
             F.col("a.u").alias("src"),
             F.col("b.u").alias("dst"),
             (F.lit(1.0) / F.log(F.col("a.deg"))).alias("aa_w"),
+            (F.lit(1.0) / F.col("a.deg")).alias("ra_w"),
         )
     )
     pairs = wedges.groupBy("src", "dst").agg(
         F.count("*").alias("n_common"),
         F.sum("aa_w").alias("adamic_adar"),
+        F.sum("ra_w").alias("resource_alloc"),
     )
     if min_common > 1:
         pairs = pairs.filter(F.col("n_common") >= min_common)
     if exclude_adjacent:
         existing = sym.filter(F.col("src") < F.col("dst"))
         pairs = pairs.join(existing, ["src", "dst"], "left_anti")
+    # jaccard joins UNCAPPED degrees onto the reduced pair table (two
+    # joins of the small-by-now pairs against the |V|-row degree table)
+    pairs = (
+        pairs.join(deg.withColumnsRenamed({"w": "src", "deg": "deg_src"}), "src")
+        .join(deg.withColumnsRenamed({"w": "dst", "deg": "deg_dst"}), "dst")
+        .select(
+            "src", "dst", "n_common",
+            (
+                F.col("n_common")
+                / (F.col("deg_src") + F.col("deg_dst") - F.col("n_common"))
+            ).alias("jaccard"),
+            "adamic_adar", "resource_alloc",
+        )
+    )
     # result outlives the working caches (the dedup operators' lifetime
     # rule, operators/dedup.py): checkpoint, then release
     out = pairs.localCheckpoint(eager=True)

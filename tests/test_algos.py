@@ -187,21 +187,29 @@ def test_adamic_adar_golden16(spark, golden16_df):
                 continue  # exclude_adjacent
             commons = [w for w in range(n) if A[u, w] and A[v, w]]
             if commons:
+                nc = len(commons)
                 want[(u, v)] = (
-                    len(commons),
+                    nc,
+                    nc / (deg[u] + deg[v] - nc),
                     sum(1.0 / np.log(deg[w]) for w in commons),
+                    sum(1.0 / deg[w] for w in commons),
                 )
 
     pairs, dropped = adamic_adar(golden16_df, max_degree=None, min_common=1)
     got = {
-        (r["src"], r["dst"]): (r["n_common"], r["adamic_adar"])
+        (r["src"], r["dst"]): (
+            r["n_common"], r["jaccard"], r["adamic_adar"],
+            r["resource_alloc"],
+        )
         for r in pairs.collect()
     }
     assert dropped == 0
     assert set(got) == set(want)
-    for k, (nc, aa) in want.items():
+    for k, (nc, jac, aa, ra) in want.items():
         assert got[k][0] == nc, k
-        assert got[k][1] == pytest.approx(aa, abs=1e-9), k
+        assert got[k][1] == pytest.approx(jac, abs=1e-9), k
+        assert got[k][2] == pytest.approx(aa, abs=1e-9), k
+        assert got[k][3] == pytest.approx(ra, abs=1e-9), k
 
     # a tiny cap drops hub centers, observably, and only removes wedges
     pairs_c, dropped_c = adamic_adar(
