@@ -237,7 +237,14 @@ def main(argv: list[str] | None = None) -> int:
 
         reset = None
         if args.seeds:
-            seeds = [int(v) for v in args.seeds.split(",") if v.strip()]
+            # dedupe: a repeated seed would otherwise split the teleport
+            # mass across duplicate rows (broadcast engine overwrites,
+            # DataFrame engine duplicates output rows)
+            seeds = sorted(
+                {int(v) for v in args.seeds.split(",") if v.strip()}
+            )
+            if not seeds:
+                raise SystemExit("--seeds: no vertex ids given")
             reset = spark.createDataFrame(
                 [(v, 1.0 / len(seeds)) for v in seeds], "vtx long, p double"
             )
@@ -331,6 +338,10 @@ def main(argv: list[str] | None = None) -> int:
             max_iter=args.max_iter,
         )
         cores.write.mode("overwrite").parquet(args.out)
+        # stats from the just-written parquet: the decomposition plan's
+        # un-checkpointed tail (up to 7 union/anti-join stages) would
+        # otherwise re-execute once per action
+        cores = spark.read.parquet(args.out)
         print(
             json.dumps(
                 {

@@ -106,8 +106,16 @@ class StarAllGather:
     # hanging on a dead hub (the old 3600) is an outage, not a wait.  The
     # caller tightens this adaptively after the first sweep via
     # ``set_round_timeout`` (a multiple of the slowest observed sweep), so
-    # this constant only governs the FIRST round after setup.
-    ROUND_TIMEOUT = 600.0
+    # this constant only governs the FIRST round after setup — which is
+    # also the SLOWEST round (sweep-0 moves ~n/2 vertices and the gate
+    # boundary's bulk transfer alone measures ~160 s, tools/
+    # hub_gate_boundary.py), so it gets 20 min where later rounds get an
+    # adaptive few: misclassifying a live sweep-0 straggler as hub death
+    # discards the whole level onto the 1 s/sync coordinator retry path.
+    # A DEAD peer is still detected in seconds via FIN regardless of this
+    # timeout (the failure-injection test pins <20 s); the timeout only
+    # governs a peer that hangs without closing.
+    ROUND_TIMEOUT = 1200.0
     SETUP_TIMEOUT = 30.0
     # adaptive bounds for set_round_timeout
     MIN_ROUND_TIMEOUT = 60.0

@@ -79,7 +79,6 @@ def _peel_fixpoint(
     enough — never silently returns a superset of the k-core."""
     spark = live.sparkSession
     n_prev = -1
-    keep, nxt = live.select(F.col("src").alias("vtx")).distinct(), live
     rounds = range(max_iter) if max_iter is not None else itertools.count()
     for _ in rounds:
         keep, nxt = _round(live, k)

@@ -44,13 +44,15 @@ def adamic_adar(
     max_degree: int | None = 10_000,
     min_common: int = 1,
     exclude_adjacent: bool = True,
+    with_jaccard: bool = True,
 ) -> tuple[DataFrame, int]:
     """Returns ``(pairs, dropped_centers)``.
 
     ``pairs``: ``DataFrame[src, dst, n_common, jaccard, adamic_adar,
     resource_alloc]`` with ``src < dst``, one row per 2-hop pair sharing
     ≥ ``min_common`` neighbors (through centers of degree ≤
-    ``max_degree``).
+    ``max_degree``); ``with_jaccard=False`` drops the jaccard column and
+    its two degree joins.
     ``exclude_adjacent`` drops pairs that are already edges — the link-
     PREDICTION semantics (candidates are non-edges); pass False to score
     existing edges too (embeddedness).  ``dropped_centers`` is the number
@@ -112,19 +114,26 @@ def adamic_adar(
         existing = sym.filter(F.col("src") < F.col("dst"))
         pairs = pairs.join(existing, ["src", "dst"], "left_anti")
     # jaccard joins UNCAPPED degrees onto the reduced pair table (two
-    # joins of the small-by-now pairs against the |V|-row degree table)
-    pairs = (
-        pairs.join(deg.withColumnsRenamed({"w": "src", "deg": "deg_src"}), "src")
-        .join(deg.withColumnsRenamed({"w": "dst", "deg": "deg_dst"}), "dst")
-        .select(
-            "src", "dst", "n_common",
-            (
-                F.col("n_common")
-                / (F.col("deg_src") + F.col("deg_dst") - F.col("n_common"))
-            ).alias("jaccard"),
-            "adamic_adar", "resource_alloc",
+    # joins of the small-by-now pairs against the |V|-row degree table) —
+    # skippable (with_jaccard=False) by callers that only want the wedge
+    # aggregates, e.g. common_neighbors
+    if with_jaccard:
+        pairs = (
+            pairs.join(
+                deg.withColumnsRenamed({"w": "src", "deg": "deg_src"}), "src"
+            )
+            .join(
+                deg.withColumnsRenamed({"w": "dst", "deg": "deg_dst"}), "dst"
+            )
+            .select(
+                "src", "dst", "n_common",
+                (
+                    F.col("n_common")
+                    / (F.col("deg_src") + F.col("deg_dst") - F.col("n_common"))
+                ).alias("jaccard"),
+                "adamic_adar", "resource_alloc",
+            )
         )
-    )
     # result outlives the working caches (the dedup operators' lifetime
     # rule, operators/dedup.py): checkpoint, then release
     out = pairs.localCheckpoint(eager=True)
@@ -140,11 +149,13 @@ def common_neighbors(
     exclude_adjacent: bool = True,
 ) -> tuple[DataFrame, int]:
     """``(DataFrame[src, dst, n_common], dropped_centers)`` — the count
-    without the Adamic-Adar weighting; same wedge plan."""
+    without the weighted scores; same wedge plan, minus the jaccard
+    degree joins (the wedge-side aa/ra sums cost nothing extra)."""
     pairs, dropped = adamic_adar(
         edges,
         max_degree=max_degree,
         min_common=min_common,
         exclude_adjacent=exclude_adjacent,
+        with_jaccard=False,
     )
     return pairs.select("src", "dst", "n_common"), dropped

@@ -203,10 +203,19 @@ def pagerank(
                 import numpy as np
 
                 rp = reset.select("vtx", "p").toPandas()
+                vs = rp["vtx"].to_numpy(dtype=np.int64)
+                # validate before indexing: a negative id would WRAP
+                # numpy indexing (silently teleporting to vertex n-1),
+                # and a duplicate would overwrite instead of summing —
+                # both corrupt the distribution without an error
+                if len(vs) and (vs.min() < 0 or vs.max() >= n):
+                    raise ValueError(
+                        f"reset contains vertex ids outside 0..{n - 1}"
+                    )
+                if len(np.unique(vs)) != len(vs):
+                    raise ValueError("reset contains duplicate vertex ids")
                 p_vec = np.zeros(n, dtype=np.float64)
-                p_vec[rp["vtx"].to_numpy(dtype=np.int64)] = rp[
-                    "p"
-                ].to_numpy(dtype=np.float64)
+                p_vec[vs] = rp["p"].to_numpy(dtype=np.float64)
             verts.unpersist()
             return _pagerank_broadcast(
                 edges, n, damping, max_iter, tol, weighted, p=p_vec
@@ -233,6 +242,16 @@ def pagerank(
 
     verts_p: DataFrame | None = None
     if reset is not None:
+        # a reset row naming a vertex that is not in the graph would be
+        # silently dropped by the join below, leaking its teleport mass
+        # (Σ rank < 1 forever); duplicates would duplicate output rows
+        bad = reset.join(verts, "vtx", "left_anti").count()
+        if bad:
+            raise ValueError(
+                f"reset names {bad} vertex ids not present in the graph"
+            )
+        if reset.groupBy("vtx").count().filter("count > 1").count():
+            raise ValueError("reset contains duplicate vertex ids")
         verts_p = (
             verts.join(hint(reset.select("vtx", "p")), "vtx", "left")
             .na.fill({"p": 0.0})

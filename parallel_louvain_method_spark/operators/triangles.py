@@ -138,7 +138,10 @@ def clustering_coefficient(
 
     simple = fresh_checkpoint(_simple_undirected(edges))
     deg = _degrees(simple)
-    oriented = _orient(simple, deg)
+    # checkpointed: the wedge query references `oriented` on THREE sides
+    # with three different join keys, so an unmaterialized plan re-runs
+    # the orientation join (and the degree agg under it) once per side
+    oriented = fresh_checkpoint(_orient(simple, deg))
     tri = triangles_per_vertex(edges, oriented=oriented)
     out = deg.withColumnRenamed("v", "vtx").join(tri, "vtx", "left").select(
         F.col("vtx").cast("long").alias("vtx"),

@@ -37,7 +37,13 @@ import time
 
 
 def _rank_proc(rank, n, addr_q, res_q, payload_sizes):
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    import os
+
+    # abspath: a relative __file__ ("tools/x.py") would resolve to
+    # "tools", not the repo root, and every rank would die on ImportError
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from parallel_louvain_method_spark.functions.exchange import StarAllGather
 
     g = StarAllGather(rank, n)
