@@ -45,6 +45,10 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_lsh,
 )
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
+from parallel_louvain_method_spark.operators.metrics import (
+    degree_assortativity,
+    partition_quality,
+)
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -1212,6 +1216,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("total_value", 6).alias("total_value"),
     )
 
+    # whole-graph / partition diagnostics (operators/metrics.py)
+    q["degree_assortativity"] = lambda s, d: degree_assortativity(
+        _edges(s, d)
+    ).select(F.round("assortativity", 8).alias("assortativity"))
+
+    def _partition_conductance(s, d):
+        edges = _cc_edges(s, d)
+        assign = G.vertex_ids(edges).select(
+            F.col("v").alias("vtx"), (F.col("v") % 8).alias("community")
+        )
+        return partition_quality(edges, assign)
+
+    q["partition_conductance"] = _partition_conductance
+
     return q
 
 
@@ -1374,6 +1392,69 @@ def oracle_sql() -> dict[str, str]:
     o["louvain_coarsen_sweep"] = _louvain_coarsen_sweep_oracle_sql()
     o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
     o["user_sessions"] = _user_sessions_oracle_sql(gap_seconds=1800)
+    # explicit population-moment Pearson mirrors the engine exactly
+    # (metrics.py uses covar_pop/stddev_pop + try_divide, not `corr`,
+    # for ANSI-safe NULL on zero-variance graphs)
+    o["degree_assortativity"] = f"""
+        WITH sym AS MATERIALIZED ({_SYM_SQL}),
+        deg AS MATERIALIZED (
+            SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM sym GROUP BY 1
+        ),
+        samples AS (
+            SELECT a.deg AS du, b.deg AS dv
+            FROM sym e
+            JOIN deg a ON a.v = e.src
+            JOIN deg b ON b.v = e.dst
+            WHERE e.src <> e.dst
+        )
+        SELECT ROUND(
+            covar_pop(du, dv) / (stddev_pop(du) * stddev_pop(dv)), 8
+        ) AS assortativity FROM samples"""
+    o["partition_conductance"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM base
+            )
+        ),
+        assign AS MATERIALIZED (
+            SELECT v AS vtx, v % 8 AS community FROM (
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM base UNION SELECT dst AS v FROM base
+                )
+            )
+        ),
+        per_c AS (
+            SELECT a.community AS community,
+                   SUM(e.weight) AS volume,
+                   SUM(CASE WHEN a.community = b.community
+                       THEN e.weight ELSE 0.0 END) AS internal_weight
+            FROM sym e
+            JOIN assign a ON a.vtx = e.src
+            JOIN assign b ON b.vtx = e.dst
+            GROUP BY 1
+        ),
+        sizes AS (
+            SELECT community, COUNT(DISTINCT vtx) AS n_vertices
+            FROM assign GROUP BY 1
+        ),
+        tot AS (SELECT SUM(volume) AS total_volume FROM per_c)
+        SELECT s.community,
+               CAST(s.n_vertices AS BIGINT) AS n_vertices,
+               COALESCE(p.volume, 0.0) AS volume,
+               COALESCE(p.internal_weight, 0.0) AS internal_weight,
+               COALESCE(p.volume, 0.0) - COALESCE(p.internal_weight, 0.0)
+                   AS cut_weight,
+               CASE WHEN LEAST(p.volume, t.total_volume - p.volume) > 0
+                    THEN (p.volume - p.internal_weight)
+                         / LEAST(p.volume, t.total_volume - p.volume)
+               END AS conductance
+        FROM sizes s
+        LEFT JOIN per_c p USING (community)
+        CROSS JOIN tot t"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)

@@ -515,3 +515,113 @@ def test_negative_ids_use_dataframe_engines(spark):
     rows = pr.collect()
     assert {r["vtx"] for r in rows} == {-1, 0, 1, 3}
     assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_degree_assortativity_golden16(spark, golden16_df):
+    """Spark corr over joined degrees vs a dense numpy Pearson oracle."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        degree_assortativity,
+    )
+
+    n = 16
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = True
+    deg = A.sum(axis=1).astype(float)
+    du, dv = [], []
+    for u in range(n):
+        for v in range(n):
+            if u != v and A[u, v]:
+                du.append(deg[u])
+                dv.append(deg[v])
+    want = np.corrcoef(du, dv)[0, 1]
+
+    got = degree_assortativity(golden16_df).first()["assortativity"]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_degree_assortativity_degenerate(spark):
+    """A cycle (all degrees equal) has zero variance -> NULL, not NaN/err;
+    a star is maximally disassortative (r = -1)."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        degree_assortativity,
+    )
+
+    cycle = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r = degree_assortativity(cycle).first()["assortativity"]
+    assert r is None or (isinstance(r, float) and np.isnan(r))
+
+    star = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    r = degree_assortativity(star).first()["assortativity"]
+    assert r == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_partition_quality_golden16(spark, golden16_df):
+    """Per-community volume/internal/cut/conductance on the golden
+    partition vs a hand-computed numpy oracle; volumes tie back to the
+    engine's degree convention (sum of symmetric rows)."""
+    from tests.conftest import GOLDEN16_ASSIGNMENT
+    from parallel_louvain_method_spark.operators.metrics import (
+        partition_quality,
+    )
+
+    assign = spark.createDataFrame(
+        list(GOLDEN16_ASSIGNMENT.items()), "vtx long, community long"
+    )
+    got = {
+        r["community"]: r
+        for r in partition_quality(golden16_df, assign).collect()
+    }
+
+    n = 16
+    A = np.zeros((n, n))
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = 1.0
+    comm = GOLDEN16_ASSIGNMENT
+    labels = sorted(set(comm.values()))
+    total_vol = A.sum()
+    assert len(got) == len(labels)
+    for c in labels:
+        members = [v for v in range(n) if comm[v] == c]
+        vol = A[members, :].sum()
+        internal = A[np.ix_(members, members)].sum()
+        cut = vol - internal
+        row = got[c]
+        assert row["n_vertices"] == len(members)
+        assert row["volume"] == pytest.approx(vol, abs=1e-9)
+        assert row["internal_weight"] == pytest.approx(internal, abs=1e-9)
+        assert row["cut_weight"] == pytest.approx(cut, abs=1e-9)
+        denom = min(vol, total_vol - vol)
+        assert row["conductance"] == pytest.approx(cut / denom, abs=1e-9)
+
+
+def test_partition_quality_edge_cases(spark):
+    """Single community spanning the graph -> NULL conductance (denom 0);
+    self-loop counts once in volume and internal; an assignment-only
+    community reports sizes with zero metrics."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        partition_quality,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 1, 3.0)], "src long, dst long, weight double"
+    )
+    assign = spark.createDataFrame(
+        [(0, 7), (1, 7), (99, 8)], "vtx long, community long"
+    )
+    rows = {r["community"]: r for r in partition_quality(edges, assign).collect()}
+    r7 = rows[7]
+    # symmetric table: (0,1,2),(1,0,2),(1,1,3) -> vol = 7, internal = 7
+    assert r7["volume"] == pytest.approx(7.0)
+    assert r7["internal_weight"] == pytest.approx(7.0)
+    assert r7["cut_weight"] == pytest.approx(0.0)
+    assert r7["conductance"] is None
+    r8 = rows[8]
+    assert r8["n_vertices"] == 1
+    assert r8["volume"] == 0.0 and r8["cut_weight"] == 0.0
+    assert r8["conductance"] is None
