@@ -47,6 +47,7 @@ from parallel_louvain_method_spark.operators.similarity import (
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
 from parallel_louvain_method_spark.operators.metrics import (
     degree_assortativity,
+    neighborhood_function,
     partition_quality,
 )
 from parallel_louvain_method_spark.operators.triangles import (
@@ -1230,6 +1231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["partition_conductance"] = _partition_conductance
 
+    # ANF at fixed hops, exact method (the oracle baseline; the HLL
+    # HyperBall scale path is pinned to it in pytest)
+    q["neighborhood_h2"] = lambda s, d: neighborhood_function(
+        s, _cc_edges(s, d), max_hops=2, method="exact"
+    )
+
     return q
 
 
@@ -1455,6 +1462,41 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes s
         LEFT JOIN per_c p USING (community)
         CROSS JOIN tot t"""
+    # exact 2-hop ANF: ball(v,h) includes v; self-loops excluded from the
+    # relation exactly like metrics.neighborhood_function(method="exact")
+    o["neighborhood_h2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        h0 AS (
+            SELECT v AS vtx, v AS w FROM (
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM base UNION SELECT dst AS v FROM base
+                )
+            )
+        ),
+        h1 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h0
+                UNION ALL SELECT src AS vtx, dst AS w FROM sym
+            )
+        ),
+        h2 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h1
+                UNION ALL
+                SELECT e.src AS vtx, s.w FROM sym e JOIN h1 s ON s.vtx = e.dst
+            )
+        )
+        SELECT CAST(h AS INTEGER) AS h, CAST(n_pairs AS BIGINT) AS n_pairs
+        FROM (
+            SELECT 1 AS h, COUNT(*) AS n_pairs FROM h1
+            UNION ALL SELECT 2 AS h, COUNT(*) AS n_pairs FROM h2
+        )"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)

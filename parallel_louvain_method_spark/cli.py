@@ -155,6 +155,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--max-iter", type=int, default=None)
 
+    mt = sub.add_parser(
+        "metrics",
+        help="whole-graph diagnostics: degree assortativity, optional "
+        "partition conductance and ANF/effective diameter",
+    )
+    mt.add_argument("--edges", required=True)
+    mt.add_argument(
+        "--assignment",
+        help="parquet with (vtx, community) — e.g. a louvain/lpa output; "
+        "enables per-community cut metrics",
+    )
+    mt.add_argument(
+        "--out", help="where partition-quality parquet goes (with --assignment)"
+    )
+    mt.add_argument(
+        "--anf-hops", type=int, default=0,
+        help="also compute the neighborhood function to this many hops "
+        "(0 = skip) and report the 90%% effective diameter",
+    )
+    mt.add_argument(
+        "--anf-method", choices=["hll", "exact"], default="hll",
+        help="hll = HyperBall sketches (the at-scale path); exact "
+        "materializes ball membership (small graphs only)",
+    )
+    mt.add_argument("--lg-k", type=int, default=12, help="HLL sketch size")
+
     dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
     dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
     dd.add_argument("--out", required=True)
@@ -352,6 +378,44 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "metrics":
+        from parallel_louvain_method_spark.operators.metrics import (
+            degree_assortativity,
+            effective_diameter,
+            neighborhood_function,
+            partition_quality,
+        )
+
+        mt_edges = read_edge_parquet(spark, args.edges)
+        report: dict = {
+            "assortativity": degree_assortativity(mt_edges).first()[
+                "assortativity"
+            ]
+        }
+        if args.assignment:
+            if not args.out:
+                p.error("--assignment requires --out")
+            pq = partition_quality(
+                mt_edges, spark.read.parquet(args.assignment)
+            )
+            pq.write.mode("overwrite").parquet(args.out)
+            worst = (
+                pq.filter(F.col("conductance").isNotNull())
+                .agg(F.max("conductance"))
+                .first()[0]
+            )
+            report["n_communities"] = pq.count()
+            report["worst_conductance"] = worst
+        if args.anf_hops > 0:
+            nf = neighborhood_function(
+                spark, mt_edges, args.anf_hops,
+                method=args.anf_method, lg_k=args.lg_k,
+            )
+            report["neighborhood_function"] = {
+                str(r["h"]): r["n_pairs"] for r in sorted(nf.collect())
+            }
+            report["effective_diameter_90"] = effective_diameter(nf)
+        print(json.dumps(report))
     elif args.cmd == "dedup":
         from parallel_louvain_method_spark.operators import dedup as D
 

@@ -27,9 +27,9 @@ Conventions (shared with the engine, documented against the gate twins):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import exclude_self_loops, symmetric_edges
+from .graph import exclude_self_loops, symmetric_edges, vertex_ids
 
 
 def degree_assortativity(edges: DataFrame, weighted: bool = False) -> DataFrame:
@@ -123,3 +123,103 @@ def partition_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """ANF / HyperBall: N(h) = Σ_v |ball(v, h)| for h = 1..max_hops.
+
+    ``ball(v, h)`` is the set of vertices within distance ≤ h of v,
+    INCLUDING v itself; N(h) counts ordered (v, w) pairs, so N saturates
+    at Σ_c |component c|².  The effective diameter and the hop-plot both
+    read straight off this table (:func:`effective_diameter`).
+
+    ``method="hll"`` — the scale path (Palmer et al. 2002 ANF; Boldi &
+    Vigna 2011 HyperBall): per-vertex state is ONE Datasketches HLL
+    sketch (≈2^lg_k bytes max, exact in coupon mode below ~0.75·2^lg_k
+    distinct), advanced by a neighbor join + ``hll_union_agg`` — state
+    stays O(|V|·2^lg_k) no matter how dense the balls get, every byte
+    JVM-side.  Estimates are Spark's rounded BIGINT, exact for small
+    balls, ±~1.6%/√2^lg_k beyond coupon mode.
+
+    ``method="exact"`` — materializes ball membership as distinct
+    (vtx, w) rows: the oracle baseline, O(Σ|ball|) rows — NEVER at 100 TB
+    scale (a small-world graph saturates to |V|² pairs in ~6 hops);
+    gate-checked against a DuckDB twin at h=2.
+
+    Both methods stop early once N(h) stops growing (all balls closed).
+    Returns a driver-materialized ``DataFrame[h: int, n_pairs: long]``
+    (≤ max_hops rows; the per-round count is the iteration's action
+    anyway, so no extra job).  Per-round ``fresh_checkpoint`` keeps the
+    loop's lineage and stats flat (the engine-wide idiom —
+    plans/lineage.py).
+    """
+    from ..plans.lineage import fresh_checkpoint
+
+    if max_hops < 1:
+        raise ValueError("neighborhood_function requires max_hops >= 1")
+    sym = exclude_self_loops(symmetric_edges(edges)).select("src", "dst")
+    verts = vertex_ids(edges)
+    rows: list[tuple[int, int]] = []
+    if method == "hll":
+        state = verts.groupBy(F.col("v").alias("vtx")).agg(
+            F.hll_sketch_agg("v", F.lit(lg_k)).alias("sketch")
+        )
+        state = fresh_checkpoint(state)
+        prev = None
+        for h in range(1, max_hops + 1):
+            contrib = sym.join(
+                state.select(F.col("vtx").alias("dst"), "sketch"), "dst"
+            ).select(F.col("src").alias("vtx"), "sketch")
+            state = fresh_checkpoint(
+                state.select("vtx", "sketch")
+                .unionByName(contrib)
+                .groupBy("vtx")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+            n = state.agg(
+                F.sum(F.hll_sketch_estimate("sketch")).alias("n")
+            ).first()["n"]
+            rows.append((h, int(n)))
+            if prev is not None and n == prev:
+                break
+            prev = n
+    elif method == "exact":
+        state = fresh_checkpoint(
+            verts.select(F.col("v").alias("vtx"), F.col("v").alias("w"))
+        )
+        prev = None
+        for h in range(1, max_hops + 1):
+            contrib = sym.join(
+                state.select(F.col("vtx").alias("dst"), "w"), "dst"
+            ).select(F.col("src").alias("vtx"), "w")
+            state = fresh_checkpoint(
+                state.unionByName(contrib).distinct()
+            )
+            n = state.count()
+            rows.append((h, n))
+            if prev is not None and n == prev:
+                break
+            prev = n
+    else:
+        raise ValueError(f"unknown method {method!r} (hll | exact)")
+    return spark.createDataFrame(rows, "h int, n_pairs long")
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> int:
+    """Smallest h with N(h) ≥ alpha · N(h_max), off a materialized
+    :func:`neighborhood_function` table (≤ max_hops rows — driver-side
+    by construction)."""
+    pts = sorted((r["h"], r["n_pairs"]) for r in nf.collect())
+    if not pts:
+        raise ValueError("empty neighborhood function")
+    target = alpha * pts[-1][1]
+    for h, n in pts:
+        if n >= target:
+            return h
+    return pts[-1][0]

@@ -625,3 +625,40 @@ def test_partition_quality_edge_cases(spark):
     assert r8["n_vertices"] == 1
     assert r8["volume"] == 0.0 and r8["cut_weight"] == 0.0
     assert r8["conductance"] is None
+
+
+def test_neighborhood_function_golden16(spark, golden16_df):
+    """Exact ANF vs a numpy BFS oracle; the HLL path (coupon-mode-exact at
+    n=16) must agree exactly; early exit once every ball is closed."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    n = 16
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = True
+    # boolean matrix powers: reach[h] = pairs within distance <= h
+    reach = np.eye(n, dtype=bool)
+    want = []
+    for _ in range(1, 9):
+        reach = reach | (reach @ A)
+        want.append(int(reach.sum()))
+
+    ex = neighborhood_function(spark, golden16_df, 8, method="exact")
+    got = [(r["h"], r["n_pairs"]) for r in sorted(ex.collect())]
+    # early exit: one row past saturation, not all 8
+    assert len(got) < 8
+    for h, np_ in got:
+        assert np_ == want[h - 1], (h, np_, want[h - 1])
+    assert got[-1][1] == n * n  # connected graph saturates at |V|^2
+
+    hl = neighborhood_function(spark, golden16_df, 8, method="hll")
+    assert sorted((r["h"], r["n_pairs"]) for r in hl.collect()) == got
+
+    assert effective_diameter(ex) == 4
+    with pytest.raises(ValueError):
+        neighborhood_function(spark, golden16_df, 0)
+    with pytest.raises(ValueError):
+        neighborhood_function(spark, golden16_df, 2, method="nope")

@@ -135,3 +135,36 @@ def test_cli_pipeline_subcommands(spark, tmp_path):
                  "--op", "tokens"]) == 0
     n_docs = spark.read.parquet(docs_src).count()
     assert spark.read.parquet(out3).count() == n_docs
+
+
+def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
+    """`plm metrics` reports assortativity + ANF/effective diameter and
+    writes partition-quality parquet for a (vtx, community) assignment."""
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+    from tests.conftest import GOLDEN16_ASSIGNMENT
+
+    edges_path = str(tmp_path / "edges")
+    golden16_df.write.parquet(edges_path)
+    assign_path = str(tmp_path / "assign")
+    spark.createDataFrame(
+        list(GOLDEN16_ASSIGNMENT.items()), "vtx long, community long"
+    ).write.parquet(assign_path)
+
+    out = str(tmp_path / "pq")
+    assert main([
+        "metrics", "--edges", edges_path, "--assignment", assign_path,
+        "--out", out, "--anf-hops", "8", "--anf-method", "exact",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert -1.0 <= report["assortativity"] <= 1.0
+    assert report["n_communities"] == 4
+    assert 0.0 < report["worst_conductance"] < 1.0
+    assert report["effective_diameter_90"] == 4
+    assert report["neighborhood_function"]["1"] == 72  # 2*28 edges + 16 selves
+    got = spark.read.parquet(out)
+    assert {"community", "volume", "cut_weight", "conductance"} <= set(
+        got.columns
+    )
+    assert got.count() == 4
