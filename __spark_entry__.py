@@ -1458,7 +1458,12 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN LEAST(p.volume, t.total_volume - p.volume) > 0
                     THEN (p.volume - p.internal_weight)
                          / LEAST(p.volume, t.total_volume - p.volume)
-               END AS conductance
+               END AS conductance,
+               CASE WHEN t.total_volume > 0
+                    THEN COALESCE(p.internal_weight, 0.0) / t.total_volume
+                         - (COALESCE(p.volume, 0.0) / t.total_volume)
+                         * (COALESCE(p.volume, 0.0) / t.total_volume)
+               END AS modularity
         FROM sizes s
         LEFT JOIN per_c p USING (community)
         CROSS JOIN tot t"""

@@ -399,13 +399,16 @@ def main(argv: list[str] | None = None) -> int:
                 mt_edges, spark.read.parquet(args.assignment)
             )
             pq.write.mode("overwrite").parquet(args.out)
-            worst = (
-                pq.filter(F.col("conductance").isNotNull())
-                .agg(F.max("conductance"))
-                .first()[0]
-            )
-            report["n_communities"] = pq.count()
-            report["worst_conductance"] = worst
+            # stats off the just-written parquet, not a plan re-execution
+            pq = spark.read.parquet(args.out)
+            stats = pq.agg(
+                F.count("*").alias("n"),
+                F.max("conductance").alias("worst"),
+                F.sum("modularity").alias("q"),
+            ).first()
+            report["n_communities"] = stats["n"]
+            report["worst_conductance"] = stats["worst"]
+            report["modularity"] = stats["q"]
         if args.anf_hops > 0:
             nf = neighborhood_function(
                 spark, mt_edges, args.anf_hops,

@@ -84,7 +84,14 @@ def partition_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
       (so a proper undirected internal edge contributes twice, a
       self-loop once — exactly 2·w_in(c) + loops(c));
     - ``cut_weight`` = volume − internal_weight = Σ weight leaving c;
-    - ``conductance`` = cut / min(vol, vol(G) − vol), NULL if min is 0.
+    - ``conductance`` = cut / min(vol, vol(G) − vol), NULL if min is 0;
+    - ``modularity`` = internal/vol(G) − (volume/vol(G))², the standard
+      per-community Q term (internal IS the Louvain Σ_in, volume the
+      Σ_tot, vol(G) the 2m normalizer — reference formula,
+      /root/reference/src/community.cpp:183-200): summed over
+      communities it reproduces the reference's golden Q on its golden
+      partition (0.346301, tests), for ANY assignment, not just the
+      engine's own Louvain state (operators/louvain.py:164).
 
     One vertex-keyed join per endpoint, one groupBy(community) — the same
     shuffle skeleton as the engine's community-totals aggregation (J2/A5,
@@ -121,6 +128,12 @@ def partition_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
                 denom > 0.0,
                 (F.col("volume") - F.col("internal_weight")) / denom,
             ).alias("conductance"),
+            F.when(
+                F.col("total_volume") > 0.0,
+                F.coalesce("internal_weight", F.lit(0.0)) / F.col("total_volume")
+                - (F.coalesce("volume", F.lit(0.0)) / F.col("total_volume"))
+                * (F.coalesce("volume", F.lit(0.0)) / F.col("total_volume")),
+            ).alias("modularity"),
         )
     )
 

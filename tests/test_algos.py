@@ -598,6 +598,15 @@ def test_partition_quality_golden16(spark, golden16_df):
         assert row["cut_weight"] == pytest.approx(cut, abs=1e-9)
         denom = min(vol, total_vol - vol)
         assert row["conductance"] == pytest.approx(cut / denom, abs=1e-9)
+        assert row["modularity"] == pytest.approx(
+            internal / total_vol - (vol / total_vol) ** 2, abs=1e-12
+        )
+    # summed per-community Q terms reproduce the reference's golden
+    # modularity for its golden partition (main_test.cpp:64-81)
+    from tests.conftest import EPS, GOLDEN16_Q_FINAL
+
+    q_sum = sum(r["modularity"] for r in got.values())
+    assert q_sum == pytest.approx(GOLDEN16_Q_FINAL, abs=EPS)
 
 
 def test_partition_quality_edge_cases(spark):

@@ -142,6 +142,8 @@ def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
     writes partition-quality parquet for a (vtx, community) assignment."""
     import json
 
+    import pytest
+
     from parallel_louvain_method_spark.cli import main
     from tests.conftest import GOLDEN16_ASSIGNMENT
 
@@ -161,6 +163,7 @@ def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
     assert -1.0 <= report["assortativity"] <= 1.0
     assert report["n_communities"] == 4
     assert 0.0 < report["worst_conductance"] < 1.0
+    assert report["modularity"] == pytest.approx(0.346301, abs=1e-6)
     assert report["effective_diameter_90"] == 4
     assert report["neighborhood_function"]["1"] == 72  # 2*28 edges + 16 selves
     got = spark.read.parquet(out)
