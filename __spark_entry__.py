@@ -54,6 +54,7 @@ from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
     triangle_count,
 )
+from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
@@ -1237,6 +1238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _cc_edges(s, d), max_hops=2, method="exact"
     )
 
+    # edge-level cohesion: per-edge triangle support, and the fixed-round
+    # k-truss peel twin (full ktruss() fixpoint is pinned in pytest)
+    q["edge_support"] = lambda s, d: edge_support(_part_pairs(s, d))
+    q["ktruss4_peel2"] = lambda s, d: ktruss_peel(
+        _part_pairs(s, d), k=4, rounds=2
+    )
+
     return q
 
 
@@ -1502,6 +1510,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS h, COUNT(*) AS n_pairs FROM h1
             UNION ALL SELECT 2 AS h, COUNT(*) AS n_pairs FROM h2
         )"""
+    # per-edge triangle support over the canonical (a<b<c) enumeration —
+    # count-identical to the engine's degree-ordered orientation
+    _supp = lambda e: f"""(
+            SELECT x.u, x.v,
+                   CAST(COALESCE(t.c, 0) AS BIGINT) AS support
+            FROM {e} x LEFT JOIN (
+                SELECT u, v, COUNT(*) AS c FROM (
+                    SELECT a AS u, b AS v FROM tri_{e}
+                    UNION ALL SELECT b AS u, c AS v FROM tri_{e}
+                    UNION ALL SELECT a AS u, c AS v FROM tri_{e}
+                ) GROUP BY 1, 2
+            ) t ON t.u = x.u AND t.v = x.v
+        )"""
+    _tri = lambda e: f"""(
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM {e} e1
+            JOIN {e} e2 ON e2.u = e1.v
+            JOIN {e} e3 ON e3.u = e1.u AND e3.v = e2.v
+        )"""
+    o["edge_support"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        e0 AS MATERIALIZED (
+            SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v FROM p
+        ),
+        tri_e0 AS MATERIALIZED {_tri("e0")}
+        SELECT u, v, support FROM {_supp("e0")}"""
+    o["ktruss4_peel2"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        e0 AS MATERIALIZED (
+            SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v FROM p
+        ),
+        tri_e0 AS MATERIALIZED {_tri("e0")},
+        e1 AS MATERIALIZED (
+            SELECT u, v FROM {_supp("e0")} WHERE support >= 2
+        ),
+        tri_e1 AS MATERIALIZED {_tri("e1")},
+        e2 AS MATERIALIZED (
+            SELECT u, v FROM {_supp("e1")} WHERE support >= 2
+        )
+        SELECT u, v FROM e2"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)

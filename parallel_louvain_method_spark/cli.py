@@ -155,6 +155,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--max-iter", type=int, default=None)
 
+    tu = sub.add_parser(
+        "truss", help="k-truss subgraph / per-edge triangle support"
+    )
+    tu.add_argument("--edges", required=True)
+    tu.add_argument("--out", required=True)
+    tu.add_argument(
+        "--k", type=int, default=None,
+        help="peel to the k-truss fixpoint; omit to just write per-edge "
+        "triangle support",
+    )
+    tu.add_argument(
+        "--max-iter", type=int, default=None,
+        help="optional bound on peel rounds (raises if exhausted before "
+        "the fixpoint)",
+    )
+
     mt = sub.add_parser(
         "metrics",
         help="whole-graph diagnostics: degree assortativity, optional "
@@ -377,6 +393,22 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                 }
             )
+        )
+    elif args.cmd == "truss":
+        from parallel_louvain_method_spark.operators.truss import (
+            edge_support,
+            ktruss,
+        )
+
+        tu_edges = read_edge_parquet(spark, args.edges)
+        tu_df = (
+            ktruss(tu_edges, args.k, max_iter=args.max_iter)
+            if args.k
+            else edge_support(tu_edges)
+        )
+        tu_df.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps({"edges": spark.read.parquet(args.out).count()})
         )
     elif args.cmd == "metrics":
         from parallel_louvain_method_spark.operators.metrics import (

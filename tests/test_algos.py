@@ -671,3 +671,54 @@ def test_neighborhood_function_golden16(spark, golden16_df):
         neighborhood_function(spark, golden16_df, 0)
     with pytest.raises(ValueError):
         neighborhood_function(spark, golden16_df, 2, method="nope")
+
+
+def _np_truss(edges_set, k):
+    """Independent truss peel: repeatedly drop edges in < k-2 triangles."""
+    E = {tuple(sorted(e)) for e in edges_set if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v]) for u, v in E
+        }
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return E, sup
+        E = keep
+
+
+def test_edge_support_and_ktruss_golden16(spark, golden16_df):
+    """Per-edge supports vs an independent set-intersection oracle; the
+    full ktruss fixpoint vs an independent peel at k=3,4; support column
+    reported AT the fixpoint."""
+    from parallel_louvain_method_spark.operators.truss import (
+        edge_support,
+        ktruss,
+        ktruss_peel,
+    )
+
+    all_e, sup0 = _np_truss(GOLDEN16_EDGES, 2)  # k=2: no peel, full supports
+    got = {(r["u"], r["v"]): r["support"] for r in edge_support(golden16_df).collect()}
+    assert got == sup0
+    assert sum(got.values()) == 21  # 3 * 7 triangles (matches A13 count)
+
+    for k in (3, 4, 5):
+        want_e, want_sup = _np_truss(GOLDEN16_EDGES, k)
+        rows = ktruss(golden16_df, k).collect()
+        assert {(r["u"], r["v"]) for r in rows} == want_e, k
+        for r in rows:
+            assert r["support"] == want_sup[(r["u"], r["v"])], (k, r)
+
+    # fixed-round twin converges to the fixpoint set
+    fix = {(r["u"], r["v"]) for r in ktruss(golden16_df, 4).collect()}
+    assert {(r["u"], r["v"]) for r in ktruss_peel(golden16_df, 4, 6).collect()} == fix
+
+    with pytest.raises(ValueError):
+        ktruss(golden16_df, 1)
+    with pytest.raises(ValueError):
+        ktruss_peel(golden16_df, 4, 0)
+    with pytest.raises(RuntimeError):
+        ktruss(golden16_df, 4, max_iter=1)  # needs >1 round to empty out
