@@ -55,6 +55,7 @@ from parallel_louvain_method_spark.operators.triangles import (
     triangle_count,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
+from parallel_louvain_method_spark.operators.walks import random_walks
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
@@ -1245,6 +1246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _part_pairs(s, d), k=4, rounds=2
     )
 
+    # DeepWalk corpus generation: seeded-hash walks, bit-deterministic,
+    # so the DuckDB twin replays them exactly (steps unrolled)
+    q["random_walks_l2"] = lambda s, d: random_walks(
+        _cc_edges(s, d), walk_length=2, walks_per_vertex=1, seed=11
+    )
+
     return q
 
 
@@ -1550,6 +1557,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v FROM {_supp("e1")} WHERE support >= 2
         )
         SELECT u, v FROM e2"""
+    # seeded-hash walk replay, steps unrolled (constants from
+    # operators/walks.py — LCG mix mod 2^31-1, then mod degree)
+    _wstep = lambda prev, step, seed: f"""(
+            SELECT s.walk_id, a.dst AS cur
+            FROM {prev} s
+            JOIN wdeg d ON d.v = s.cur
+            JOIN wadj a ON a.src = s.cur
+             AND a.idx = ((s.walk_id * 2654435761 + {step} * 40503
+                           + s.cur * 69069 + {seed}) % 2147483647) % d.deg
+        )"""
+    o["random_walks_l2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        wsym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        wadj AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS idx
+            FROM wsym
+        ),
+        wdeg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*) AS deg FROM wsym GROUP BY 1
+        ),
+        s0 AS MATERIALIZED (SELECT v AS walk_id, v AS cur FROM wdeg),
+        s1 AS MATERIALIZED {_wstep("s0", 0, 11)},
+        s2 AS MATERIALIZED {_wstep("s1", 1, 11)}
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vtx AS BIGINT) AS vtx
+        FROM (
+            SELECT walk_id, 0 AS step, cur AS vtx FROM s0
+            UNION ALL SELECT walk_id, 1 AS step, cur AS vtx FROM s1
+            UNION ALL SELECT walk_id, 2 AS step, cur AS vtx FROM s2
+        )"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)
     o["ivf_knn_top1"] = _ivf_oracle_sql(n_centroids=8, n_probe=2, iters=2, k=1)

@@ -155,6 +155,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--max-iter", type=int, default=None)
 
+    wk = sub.add_parser(
+        "walks",
+        help="deterministic DeepWalk-style random walks (seeded hash; "
+        "bit-reproducible)",
+    )
+    wk.add_argument("--edges", required=True)
+    wk.add_argument("--out", required=True)
+    wk.add_argument("--length", type=int, default=40)
+    wk.add_argument("--per-vertex", type=int, default=1)
+    wk.add_argument("--seed", type=int, default=0)
+    wk.add_argument(
+        "--sentences", action="store_true",
+        help="write (walk_id, sentence array<long>) corpus lines instead "
+        "of (walk_id, step, vtx) rows",
+    )
+
     tu = sub.add_parser(
         "truss", help="k-truss subgraph / per-edge triangle support"
     )
@@ -394,6 +410,26 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "walks":
+        from parallel_louvain_method_spark.operators.walks import (
+            random_walks,
+            walk_sentences,
+        )
+
+        wk_df = random_walks(
+            read_edge_parquet(spark, args.edges),
+            walk_length=args.length,
+            walks_per_vertex=args.per_vertex,
+            seed=args.seed,
+        )
+        if args.sentences:
+            wk_df = walk_sentences(wk_df)
+        wk_df.write.mode("overwrite").parquet(args.out)
+        n_walks = (
+            spark.read.parquet(args.out)
+            .select("walk_id").distinct().count()
+        )
+        print(json.dumps({"walks": n_walks, "length": args.length}))
     elif args.cmd == "truss":
         from parallel_louvain_method_spark.operators.truss import (
             edge_support,

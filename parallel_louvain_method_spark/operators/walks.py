@@ -1,0 +1,139 @@
+"""Deterministic random walks — DeepWalk-style corpus generation.
+
+The input to every graph-embedding trainer (DeepWalk, node2vec at p=q=1)
+is a corpus of fixed-length random walks.  At 10^12-edge scale the walk
+generator IS the pipeline bottleneck, and it must be deterministic to be
+resumable and oracle-checkable, so the "randomness" here is a seeded
+integer hash of (walk_id, step, current vertex) — a splitmix-style LCG
+mix kept inside ±2^63 so the SAME closed-form expression evaluates
+identically in Spark (ANSI, no overflow) and any SQL oracle.
+
+Per step the frontier does two vertex-keyed joins, both JVM-side:
+state ⋈ degree (to size the modulus) and (cur, idx) ⋈ indexed adjacency
+(to pick the neighbor) — no Python, no explosion (the adjacency join is
+equi on (src, idx), never a fan-out over a hub's whole list).  State is
+one row per live walk; walk storage is O(walks), independent of degree
+skew.  The reference has no walk generator; conventions (simple
+undirected graph, self-loops dropped) follow its adjacency-set semantics
+(src/graph.h:25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .triangles import _simple_undirected
+from ..plans.lineage import fresh_checkpoint
+
+# LCG-style mixing constants (Knuth / Numerical Recipes lineage); the mix
+# stays within |operands| * 2^32 < 2^63 for vertex ids below ~2^31 and
+# walk ids below ~2^31 — documented bound, checked at build time.
+_A, _B, _C = 2654435761, 40503, 69069
+_M = 2147483647  # 2^31 - 1
+
+
+def _choice_hash(walk_id, step: int, cur, seed: int):
+    """Deterministic per-(walk, step, vertex) choice in [0, _M)."""
+    return F.pmod(
+        walk_id * F.lit(_A) + F.lit(step * _B) + cur * F.lit(_C) + F.lit(seed),
+        F.lit(_M),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """``DataFrame[walk_id: long, step: int, vtx: long]`` — one row per
+    visited position, steps 0..walk_length, every position a vertex of
+    the simple undirected graph (self-loops dropped).
+
+    One walk starts at every non-isolated vertex, ``walks_per_vertex``
+    times (``walk_id = vtx * walks_per_vertex + replica``); each step
+    moves to neighbor number ``H(walk_id, step, cur) mod degree(cur)`` of
+    the current vertex's sorted adjacency list.  Deterministic given
+    (graph, seed): re-runs, resumes and the DuckDB gate twin reproduce
+    walks bit-for-bit.  Sequences come out by exploding nothing —
+    downstream groupBy(walk_id) + sort_array(collect_list(struct(step,
+    vtx))) reassembles corpus lines when a trainer wants strings.
+
+    Vertex ids must fit in 31 bits for the overflow-free hash (ANSI mode
+    would raise, not wrap); violators raise here with the bound.
+    """
+    if walk_length < 1 or walks_per_vertex < 1:
+        raise ValueError(
+            "random_walks requires walk_length >= 1 and walks_per_vertex >= 1"
+        )
+    sym = _simple_undirected(edges)
+    mx = sym.agg(F.max(F.greatest("src", "dst")).alias("m")).first()["m"]
+    if mx is not None and mx * walks_per_vertex >= (1 << 31):
+        raise ValueError(
+            "random_walks: vertex_id * walks_per_vertex must stay below "
+            f"2^31 for the overflow-free choice hash (max id {mx}); "
+            "renumber with graph.dense_ids first"
+        )
+    from pyspark.sql import Window
+
+    adj = sym.withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")
+        ) - 1,
+    ).select("src", "dst", "idx")
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+
+    starts = deg.select(
+        "v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("rep"),
+    )
+    state = starts.select(
+        (F.col("v") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.col("v").alias("cur"),
+    )
+    out = state.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vtx")
+    )
+    for step in range(walk_length):
+        nxt = (
+            state.join(deg.withColumnRenamed("v", "cur"), "cur")
+            .withColumn(
+                "idx",
+                F.pmod(
+                    _choice_hash(F.col("walk_id"), step, F.col("cur"), seed),
+                    F.col("deg"),
+                ),
+            )
+            .join(
+                adj.withColumnRenamed("src", "cur"),
+                ["cur", "idx"],
+            )
+            .select("walk_id", F.col("dst").alias("cur"))
+        )
+        state = fresh_checkpoint(nxt) if step < walk_length - 1 else nxt
+        out = out.unionByName(
+            state.select(
+                "walk_id",
+                F.lit(step + 1).alias("step"),
+                F.col("cur").alias("vtx"),
+            )
+        )
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("int").alias("step"),
+        F.col("vtx").cast("long").alias("vtx"),
+    )
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """``DataFrame[walk_id: long, sentence: array<long>]`` — step-ordered
+    vertex sequences, the corpus-line shape embedding trainers consume."""
+    return walks.groupBy("walk_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("step", "vtx"))),
+            lambda s: s["vtx"],
+        ).alias("sentence")
+    )

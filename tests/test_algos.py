@@ -722,3 +722,54 @@ def test_edge_support_and_ktruss_golden16(spark, golden16_df):
         ktruss_peel(golden16_df, 4, 0)
     with pytest.raises(RuntimeError):
         ktruss(golden16_df, 4, max_iter=1)  # needs >1 round to empty out
+
+
+def test_random_walks_golden16(spark, golden16_df):
+    """Every visited position matches an independent python replay of the
+    seeded choice hash; sentences reassemble in step order; determinism
+    across reruns; bounds raise."""
+    from parallel_louvain_method_spark.operators.walks import (
+        random_walks,
+        walk_sentences,
+    )
+
+    w = random_walks(golden16_df, walk_length=4, walks_per_vertex=2, seed=7)
+    got = {(r["walk_id"], r["step"]): r["vtx"] for r in w.collect()}
+    assert len(got) == 16 * 2 * 5
+
+    A_, B_, C_, M_ = 2654435761, 40503, 69069, 2147483647
+    adj = {}
+    for a, b in GOLDEN16_EDGES:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    want = {}
+    for v in adj:
+        for rep in range(2):
+            wid, cur = v * 2 + rep, v
+            want[(wid, 0)] = cur
+            for step in range(4):
+                h = (wid * A_ + step * B_ + cur * C_ + 7) % M_
+                cur = adj[cur][h % len(adj[cur])]
+                want[(wid, step + 1)] = cur
+    assert got == want
+
+    # walk_id -> ordered sentence, and a rerun is bit-identical
+    s = {r["walk_id"]: r["sentence"] for r in walk_sentences(w).collect()}
+    assert len(s) == 32 and all(len(x) == 5 for x in s.values())
+    for (wid, step), v in want.items():
+        assert s[wid][step] == v
+    w2 = random_walks(golden16_df, walk_length=4, walks_per_vertex=2, seed=7)
+    assert {(r["walk_id"], r["step"]): r["vtx"] for r in w2.collect()} == want
+    # a different seed changes at least one step
+    w3 = random_walks(golden16_df, walk_length=4, walks_per_vertex=2, seed=8)
+    assert {(r["walk_id"], r["step"]): r["vtx"] for r in w3.collect()} != want
+
+    with pytest.raises(ValueError):
+        random_walks(golden16_df, walk_length=0)
+    big = spark.createDataFrame(
+        [(1 << 31, 1, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError):
+        random_walks(big, walk_length=1)

@@ -171,3 +171,23 @@ def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
         got.columns
     )
     assert got.count() == 4
+
+
+def test_cli_walks_subcommand(spark, tmp_path, golden16_df, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    edges_path = str(tmp_path / "edges")
+    golden16_df.write.parquet(edges_path)
+    out = str(tmp_path / "walks")
+    assert main([
+        "walks", "--edges", edges_path, "--out", out,
+        "--length", "3", "--per-vertex", "2", "--seed", "5", "--sentences",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"walks": 32, "length": 3}
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"walk_id", "sentence"}
+    assert got.count() == 32
+    assert all(len(r["sentence"]) == 4 for r in got.collect())
