@@ -142,6 +142,8 @@ def main() -> None:
         knn_lsh,
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.truss import edge_support
+    from parallel_louvain_method_spark.operators.walks import random_walks
     from parallel_louvain_method_spark.operators.triangles import (
         clustering_coefficient,
         triangle_count,
@@ -327,6 +329,16 @@ def main() -> None:
     timed(
         "clustering_coeff_repo",
         lambda: clustering_coefficient(repo_edges).count(),
+    )
+    timed(
+        "edge_support_repo",
+        lambda: edge_support(repo_edges).count(),
+    )
+    timed(
+        "random_walks10_repo",
+        lambda: random_walks(
+            repo_edges, walk_length=10, walks_per_vertex=1, seed=3
+        ).count(),
     )
 
     if not only or "minhash_dedup_corpus" in only:

@@ -76,13 +76,20 @@ def random_walks(
         )
     from pyspark.sql import Window
 
-    adj = sym.withColumn(
-        "idx",
-        F.row_number().over(
-            Window.partitionBy("src").orderBy("dst")
-        ) - 1,
-    ).select("src", "dst", "idx")
-    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    # materialized ONCE: every step's plan joins these, and leaving them
+    # lazy re-runs the window + aggregation walk_length times over
+    sym = fresh_checkpoint(sym)
+    adj = fresh_checkpoint(
+        sym.withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy("dst")
+            ) - 1,
+        ).select("src", "dst", "idx")
+    )
+    deg = fresh_checkpoint(
+        sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    )
 
     starts = deg.select(
         "v",
@@ -113,7 +120,14 @@ def random_walks(
             )
             .select("walk_id", F.col("dst").alias("cur"))
         )
-        state = fresh_checkpoint(nxt) if step < walk_length - 1 else nxt
+        # linear lineage (no self-join): a flat plan every few steps is
+        # enough to keep analysis cost and stats bounded without paying a
+        # materialization per step
+        state = (
+            fresh_checkpoint(nxt)
+            if (step % 4 == 3 and step < walk_length - 1)
+            else nxt
+        )
         out = out.unionByName(
             state.select(
                 "walk_id",
