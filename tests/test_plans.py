@@ -123,3 +123,32 @@ def test_plain_local_checkpoint_compounds_stats(spark):
             .localCheckpoint(eager=True)
         )
     assert size_in_bytes_digits(df) > 40
+
+
+def test_new_graph_ops_stay_jvm_side(spark, golden16_df):
+    """A16-A20 (metrics / truss / walks) are pure DataFrame algebra: no
+    row-at-a-time Python anywhere in their plans, and the 1-row vol(G)
+    total rides the partition-quality plan as a broadcast."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        degree_assortativity,
+        partition_quality,
+    )
+    from parallel_louvain_method_spark.operators.truss import edge_support
+    from parallel_louvain_method_spark.operators.walks import random_walks
+
+    plan_text = wholestage_codegen_spans.__globals__["plan_text"]
+    assign = golden16_df.select(
+        F.col("src").alias("vtx"), (F.col("src") % 4).alias("community")
+    ).distinct()
+    pq = partition_quality(golden16_df, assign)
+    for df in (
+        degree_assortativity(golden16_df),
+        pq,
+        edge_support(golden16_df),
+        random_walks(golden16_df, walk_length=2),
+    ):
+        assert "BatchEvalPython" not in plan_text(df)
+        assert "ArrowEvalPython" not in plan_text(df)
+    # the 1-row vol(G) total rides as a broadcast (nested-loop cross
+    # build, not a hash join, so check the plan text directly)
+    assert "BroadcastNestedLoopJoin" in plan_text(pq)
