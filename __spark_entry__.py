@@ -47,6 +47,7 @@ from parallel_louvain_method_spark.operators.similarity import (
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
 from parallel_louvain_method_spark.operators.metrics import (
     degree_assortativity,
+    harmonic_centrality,
     neighborhood_function,
     partition_quality,
 )
@@ -1246,6 +1247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _part_pairs(s, d), k=4, rounds=2
     )
 
+    # truncated harmonic centrality, exact ANF mode (HLL HyperBall path
+    # pinned to it in pytest)
+    q["harmonic_h2"] = lambda s, d: harmonic_centrality(
+        s, _cc_edges(s, d), max_hops=2, method="exact"
+    )
+
     # DeepWalk corpus generation: seeded-hash walks, bit-deterministic,
     # so the DuckDB twin replays them exactly (steps unrolled)
     q["random_walks_l2"] = lambda s, d: random_walks(
@@ -1517,6 +1524,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS h, COUNT(*) AS n_pairs FROM h1
             UNION ALL SELECT 2 AS h, COUNT(*) AS n_pairs FROM h2
         )"""
+    # truncated harmonic: per-vertex ball-size differences over the same
+    # h1/h2 composition — (c1-1)/1 + (c2-c1)/2, exact integer ratios
+    o["harmonic_h2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        h0 AS (SELECT DISTINCT src AS vtx, src AS w FROM sym),
+        h1 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h0
+                UNION ALL SELECT src AS vtx, dst AS w FROM sym
+            )
+        ),
+        h2 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h1
+                UNION ALL
+                SELECT e.src AS vtx, s.w FROM sym e JOIN h1 s ON s.vtx = e.dst
+            )
+        ),
+        c1 AS (SELECT vtx, COUNT(*) AS c FROM h1 GROUP BY 1),
+        c2 AS (SELECT vtx, COUNT(*) AS c FROM h2 GROUP BY 1)
+        SELECT CAST(c1.vtx AS BIGINT) AS vtx,
+               CAST(c1.c - 1 AS DOUBLE) / CAST(1 AS DOUBLE)
+               + CAST(c2.c - c1.c AS DOUBLE) / CAST(2 AS DOUBLE) AS harmonic
+        FROM c1 JOIN c2 ON c2.vtx = c1.vtx"""
     # per-edge triangle support over the canonical (a<b<c) enumeration —
     # count-identical to the engine's degree-ordered orientation
     _supp = lambda e: f"""(

@@ -212,6 +212,12 @@ def main(argv: list[str] | None = None) -> int:
         "materializes ball membership (small graphs only)",
     )
     mt.add_argument("--lg-k", type=int, default=12, help="HLL sketch size")
+    mt.add_argument(
+        "--harmonic-hops", type=int, default=0,
+        help="also write per-vertex truncated harmonic centrality to "
+        "--harmonic-out (0 = skip; same --anf-method/--lg-k knobs)",
+    )
+    mt.add_argument("--harmonic-out")
 
     dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
     dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
@@ -486,6 +492,20 @@ def main(argv: list[str] | None = None) -> int:
                 str(r["h"]): r["n_pairs"] for r in sorted(nf.collect())
             }
             report["effective_diameter_90"] = effective_diameter(nf)
+        if args.harmonic_hops > 0:
+            if not args.harmonic_out:
+                p.error("--harmonic-hops requires --harmonic-out")
+            from parallel_louvain_method_spark.operators.metrics import (
+                harmonic_centrality,
+            )
+
+            harmonic_centrality(
+                spark, mt_edges, args.harmonic_hops,
+                method=args.anf_method, lg_k=args.lg_k,
+            ).write.mode("overwrite").parquet(args.harmonic_out)
+            report["harmonic_vertices"] = (
+                spark.read.parquet(args.harmonic_out).count()
+            )
         print(json.dumps(report))
     elif args.cmd == "dedup":
         from parallel_louvain_method_spark.operators import dedup as D

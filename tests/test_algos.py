@@ -773,3 +773,52 @@ def test_random_walks_golden16(spark, golden16_df):
     )
     with pytest.raises(ValueError):
         random_walks(big, walk_length=1)
+
+
+def test_harmonic_centrality_golden16(spark, golden16_df):
+    """Truncated harmonic centrality: exact mode vs a numpy BFS oracle;
+    HLL mode (coupon-mode-exact at n=16) agrees; early exit yields the
+    untruncated value on this diameter-5 graph."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        harmonic_centrality,
+    )
+
+    n = 16
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = True
+    # BFS distances via boolean matrix powers
+    reach = np.eye(n, dtype=bool)
+    dist = np.full((n, n), -1)
+    np.fill_diagonal(dist, 0)
+    for h in range(1, n):
+        nxt = reach | (reach @ A)
+        newly = nxt & ~reach
+        dist[newly] = h
+        reach = nxt
+    want = {
+        v: sum(1.0 / dist[v, u] for u in range(n) if u != v and dist[v, u] > 0)
+        for v in range(n)
+    }
+
+    ex = {
+        r["vtx"]: r["harmonic"]
+        for r in harmonic_centrality(
+            spark, golden16_df, 8, method="exact"
+        ).collect()
+    }
+    assert set(ex) == set(range(n))
+    for v in range(n):
+        assert ex[v] == pytest.approx(want[v], abs=1e-9), v
+
+    hl = {
+        r["vtx"]: r["harmonic"]
+        for r in harmonic_centrality(
+            spark, golden16_df, 8, method="hll"
+        ).collect()
+    }
+    for v in range(n):
+        assert hl[v] == pytest.approx(want[v], abs=1e-9), v
+
+    with pytest.raises(ValueError):
+        harmonic_centrality(spark, golden16_df, 0)

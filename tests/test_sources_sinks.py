@@ -155,9 +155,11 @@ def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
     ).write.parquet(assign_path)
 
     out = str(tmp_path / "pq")
+    hout = str(tmp_path / "harm")
     assert main([
         "metrics", "--edges", edges_path, "--assignment", assign_path,
         "--out", out, "--anf-hops", "8", "--anf-method", "exact",
+        "--harmonic-hops", "8", "--harmonic-out", hout,
     ]) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert -1.0 <= report["assortativity"] <= 1.0
@@ -165,6 +167,10 @@ def test_cli_metrics_subcommand(spark, tmp_path, golden16_df, capsys):
     assert 0.0 < report["worst_conductance"] < 1.0
     assert report["modularity"] == pytest.approx(0.346301, abs=1e-6)
     assert report["effective_diameter_90"] == 4
+    assert report["harmonic_vertices"] == 16
+    # vertex 10 (max degree) tops the harmonic ranking on golden16
+    harm = {r["vtx"]: r["harmonic"] for r in spark.read.parquet(hout).collect()}
+    assert max(harm, key=harm.get) == 10
     assert report["neighborhood_function"]["1"] == 72  # 2*28 edges + 16 selves
     got = spark.read.parquet(out)
     assert {"community", "volume", "cut_weight", "conductance"} <= set(
