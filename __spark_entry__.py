@@ -1250,7 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truncated harmonic centrality, exact ANF mode (HLL HyperBall path
     # pinned to it in pytest)
     q["harmonic_h2"] = lambda s, d: harmonic_centrality(
-        s, _cc_edges(s, d), max_hops=2, method="exact"
+        _cc_edges(s, d), max_hops=2, method="exact"
     )
 
     # DeepWalk corpus generation: seeded-hash walks, bit-deterministic,

@@ -445,7 +445,7 @@ def main(argv: list[str] | None = None) -> int:
         tu_edges = read_edge_parquet(spark, args.edges)
         tu_df = (
             ktruss(tu_edges, args.k, max_iter=args.max_iter)
-            if args.k
+            if args.k is not None  # --k 0 must reach ktruss's k>=2 raise
             else edge_support(tu_edges)
         )
         tu_df.write.mode("overwrite").parquet(args.out)
@@ -500,7 +500,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             harmonic_centrality(
-                spark, mt_edges, args.harmonic_hops,
+                mt_edges, args.harmonic_hops,
                 method=args.anf_method, lg_k=args.lg_k,
             ).write.mode("overwrite").parquet(args.harmonic_out)
             report["harmonic_vertices"] = (

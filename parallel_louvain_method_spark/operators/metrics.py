@@ -99,6 +99,13 @@ def partition_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     cross join, never a driver round-trip inside a loop.
     """
     sym = symmetric_edges(edges)
+    # exact duplicate (vtx, community) rows would double-count every
+    # incident edge through the joins below while count_distinct kept
+    # n_vertices right — dedupe once so both uses see the same relation.
+    # A vertex in TWO DIFFERENT communities remains the caller's error
+    # (the metrics would double-count its edges); assignments here are
+    # functions vtx → community by contract.
+    assignment = assignment.dropDuplicates(["vtx", "community"])
     a_src = assignment.select(F.col("vtx").alias("src"), F.col("community").alias("cs"))
     a_dst = assignment.select(F.col("vtx").alias("dst"), F.col("community").alias("cd"))
     tagged = sym.join(a_src, "src").join(a_dst, "dst")
@@ -198,7 +205,8 @@ def neighborhood_function(
             n = state.agg(
                 F.sum(F.hll_sketch_estimate("sketch")).alias("n")
             ).first()["n"]
-            rows.append((h, int(n)))
+            n = int(n) if n is not None else 0  # SUM over an empty graph
+            rows.append((h, n))
             if prev is not None and n == prev:
                 break
             prev = n
@@ -239,7 +247,6 @@ def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> int:
 
 
 def harmonic_centrality(
-    spark: SparkSession,
     edges: DataFrame,
     max_hops: int,
     method: str = "hll",

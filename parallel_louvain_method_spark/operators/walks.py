@@ -67,12 +67,28 @@ def random_walks(
             "random_walks requires walk_length >= 1 and walks_per_vertex >= 1"
         )
     sym = _simple_undirected(edges)
-    mx = sym.agg(F.max(F.greatest("src", "dst")).alias("m")).first()["m"]
-    if mx is not None and mx * walks_per_vertex >= (1 << 31):
+    # one pass for both id bounds: the hash mix is only overflow-free for
+    # ids in [0, 2^31) and walk ids below 2^31 (max walk_id is
+    # mx*wpv + wpv - 1); negative ids would overflow the int64 products
+    # mid-job (ANSI raise) or silently wrap — reject both upfront
+    row = sym.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).first()
+    mx, mn = row["mx"], row["mn"]
+    if mn is not None and mn < 0:
         raise ValueError(
-            "random_walks: vertex_id * walks_per_vertex must stay below "
-            f"2^31 for the overflow-free choice hash (max id {mx}); "
-            "renumber with graph.dense_ids first"
+            f"random_walks requires non-negative vertex ids (min id {mn});"
+            " renumber with graph.dense_ids first"
+        )
+    if mx is not None and (
+        mx * walks_per_vertex + walks_per_vertex - 1 >= (1 << 31)
+    ):
+        raise ValueError(
+            "random_walks: max_vertex_id * walks_per_vertex + "
+            "walks_per_vertex - 1 must stay below 2^31 for the "
+            f"overflow-free choice hash (max id {mx}); renumber with "
+            "graph.dense_ids first"
         )
     from pyspark.sql import Window
 

@@ -804,7 +804,7 @@ def test_harmonic_centrality_golden16(spark, golden16_df):
     ex = {
         r["vtx"]: r["harmonic"]
         for r in harmonic_centrality(
-            spark, golden16_df, 8, method="exact"
+            golden16_df, 8, method="exact"
         ).collect()
     }
     assert set(ex) == set(range(n))
@@ -814,11 +814,21 @@ def test_harmonic_centrality_golden16(spark, golden16_df):
     hl = {
         r["vtx"]: r["harmonic"]
         for r in harmonic_centrality(
-            spark, golden16_df, 8, method="hll"
+            golden16_df, 8, method="hll"
         ).collect()
     }
     for v in range(n):
         assert hl[v] == pytest.approx(want[v], abs=1e-9), v
 
     with pytest.raises(ValueError):
-        harmonic_centrality(spark, golden16_df, 0)
+        harmonic_centrality(golden16_df, 0)
+
+
+def test_random_walks_rejects_negative_ids(spark):
+    from parallel_louvain_method_spark.operators.walks import random_walks
+
+    neg = spark.createDataFrame(
+        [(-(2**40), 1, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        random_walks(neg, walk_length=1)
