@@ -1224,6 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["degree_assortativity"] = lambda s, d: degree_assortativity(
         _edges(s, d)
     ).select(F.round("assortativity", 8).alias("assortativity"))
+    q["degree_assortativity_w"] = lambda s, d: degree_assortativity(
+        _edges(s, d), weighted=True
+    ).select(F.round("assortativity", 8).alias("assortativity"))
 
     def _partition_conductance(s, d):
         edges = _cc_edges(s, d)
@@ -1429,6 +1432,21 @@ def oracle_sql() -> dict[str, str]:
         deg AS MATERIALIZED (
             SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg
             FROM sym GROUP BY 1
+        ),
+        samples AS (
+            SELECT a.deg AS du, b.deg AS dv
+            FROM sym e
+            JOIN deg a ON a.v = e.src
+            JOIN deg b ON b.v = e.dst
+            WHERE e.src <> e.dst
+        )
+        SELECT ROUND(
+            covar_pop(du, dv) / (stddev_pop(du) * stddev_pop(dv)), 8
+        ) AS assortativity FROM samples"""
+    o["degree_assortativity_w"] = f"""
+        WITH sym AS MATERIALIZED ({_SYM_SQL}),
+        deg AS MATERIALIZED (
+            SELECT src AS v, SUM(weight) AS deg FROM sym GROUP BY 1
         ),
         samples AS (
             SELECT a.deg AS du, b.deg AS dv

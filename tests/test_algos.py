@@ -832,3 +832,29 @@ def test_random_walks_rejects_negative_ids(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         random_walks(neg, walk_length=1)
+
+
+def test_degree_assortativity_weighted(spark):
+    """weighted=True correlates weight-summed degrees (the engine's
+    degrees() convention) — pinned vs a numpy oracle on a graph whose
+    weighted and unweighted rankings disagree."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        degree_assortativity,
+    )
+
+    edges = [(0, 1, 5.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0), (0, 2, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    wdeg = {}
+    for a, b, w in edges:
+        wdeg[a] = wdeg.get(a, 0.0) + w
+        wdeg[b] = wdeg.get(b, 0.0) + w
+    du, dv = [], []
+    for a, b, _ in edges:
+        du += [wdeg[a], wdeg[b]]
+        dv += [wdeg[b], wdeg[a]]
+    want = np.corrcoef(du, dv)[0, 1]
+    got = degree_assortativity(df, weighted=True).first()["assortativity"]
+    assert got == pytest.approx(want, abs=1e-9)
+    # and it differs from the unweighted answer on this graph
+    un = degree_assortativity(df).first()["assortativity"]
+    assert abs(got - un) > 1e-6
