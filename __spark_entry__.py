@@ -46,10 +46,15 @@ from parallel_louvain_method_spark.operators.similarity import (
 )
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
 from parallel_louvain_method_spark.operators.metrics import (
+    closeness_centrality,
     degree_assortativity,
     harmonic_centrality,
     neighborhood_function,
     partition_quality,
+)
+from parallel_louvain_method_spark.operators.spectral import (
+    eigenvector_centrality,
+    hits,
 )
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
@@ -928,6 +933,90 @@ def _unrolled_pagerank_sql(k: int = 3, damping: float = 0.85) -> str:
     return "\n".join(parts)
 
 
+def _unrolled_eigen_sql(k: int = 2) -> str:
+    """Fixed-k L1-normalized power iteration (eigenvector centrality) on
+    the symmetrized part-pair graph — twin of ``eigenvector_centrality``
+    (operators/spectral.py) with ``tol=None``."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_PART_PAIRS_SQL}),",
+        """sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION ALL SELECT dst AS src, src AS dst, weight FROM base
+            )
+        ),""",
+        "v AS (SELECT DISTINCT src AS vtx FROM sym),",
+        "nn AS (SELECT COUNT(*) AS c FROM v),",
+        "x0 AS (SELECT vtx, 1.0 / nn.c AS score FROM v CROSS JOIN nn),",
+    ]
+    for i in range(k):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT e.dst AS vtx, SUM(e.weight * x.score) AS raw
+              FROM sym e JOIN x{i} x ON e.src = x.vtx GROUP BY 1
+            ),
+            s{i + 1} AS (SELECT SUM(raw) AS s FROM r{i + 1}),
+            x{i + 1} AS (
+              SELECT vtx, raw / s{i + 1}.s AS score
+              FROM r{i + 1} CROSS JOIN s{i + 1}
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip(",\n )") + ")"
+    parts.append(f"SELECT vtx, ROUND(score, 8) AS score FROM x{k}")
+    return "\n".join(parts)
+
+
+def _unrolled_hits_sql(k: int = 2) -> str:
+    """Fixed-k HITS (Kleinberg order: authority from hub, then hub from
+    the NEW authority; L1 normalization, zero-fill for vertices without
+    the relevant edge side) on the directed cc edge table — twin of
+    ``hits`` (operators/spectral.py) with ``tol=None``."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_CC_EDGES_SQL}),",
+        """v AS (SELECT DISTINCT vtx FROM (
+            SELECT src AS vtx FROM e UNION ALL SELECT dst AS vtx FROM e
+        )),""",
+        "nn AS (SELECT COUNT(*) AS c FROM v),",
+        "h0 AS (SELECT vtx, 1.0 / nn.c AS sc FROM v CROSS JOIN nn),",
+    ]
+    for i in range(k):
+        # authority half-step from hub i, then hub half-step from the
+        # NEW authority — exactly spectral.hits' update order
+        parts.append(
+            f"""a{i + 1}r AS (
+              SELECT e.dst AS vtx, SUM(e.weight * h.sc) AS raw
+              FROM e JOIN h{i} h ON e.src = h.vtx GROUP BY 1
+            ),
+            a{i + 1}s AS (SELECT SUM(raw) AS s FROM a{i + 1}r),
+            a{i + 1} AS (
+              SELECT v.vtx,
+                     CASE WHEN t.s > 0 THEN COALESCE(r.raw, 0.0) / t.s
+                          ELSE 0.0 END AS sc
+              FROM v CROSS JOIN a{i + 1}s t
+              LEFT JOIN a{i + 1}r r ON r.vtx = v.vtx
+            ),
+            h{i + 1}r AS (
+              SELECT e.src AS vtx, SUM(e.weight * a.sc) AS raw
+              FROM e JOIN a{i + 1} a ON e.dst = a.vtx GROUP BY 1
+            ),
+            h{i + 1}s AS (SELECT SUM(raw) AS s FROM h{i + 1}r),
+            h{i + 1} AS (
+              SELECT v.vtx,
+                     CASE WHEN t.s > 0 THEN COALESCE(r.raw, 0.0) / t.s
+                          ELSE 0.0 END AS sc
+              FROM v CROSS JOIN h{i + 1}s t
+              LEFT JOIN h{i + 1}r r ON r.vtx = v.vtx
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip(",\n )") + ")"
+    parts.append(
+        f"""SELECT h{k}.vtx, ROUND(h{k}.sc, 8) AS hub,
+                   ROUND(a{k}.sc, 8) AS authority
+            FROM h{k} JOIN a{k} ON a{k}.vtx = h{k}.vtx"""
+    )
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1260,6 +1349,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the DuckDB twin replays them exactly (steps unrolled)
     q["random_walks_l2"] = lambda s, d: random_walks(
         _cc_edges(s, d), walk_length=2, walks_per_vertex=1, seed=11
+    )
+
+    # truncated closeness: same HyperBall scan as harmonic_h2 (exact
+    # method = the oracle baseline; HLL parity pinned in pytest).  No
+    # rounding: n_reached/dist_sum divides exactly-representable ints —
+    # IEEE-identical in both engines
+    q["closeness_h2"] = lambda s, d: closeness_centrality(
+        _cc_edges(s, d), max_hops=2, method="exact"
+    )
+
+    # fixed-k power-iteration twins (the pagerank_k3 pattern): L1
+    # normalization keeps the algebra ANSI-SQL-expressible.  Eigenvector
+    # runs on the triangle-bearing part-pair graph (non-bipartite, so the
+    # iteration is well-posed); HITS runs on the DIRECTED customer→part
+    # table — its native bipartite home turf
+    q["eigencentrality_k2"] = lambda s, d: eigenvector_centrality(
+        _part_pairs(s, d), max_iter=2, tol=None
+    ).select("vtx", F.round("score", 8).alias("score"))
+    q["hits_k2"] = lambda s, d: hits(
+        _cc_edges(s, d), max_iter=2, tol=None
+    ).select(
+        "vtx",
+        F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"),
+    )
+
+    # transitive near-dup clustering: the minhash pair graph (threshold
+    # 0.3, the minhash_near_dups row's exact knobs) closed under
+    # connected components, keeper = min doc_id
+    q["near_dup_clusters"] = lambda s, d: D.near_dup_clusters(
+        _docs(s, d), threshold=0.3
     )
 
     return q
@@ -1732,5 +1852,69 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_pred,
                best AS lang_score
         FROM m
+    """
+
+    # truncated closeness at h=2 — the harmonic_h2 ball CTEs with the
+    # Σ h·n_h / reached-count readout; the closeness division is exact
+    # IEEE (small-int numerator and denominator), no rounding needed
+    o["closeness_h2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        h0 AS (SELECT DISTINCT src AS vtx, src AS w FROM sym),
+        h1 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h0
+                UNION ALL SELECT src AS vtx, dst AS w FROM sym
+            )
+        ),
+        h2 AS MATERIALIZED (
+            SELECT DISTINCT vtx, w FROM (
+                SELECT vtx, w FROM h1
+                UNION ALL
+                SELECT e.src AS vtx, s.w FROM sym e JOIN h1 s ON s.vtx = e.dst
+            )
+        ),
+        c1 AS (SELECT vtx, COUNT(*) AS c FROM h1 GROUP BY 1),
+        c2 AS (SELECT vtx, COUNT(*) AS c FROM h2 GROUP BY 1)
+        SELECT CAST(c1.vtx AS BIGINT) AS vtx,
+               CAST(c2.c - 1 AS BIGINT) AS n_reached,
+               CAST((c1.c - 1) + (c2.c - c1.c) * 2 AS DOUBLE) AS dist_sum,
+               CASE WHEN (c1.c - 1) + (c2.c - c1.c) * 2 > 0 THEN
+                   CAST(c2.c - 1 AS DOUBLE)
+                   / CAST((c1.c - 1) + (c2.c - c1.c) * 2 AS DOUBLE)
+               END AS closeness
+        FROM c1 JOIN c2 ON c2.vtx = c1.vtx"""
+
+    o["eigencentrality_k2"] = _unrolled_eigen_sql(2)
+    o["hits_k2"] = _unrolled_hits_sql(2)
+
+    # transitive near-dup clusters: the minhash pair twin (threshold 0.3,
+    # same hashed-shingle seam) closed under min-label components — the
+    # connected_components recursive-CTE pattern over doc ids
+    o["near_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            {_minhash_oracle_sql(paths["minhash"], threshold=0.3)}
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        cc(v, label) AS (
+            SELECT src, src FROM sym
+            UNION SELECT dst, dst FROM sym
+            UNION
+            SELECT s.src, c.label FROM cc c JOIN sym s ON c.v = s.dst
+            WHERE c.label < s.src
+        ),
+        lab AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY v)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               doc_id = cluster_id AS keep
+        FROM lab
     """
     return o

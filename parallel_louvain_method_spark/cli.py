@@ -219,16 +219,50 @@ def main(argv: list[str] | None = None) -> int:
     )
     mt.add_argument("--harmonic-out")
 
+    ce = sub.add_parser(
+        "centrality",
+        help="per-vertex centralities: eigenvector (power iteration), "
+        "HITS hub/authority (directed), closeness (HyperBall)",
+    )
+    ce.add_argument("--edges", required=True)
+    ce.add_argument("--out", required=True)
+    ce.add_argument(
+        "--kind",
+        choices=["eigenvector", "hits", "closeness"],
+        default="eigenvector",
+    )
+    ce.add_argument("--iters", type=int, default=20)
+    ce.add_argument(
+        "--tol", type=float, default=1e-6,
+        help="power-iteration convergence threshold (eigenvector/hits); "
+        "0 runs exactly --iters fixed rounds",
+    )
+    ce.add_argument(
+        "--hops", type=int, default=8,
+        help="closeness truncation radius (closeness only)",
+    )
+    ce.add_argument(
+        "--method", choices=["hll", "exact"], default="hll",
+        help="closeness ball counting: hll = HyperBall sketches (the "
+        "at-scale path), exact = materialized balls (small graphs)",
+    )
+    ce.add_argument("--lg-k", type=int, default=12, help="HLL sketch size")
+
     dd = sub.add_parser("dedup", help="near/exact duplicate pairs or groups")
     dd.add_argument("--docs", required=True, help="parquet with doc_id, text")
     dd.add_argument("--out", required=True)
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "jaccard"],
+        choices=["exact", "minhash", "simhash", "jaccard", "clusters"],
         default="minhash",
     )
     dd.add_argument("--threshold", type=float, default=0.7)
     dd.add_argument("--max-hamming", type=int, default=3)
+    dd.add_argument(
+        "--kept-corpus",
+        help="with --method clusters: also write the deduplicated "
+        "documents table (keeper per transitive near-dup cluster) here",
+    )
 
     kn = sub.add_parser("knn", help="top-k similarity search over embeddings")
     kn.add_argument("--embeddings", required=True, help="parquet with vec_id, embedding")
@@ -507,6 +541,36 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.harmonic_out).count()
             )
         print(json.dumps(report))
+    elif args.cmd == "centrality":
+        ce_edges = read_edge_parquet(spark, args.edges)
+        tol = args.tol if args.tol > 0 else None
+        if args.kind == "eigenvector":
+            from parallel_louvain_method_spark.operators.spectral import (
+                eigenvector_centrality,
+            )
+
+            out = eigenvector_centrality(ce_edges, max_iter=args.iters, tol=tol)
+        elif args.kind == "hits":
+            from parallel_louvain_method_spark.operators.spectral import hits
+
+            out = hits(ce_edges, max_iter=args.iters, tol=tol)
+        else:
+            from parallel_louvain_method_spark.operators.metrics import (
+                closeness_centrality,
+            )
+
+            out = closeness_centrality(
+                ce_edges, args.hops, method=args.method, lg_k=args.lg_k
+            )
+        out.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "kind": args.kind,
+                    "vertices": spark.read.parquet(args.out).count(),
+                }
+            )
+        )
     elif args.cmd == "dedup":
         from parallel_louvain_method_spark.operators import dedup as D
 
@@ -517,9 +581,15 @@ def main(argv: list[str] | None = None) -> int:
             out = D.minhash_lsh_pairs(docs, threshold=args.threshold)
         elif args.method == "simhash":
             out = D.simhash_near_dups(docs, max_hamming=args.max_hamming)
+        elif args.method == "clusters":
+            out = D.near_dup_clusters(docs, threshold=args.threshold)
         else:
             out = D.ngram_jaccard_pairs(docs, threshold=args.threshold)
         out.write.mode("overwrite").parquet(args.out)
+        if args.method == "clusters" and args.kept_corpus:
+            D.dedup_corpus(
+                docs, spark.read.parquet(args.out)
+            ).write.mode("overwrite").parquet(args.kept_corpus)
         print(json.dumps({"method": args.method, "rows": spark.read.parquet(args.out).count()}))
     elif args.cmd == "knn":
         from parallel_louvain_method_spark.operators.similarity import (

@@ -465,3 +465,81 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive near-duplicate clusters with a deterministic keeper.
+
+    The pipeline step after pair generation: near-dup similarity is not
+    transitive, but dedup POLICY must be (keeping both B and C because
+    they are each "only" similar to A still ships two near-copies of A),
+    so the standard corpus recipe closes the pair list transitively —
+    connected components over the doc-similarity graph — and keeps one
+    document per component.
+
+    ``DataFrame[doc_id, cluster_id, keep]`` over every document that
+    appears in at least one near-dup pair; ``cluster_id`` is the smallest
+    doc_id of the component (components.py min-label semantics, so the
+    id doubles as the canonical keeper), ``keep`` marks it.  Documents
+    with no near-dup pair are absent — they are all keepers, and at
+    corpus scale materializing an identity row per clean document would
+    dwarf the clusters (callers that want the kept corpus anti-join the
+    ``keep = false`` rows against ``docs``, see :func:`dedup_corpus`).
+
+    ``pairs``: pre-computed candidate pairs ``[doc_a, doc_b, ...]`` (any
+    extra columns ignored) — pass the output of any of this module's
+    pair generators to choose the family; default builds
+    :func:`minhash_lsh_pairs` with the given knobs.
+
+    Scale: the pair graph is SPARSE by construction (banded LSH with
+    capped buckets), and the component loop is components.py's
+    alternating large/small-star over exactly these edges — per-round
+    lineage-flat checkpoints, no driver-side state.  One extra shuffle
+    (groupBy cluster) would compute cluster sizes; left to callers.
+    """
+    from parallel_louvain_method_spark.operators.components import (
+        connected_components,
+    )
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("vtx").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vtx") == F.col("component")).alias("keep"),
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``docs`` minus the non-keeper members of ``clusters`` — the kept
+    corpus after :func:`near_dup_clusters` (one anti-join; documents
+    absent from ``clusters`` are untouched keepers by construction)."""
+    dropped = clusters.filter(~F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(dropped, id_col, "left_anti")

@@ -246,33 +246,36 @@ def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> int:
     return pts[-1][0]
 
 
-def harmonic_centrality(
+def _ball_centrality_scan(
     edges: DataFrame,
     max_hops: int,
-    method: str = "hll",
-    lg_k: int = 12,
+    method: str,
+    lg_k: int,
+    caller: str,
 ) -> DataFrame:
-    """Truncated harmonic centrality: H(v) = Σ_{h≤max_hops} n_h(v) / h,
-    where n_h(v) is the number of vertices at distance EXACTLY h from v.
+    """Shared HyperBall scan behind :func:`harmonic_centrality` and
+    :func:`closeness_centrality`.
 
-    ``DataFrame[vtx: long, harmonic: double]`` over non-isolated vertices.
-    The HyperBall observation (Boldi & Vigna 2011): n_h(v) =
-    |ball(v,h)| − |ball(v,h−1)|, so the same per-vertex HLL sketch that
-    drives :func:`neighborhood_function` yields centralities for free —
-    the running sum rides the state frame as one extra double column, no
-    additional joins.  ``method="exact"`` materializes ball membership
-    (the labeled oracle baseline, gate-checked at h=2); estimates in hll
-    mode are exact for coupon-mode ball sizes and ±~1.6%/√2^lg_k beyond.
+    Returns ``DataFrame[vtx, n_ball, harm, dsum]`` over non-isolated
+    vertices, where with n_h(v) = vertices at distance EXACTLY h:
+    ``n_ball`` = |ball(v, H)| including v itself (double; exact in
+    ``exact`` mode and for coupon-mode HLL sketches), ``harm`` =
+    Σ_{h≤H} n_h(v)/h, ``dsum`` = Σ_{h≤H} n_h(v)·h (the truncated sum of
+    distances).  The HyperBall observation (Boldi & Vigna 2011): n_h(v) =
+    |ball(v,h)| − |ball(v,h−1)|, so BOTH running sums ride the per-vertex
+    sketch state as plain double columns — no joins beyond the one
+    neighbor join per hop that grows the balls.
 
-    Early exit once no ball grows (then H is the UNtruncated harmonic
-    centrality of each component).  Same loop posture as
-    :func:`neighborhood_function`: per-round stats-free checkpoints, one
-    action per round.
+    ``method="exact"`` materializes ball membership as distinct (vtx, w)
+    rows — the labeled oracle baseline, O(Σ|ball|) rows, never the scale
+    path.  Early exit once no ball grows (the sums are then untruncated
+    per component).  Loop posture as everywhere: per-round stats-free
+    checkpoints (plans/lineage.py), one driver action per round.
     """
     from ..plans.lineage import fresh_checkpoint
 
     if max_hops < 1:
-        raise ValueError("harmonic_centrality requires max_hops >= 1")
+        raise ValueError(f"{caller} requires max_hops >= 1")
     sym = fresh_checkpoint(
         exclude_self_loops(symmetric_edges(edges)).select("src", "dst")
     )
@@ -286,6 +289,7 @@ def harmonic_centrality(
                 "sketch",
                 F.lit(1.0).alias("est"),
                 F.lit(0.0).alias("harm"),
+                F.lit(0.0).alias("dsum"),
             )
         )
         prev_total = None
@@ -293,46 +297,51 @@ def harmonic_centrality(
             contrib = sym.join(
                 state.select(F.col("vtx").alias("dst"), "sketch"), "dst"
             ).select(F.col("src").alias("vtx"), "sketch")
-            merged = state.select("vtx", "sketch", "est", "harm").unionByName(
-                contrib, allowMissingColumns=True
-            )
+            merged = state.select(
+                "vtx", "sketch", "est", "harm", "dsum"
+            ).unionByName(contrib, allowMissingColumns=True)
             grown = merged.groupBy("vtx").agg(
                 F.hll_union_agg("sketch").alias("sketch"),
                 F.max("est").alias("prev_est"),
                 F.max("harm").alias("harm0"),
+                F.max("dsum").alias("dsum0"),
             )
+            new_est = F.hll_sketch_estimate("sketch").cast("double")
             state = fresh_checkpoint(
                 grown.select(
                     "vtx",
                     "sketch",
-                    F.hll_sketch_estimate("sketch")
-                    .cast("double")
-                    .alias("est"),
+                    new_est.alias("est"),
                     (
                         F.col("harm0")
-                        + (
-                            F.hll_sketch_estimate("sketch").cast("double")
-                            - F.col("prev_est")
-                        )
-                        / F.lit(float(h))
+                        + (new_est - F.col("prev_est")) / F.lit(float(h))
                     ).alias("harm"),
+                    (
+                        F.col("dsum0")
+                        + (new_est - F.col("prev_est")) * F.lit(float(h))
+                    ).alias("dsum"),
                 )
             )
             total = state.agg(F.sum("est").alias("t")).first()["t"]
             if prev_total is not None and total == prev_total:
                 break
             prev_total = total
-        return state.select("vtx", F.col("harm").alias("harmonic"))
+        return state.select(
+            "vtx", F.col("est").alias("n_ball"), "harm", "dsum"
+        )
     if method == "exact":
         reached = fresh_checkpoint(
             verts.select(F.col("v").alias("vtx"), F.col("v").alias("w"))
         )
-        harm = verts.select(
-            F.col("v").alias("vtx"), F.lit(0.0).alias("harmonic")
+        acc = verts.select(
+            F.col("v").alias("vtx"),
+            F.lit(0.0).alias("harm"),
+            F.lit(0.0).alias("dsum"),
         )
         prev_counts = verts.select(
             F.col("v").alias("vtx"), F.lit(1).cast("long").alias("c")
         )
+        counts = prev_counts
         prev_n = None
         for h in range(1, max_hops + 1):
             contrib = sym.join(
@@ -343,22 +352,85 @@ def harmonic_centrality(
             )
             n = reached.count()
             counts = reached.groupBy("vtx").agg(F.count("*").alias("c"))
-            harm = fresh_checkpoint(
-                harm.join(
-                    counts.withColumnRenamed("c", "c_new"), "vtx"
-                )
+            acc = fresh_checkpoint(
+                acc.join(counts.withColumnRenamed("c", "c_new"), "vtx")
                 .join(prev_counts.withColumnRenamed("c", "c_old"), "vtx")
                 .select(
                     "vtx",
                     (
-                        F.col("harmonic")
+                        F.col("harm")
                         + (F.col("c_new") - F.col("c_old")) / F.lit(float(h))
-                    ).alias("harmonic"),
+                    ).alias("harm"),
+                    (
+                        F.col("dsum")
+                        + (F.col("c_new") - F.col("c_old")) * F.lit(float(h))
+                    ).alias("dsum"),
                 )
             )
             prev_counts = counts
             if prev_n is not None and n == prev_n:
                 break
             prev_n = n
-        return harm
+        return acc.join(
+            counts.select("vtx", F.col("c").cast("double").alias("n_ball")),
+            "vtx",
+        ).select("vtx", "n_ball", "harm", "dsum")
     raise ValueError(f"unknown method {method!r} (hll | exact)")
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_hops: int,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Truncated harmonic centrality: H(v) = Σ_{h≤max_hops} n_h(v) / h,
+    where n_h(v) is the number of vertices at distance EXACTLY h from v.
+
+    ``DataFrame[vtx: long, harmonic: double]`` over non-isolated vertices.
+    Rides the shared HyperBall scan (:func:`_ball_centrality_scan`):
+    per-vertex HLL sketch state, the running sum as one double column,
+    no joins beyond the per-hop neighbor join.  ``method="exact"``
+    materializes ball membership (the labeled oracle baseline,
+    gate-checked at h=2); hll estimates are exact for coupon-mode ball
+    sizes and ±~1.6%/√2^lg_k beyond.  Early exit once no ball grows
+    (then H is the UNtruncated harmonic centrality of each component).
+    """
+    return _ball_centrality_scan(
+        edges, max_hops, method, lg_k, "harmonic_centrality"
+    ).select("vtx", F.col("harm").alias("harmonic"))
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    max_hops: int,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Truncated closeness centrality off the same HyperBall scan.
+
+    ``DataFrame[vtx: long, n_reached: long, dist_sum: double,
+    closeness: double]`` over non-isolated vertices, where ``n_reached``
+    = vertices within distance ≤ max_hops (excluding v), ``dist_sum`` =
+    Σ distances to them, and ``closeness = n_reached / dist_sum`` — the
+    reached-normalized (component-local) closeness, i.e. 1/mean-distance;
+    NULL when nothing is reached.  The global (n−1)-normalized variant is
+    one constant multiple away (``closeness · n_reached / (n−1)`` is
+    Wasserman–Faust); emitting ``n_reached`` and ``dist_sum`` lets
+    callers derive any of the published normalizations without another
+    scan.  Same truncation/early-exit semantics and scale posture as
+    :func:`harmonic_centrality` — one sketch column of state per vertex,
+    ``method="exact"`` as the labeled oracle baseline (gate twin
+    ``closeness_h2``).
+    """
+    scan = _ball_centrality_scan(
+        edges, max_hops, method, lg_k, "closeness_centrality"
+    )
+    return scan.select(
+        "vtx",
+        (F.col("n_ball") - 1).cast("long").alias("n_reached"),
+        F.col("dsum").alias("dist_sum"),
+        F.when(
+            F.col("dsum") > 0.0, (F.col("n_ball") - 1) / F.col("dsum")
+        ).alias("closeness"),
+    )

@@ -858,3 +858,191 @@ def test_degree_assortativity_weighted(spark):
     # and it differs from the unweighted answer on this graph
     un = degree_assortativity(df).first()["assortativity"]
     assert abs(got - un) > 1e-6
+
+
+def test_eigenvector_centrality_golden16(spark, golden16_df):
+    """Fixed-k L1 power iteration vs a numpy replay; tol mode converges
+    to the dominant eigenvector's direction (eigh oracle)."""
+    from parallel_louvain_method_spark.operators.spectral import (
+        eigenvector_centrality,
+    )
+
+    n = 16
+    A = np.zeros((n, n))
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = 1.0
+    x = np.full(n, 1.0 / n)
+    for _ in range(4):
+        x = A @ x
+        x = x / x.sum()
+    got = {
+        r["vtx"]: r["score"]
+        for r in eigenvector_centrality(
+            golden16_df, max_iter=4, tol=None
+        ).collect()
+    }
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12), v
+
+    # converged run ~ dominant eigenvector (L1-normalized, positive)
+    w, vecs = np.linalg.eigh(A)
+    lead = np.abs(vecs[:, np.argmax(w)])
+    lead = lead / lead.sum()
+    conv = {
+        r["vtx"]: r["score"]
+        for r in eigenvector_centrality(
+            golden16_df, max_iter=200, tol=1e-12
+        ).collect()
+    }
+    for v in range(n):
+        assert conv[v] == pytest.approx(lead[v], abs=1e-6), v
+
+    with pytest.raises(ValueError):
+        eigenvector_centrality(golden16_df, max_iter=0)
+
+
+def test_hits_golden16_directed(spark, golden16_df):
+    """HITS on the DIRECTED golden16 edge list vs a numpy replay
+    (Kleinberg order: authority from hub, hub from the new authority;
+    L1 normalization, zero-fill), fixed-k and converged."""
+    from parallel_louvain_method_spark.operators.spectral import hits
+
+    n = 16
+    E = np.zeros((n, n))
+    for a, b in GOLDEN16_EDGES:
+        E[a, b] = 1.0
+
+    def replay(iters):
+        h = np.full(n, 1.0 / n)
+        au = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            au = E.T @ h
+            s = au.sum()
+            au = au / s if s > 0 else au
+            h = E @ au
+            s = h.sum()
+            h = h / s if s > 0 else h
+        return h, au
+
+    h3, a3 = replay(3)
+    got = {
+        r["vtx"]: (r["hub"], r["authority"])
+        for r in hits(golden16_df, max_iter=3, tol=None).collect()
+    }
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v][0] == pytest.approx(h3[v], abs=1e-12), v
+        assert got[v][1] == pytest.approx(a3[v], abs=1e-12), v
+    # L1 invariant: both score vectors are distributions
+    assert sum(g[0] for g in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(g[1] for g in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    hc, ac = replay(120)
+    conv = {
+        r["vtx"]: (r["hub"], r["authority"])
+        for r in hits(golden16_df, max_iter=200, tol=1e-12).collect()
+    }
+    for v in range(n):
+        assert conv[v][0] == pytest.approx(hc[v], abs=1e-7), v
+        assert conv[v][1] == pytest.approx(ac[v], abs=1e-7), v
+
+    with pytest.raises(ValueError):
+        hits(golden16_df, max_iter=0)
+
+
+def test_closeness_centrality_golden16(spark, golden16_df):
+    """Truncated closeness off the shared HyperBall scan: exact mode vs
+    a numpy BFS oracle, HLL mode coupon-exact at n=16, truncation at
+    h=2 honored."""
+    from parallel_louvain_method_spark.operators.metrics import (
+        closeness_centrality,
+    )
+
+    n = 16
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in GOLDEN16_EDGES:
+        A[a, b] = A[b, a] = True
+    reach = np.eye(n, dtype=bool)
+    dist = np.full((n, n), -1)
+    np.fill_diagonal(dist, 0)
+    for h in range(1, n):
+        nxt = reach | (reach @ A)
+        newly = nxt & ~reach
+        dist[newly] = h
+        reach = nxt
+
+    def want(hmax):
+        out = {}
+        for v in range(n):
+            ds = [dist[v, u] for u in range(n) if u != v and 0 < dist[v, u] <= hmax]
+            out[v] = (len(ds), float(sum(ds)))
+        return out
+
+    for method in ("exact", "hll"):
+        got = {
+            r["vtx"]: (r["n_reached"], r["dist_sum"], r["closeness"])
+            for r in closeness_centrality(
+                golden16_df, 8, method=method
+            ).collect()
+        }
+        w = want(n)
+        for v in range(n):
+            assert got[v][0] == w[v][0], v
+            assert got[v][1] == pytest.approx(w[v][1], abs=1e-9), v
+            assert got[v][2] == pytest.approx(w[v][0] / w[v][1], abs=1e-12), v
+
+    got2 = {
+        r["vtx"]: (r["n_reached"], r["dist_sum"])
+        for r in closeness_centrality(golden16_df, 2, method="exact").collect()
+    }
+    w2 = want(2)
+    for v in range(n):
+        assert got2[v] == (w2[v][0], pytest.approx(w2[v][1])), v
+
+    with pytest.raises(ValueError):
+        closeness_centrality(golden16_df, 0)
+
+
+def test_near_dup_clusters_planted(spark):
+    """Planted near-dup groups: transitive closure over minhash pairs,
+    keeper = min doc_id, dedup_corpus drops exactly the non-keepers."""
+    from parallel_louvain_method_spark.operators.dedup import (
+        dedup_corpus,
+        near_dup_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, base.replace("green", "dark")),
+        (10, "completely different text about spark shuffle partitions "
+             "and adaptive query execution in distributed engines today"),
+        (11, "completely different text about spark shuffle partitions "
+             "and adaptive query execution in distributed engines here"),
+        (20, "an unrelated singleton document with its own vocabulary "
+             "entirely disjoint from both groups of near duplicates"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = near_dup_clusters(docs, threshold=0.5).collect()
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in clusters}
+    # group {1,2,3} closes transitively to cluster 1; {10,11} to 10
+    assert by_doc[1] == (1, True)
+    assert by_doc[2] == (1, False)
+    assert by_doc[3] == (1, False)
+    assert by_doc[10] == (10, True)
+    assert by_doc[11] == (10, False)
+    # the clean singleton is absent (all-keeper by construction)
+    assert 20 not in by_doc
+
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(
+            docs, near_dup_clusters(docs, threshold=0.5)
+        ).collect()
+    )
+    assert kept == [1, 10, 20]

@@ -140,12 +140,23 @@ def test_new_graph_ops_stay_jvm_side(spark, golden16_df):
     assign = golden16_df.select(
         F.col("src").alias("vtx"), (F.col("src") % 4).alias("community")
     ).distinct()
+    from parallel_louvain_method_spark.operators.metrics import (
+        closeness_centrality,
+    )
+    from parallel_louvain_method_spark.operators.spectral import (
+        eigenvector_centrality,
+        hits,
+    )
+
     pq = partition_quality(golden16_df, assign)
     for df in (
         degree_assortativity(golden16_df),
         pq,
         edge_support(golden16_df),
         random_walks(golden16_df, walk_length=2),
+        eigenvector_centrality(golden16_df, max_iter=2, tol=None),
+        hits(golden16_df, max_iter=2, tol=None),
+        closeness_centrality(golden16_df, 2, method="hll"),
     ):
         assert "BatchEvalPython" not in plan_text(df)
         assert "ArrowEvalPython" not in plan_text(df)

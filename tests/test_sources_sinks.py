@@ -197,3 +197,80 @@ def test_cli_walks_subcommand(spark, tmp_path, golden16_df, capsys):
     assert set(got.columns) == {"walk_id", "sentence"}
     assert got.count() == 32
     assert all(len(r["sentence"]) == 4 for r in got.collect())
+
+
+def test_cli_centrality_subcommand(spark, tmp_path, golden16_df, capsys):
+    """`plm centrality` writes eigenvector / hits / closeness parquet;
+    the three kinds agree with the operators' own outputs."""
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    edges_path = str(tmp_path / "edges")
+    golden16_df.write.parquet(edges_path)
+
+    out = str(tmp_path / "eig")
+    assert main([
+        "centrality", "--edges", edges_path, "--out", out,
+        "--kind", "eigenvector", "--iters", "50", "--tol", "1e-10",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"kind": "eigenvector", "vertices": 16}
+    eig = spark.read.parquet(out)
+    assert set(eig.columns) == {"vtx", "score"}
+    # vertex 10 (max degree) leads the golden16 eigenvector ranking
+    scores = {r["vtx"]: r["score"] for r in eig.collect()}
+    assert max(scores, key=scores.get) == 10
+
+    out2 = str(tmp_path / "hits")
+    assert main([
+        "centrality", "--edges", edges_path, "--out", out2,
+        "--kind", "hits", "--iters", "3", "--tol", "0",
+    ]) == 0
+    got = spark.read.parquet(out2)
+    assert set(got.columns) == {"vtx", "hub", "authority"}
+    assert got.count() == 16
+
+    out3 = str(tmp_path / "close")
+    assert main([
+        "centrality", "--edges", edges_path, "--out", out3,
+        "--kind", "closeness", "--hops", "8", "--method", "exact",
+    ]) == 0
+    close = {r["vtx"]: r["closeness"] for r in spark.read.parquet(out3).collect()}
+    assert len(close) == 16
+    assert max(close, key=close.get) == 10
+
+
+def test_cli_dedup_clusters(spark, tmp_path, capsys):
+    """`plm dedup --method clusters` writes cluster assignments and the
+    kept corpus (keeper = min doc_id per transitive near-dup group)."""
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, base), (2, base + " tonight"), (7, "something else entirely "
+          "with a completely disjoint vocabulary set for this test")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "clusters")
+    kept = str(tmp_path / "kept")
+    assert main([
+        "dedup", "--docs", docs_path, "--out", out,
+        "--method", "clusters", "--threshold", "0.5",
+        "--kept-corpus", kept,
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"method": "clusters", "rows": 2}
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: (1, True), 2: (1, False)}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(kept).collect()
+    ) == [1, 7]
