@@ -61,7 +61,10 @@ from parallel_louvain_method_spark.operators.triangles import (
     triangle_count,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
-from parallel_louvain_method_spark.operators.walks import random_walks
+from parallel_louvain_method_spark.operators.walks import (
+    neighbor_sample,
+    random_walks,
+)
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
@@ -1382,6 +1385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold=0.3
     )
 
+    # GraphSAGE-style 2-hop fanout-2 neighbor sampling: seeded
+    # _rank_hash top-k per frontier vertex, bit-deterministic, so the
+    # DuckDB twin replays both hops with one ROW_NUMBER each
+    q["neighbor_sample_f2"] = lambda s, d: neighbor_sample(
+        _cc_edges(s, d), [2, 2], seed=11
+    )
+
     return q
 
 
@@ -1769,6 +1779,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT walk_id, 0 AS step, cur AS vtx FROM s0
             UNION ALL SELECT walk_id, 1 AS step, cur AS vtx FROM s1
             UNION ALL SELECT walk_id, 2 AS step, cur AS vtx FROM s2
+        )"""
+    # GraphSAGE fanout sampling replay: the seed-11 _rank_hash collapses
+    # to one BIGINT expression (mixer = (69069 + (11*2654435761 + 40503)
+    # % M) % M = 1281615532, M = 2^31-1; dst*mixer < 2^62, no overflow),
+    # one ROW_NUMBER per hop; hop-2 frontier = hop-1's sampled dsts
+    _nsh = lambda hop: (
+        f"((w.src * 2654435761 + {hop} * 40503) % 2147483647"
+        f" + w.dst * 1281615532) % 2147483647"
+    )
+    o["neighbor_sample_f2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        wsym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        h1 AS (
+            SELECT w.src, w.dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w.src ORDER BY {_nsh(1)}, w.dst
+                   ) AS r
+            FROM wsym w
+        ),
+        b1 AS MATERIALIZED (SELECT src, dst FROM h1 WHERE r <= 2),
+        f2 AS (SELECT DISTINCT dst AS v FROM b1),
+        h2 AS (
+            SELECT w.src, w.dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w.src ORDER BY {_nsh(2)}, w.dst
+                   ) AS r
+            FROM f2 JOIN wsym w ON w.src = f2.v
+        ),
+        b2 AS (SELECT src, dst FROM h2 WHERE r <= 2)
+        SELECT CAST(hop AS INTEGER) AS hop,
+               CAST(src AS BIGINT) AS src,
+               CAST(dst AS BIGINT) AS dst
+        FROM (
+            SELECT 1 AS hop, src, dst FROM b1
+            UNION ALL SELECT 2 AS hop, src, dst FROM b2
         )"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)

@@ -134,7 +134,17 @@ def main() -> None:
     from parallel_louvain_method_spark.operators.components import (
         connected_components,
     )
-    from parallel_louvain_method_spark.operators.dedup import minhash_lsh_pairs
+    from parallel_louvain_method_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from parallel_louvain_method_spark.operators.metrics import (
+        closeness_centrality,
+    )
+    from parallel_louvain_method_spark.operators.spectral import (
+        eigenvector_centrality,
+        hits,
+    )
     from parallel_louvain_method_spark.operators.louvain import louvain
     from parallel_louvain_method_spark.operators.pagerank import pagerank
     from parallel_louvain_method_spark.operators.similarity import (
@@ -143,7 +153,10 @@ def main() -> None:
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
     from parallel_louvain_method_spark.operators.truss import edge_support
-    from parallel_louvain_method_spark.operators.walks import random_walks
+    from parallel_louvain_method_spark.operators.walks import (
+        neighbor_sample,
+        random_walks,
+    )
     from parallel_louvain_method_spark.operators.triangles import (
         clustering_coefficient,
         triangle_count,
@@ -340,6 +353,27 @@ def main() -> None:
             repo_edges, walk_length=10, walks_per_vertex=1, seed=3
         ).count(),
     )
+    # fixed-10-round power iterations (deterministic work, like
+    # pagerank_10it): eigenvector on the undirected repo graph, HITS on
+    # the same table read as directed (canonical src<dst orientation)
+    timed(
+        "eigencentrality10_repo",
+        lambda: eigenvector_centrality(
+            repo_edges, max_iter=10, tol=None
+        ).count(),
+    )
+    timed("hits10_repo", lambda: hits(repo_edges, max_iter=10, tol=None).count())
+    # HyperBall closeness at 4 hops — the sketch-state join loop
+    timed(
+        "closeness_hll4_repo",
+        lambda: closeness_centrality(repo_edges, 4, method="hll").count(),
+    )
+    # GraphSAGE minibatch sampling: 2 hops, fanout 10 (the windowed
+    # top-k per frontier vertex, all vertices as seeds)
+    timed(
+        "neighbor_sample_2x10_repo",
+        lambda: neighbor_sample(repo_edges, [10, 10], seed=3).count(),
+    )
 
     if not only or "minhash_dedup_corpus" in only:
         docs = corpus.select(
@@ -352,6 +386,14 @@ def main() -> None:
         timed(
             "minhash_dedup_corpus",
             lambda: minhash_lsh_pairs(
+                docs, threshold=0.7, n_hashes=32, bands=8
+            ).count(),
+        )
+        # pairs -> transitive clusters -> keeper per cluster (the full
+        # corpus-dedup pipeline: minhash + connected components)
+        timed(
+            "near_dup_clusters_corpus",
+            lambda: near_dup_clusters(
                 docs, threshold=0.7, n_hashes=32, bands=8
             ).count(),
         )

@@ -171,6 +171,24 @@ def main(argv: list[str] | None = None) -> int:
         "of (walk_id, step, vtx) rows",
     )
 
+    ns = sub.add_parser(
+        "sample",
+        help="GraphSAGE-style k-hop neighbor sampling (seeded hash top-k "
+        "per frontier vertex; bit-reproducible)",
+    )
+    ns.add_argument("--edges", required=True)
+    ns.add_argument("--out", required=True)
+    ns.add_argument(
+        "--fanouts", required=True,
+        help="comma-separated per-hop fanouts, e.g. 25,10",
+    )
+    ns.add_argument(
+        "--seeds",
+        help="optional parquet of starting vertex ids (first column); "
+        "default = every non-isolated vertex",
+    )
+    ns.add_argument("--seed", type=int, default=0)
+
     tu = sub.add_parser(
         "truss", help="k-truss subgraph / per-edge triangle support"
     )
@@ -470,6 +488,25 @@ def main(argv: list[str] | None = None) -> int:
             .select("walk_id").distinct().count()
         )
         print(json.dumps({"walks": n_walks, "length": args.length}))
+    elif args.cmd == "sample":
+        from parallel_louvain_method_spark.operators.walks import (
+            neighbor_sample,
+        )
+
+        fanouts = [int(x) for x in args.fanouts.split(",") if x.strip()]
+        ns_df = neighbor_sample(
+            read_edge_parquet(spark, args.edges),
+            fanouts,
+            seeds=spark.read.parquet(args.seeds) if args.seeds else None,
+            seed=args.seed,
+        )
+        ns_df.write.mode("overwrite").parquet(args.out)
+        hop_counts = {
+            int(r["hop"]): int(r["n"])
+            for r in spark.read.parquet(args.out)
+            .groupBy("hop").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"fanouts": fanouts, "edges_per_hop": hop_counts}))
     elif args.cmd == "truss":
         from parallel_louvain_method_spark.operators.truss import (
             edge_support,

@@ -159,26 +159,22 @@ def hits(
 
     def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
         """One half-step: propagate ``scores[vtx, sc]`` across edges from
-        the ``key_in`` to the ``key_out`` endpoint and L1-normalize;
-        vertices with no ``key_out``-side edge get 0."""
+        the ``key_in`` to the ``key_out`` endpoint and L1-normalize.
+        The result is SPARSE — only vertices with a ``key_out``-side edge
+        appear; absent rows are exact zeros, contribute nothing to the
+        next propagation, and are zero-filled once per iteration in the
+        state rebuild (not with a full-vertex join per half-step)."""
         raw = (
             e.join(scores.withColumnRenamed("vtx", key_in), key_in)
             .groupBy(F.col(key_out).alias("vtx"))
             .agg(F.sum(F.col("weight") * F.col("sc")).alias("raw"))
         )
         total = raw.agg(F.sum("raw").alias("s"))
-        return (
-            verts.join(raw, "vtx", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "vtx",
-                F.when(
-                    F.col("s") > 0.0,
-                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("s"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("sc"),
-            )
+        return raw.crossJoin(F.broadcast(total)).select(
+            "vtx",
+            F.when(F.col("s") > 0.0, F.col("raw") / F.col("s"))
+            .otherwise(F.lit(0.0))
+            .alias("sc"),
         )
 
     for _ in range(max_iter):
@@ -187,9 +183,15 @@ def hits(
         )
         hub = _half(auth, "dst", "src")
         new = fresh_checkpoint(
-            hub.withColumnRenamed("sc", "hub")
-            .join(auth.withColumnRenamed("sc", "authority"), "vtx")
-            .select("vtx", "hub", "authority")
+            verts.join(hub.withColumnRenamed("sc", "hub"), "vtx", "left")
+            .join(
+                auth.withColumnRenamed("sc", "authority"), "vtx", "left"
+            )
+            .select(
+                "vtx",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
         )
         if tol is not None:
             delta = (

@@ -40,6 +40,25 @@ def _choice_hash(walk_id, step: int, cur, seed: int):
     )
 
 
+def _rank_hash(src, hop: int, dst, seed: int):
+    """Deterministic per-(src, hop, neighbor) RANKING key in [0, _M).
+
+    Unlike :func:`_choice_hash` (whose output feeds a modulus, where an
+    additive seed genuinely moves the choice), a ranking key must let the
+    seed PERMUTE a vertex's neighbor order — an additive constant shifts
+    every neighbor's key equally and preserves the order except at mod
+    wraps.  The seed therefore enters as a multiplier on the neighbor id
+    (premixed into [0, _M) so ``dst * mixer`` stays below 2^62; the
+    src/hop term is reduced mod _M first, keeping the sum overflow-free
+    for ids below 2^31 under ANSI arithmetic)."""
+    mixer = (_C + (seed * _A + _B) % _M) % _M
+    return F.pmod(
+        F.pmod(src * F.lit(_A) + F.lit(hop * _B), F.lit(_M))
+        + dst * F.lit(mixer),
+        F.lit(_M),
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int,
@@ -167,3 +186,99 @@ def walk_sentences(walks: DataFrame) -> DataFrame:
             lambda s: s["vtx"],
         ).alias("sentence")
     )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    fanouts: list[int],
+    seeds: DataFrame | None = None,
+    seed: int = 0,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """GraphSAGE-style deterministic k-hop neighbor sampling.
+
+    ``DataFrame[hop: int, src: long, dst: long]`` — one sampled adjacency
+    block per hop: at hop ``i`` (1-based) every frontier vertex keeps at
+    most ``fanouts[i-1]`` of its neighbors in the simple undirected graph
+    (self-loops dropped), and the sampled neighbors become hop ``i+1``'s
+    frontier.  ``seeds``: one-column DataFrame of starting vertex ids
+    (the training minibatch); default = every non-isolated vertex.
+
+    The "sample" is the ``fanouts[i]`` neighbors with the SMALLEST
+    ``(H(src, hop, dst, seed), dst)`` key — H the seed-multiplicative
+    :func:`_rank_hash` (the seed must permute each vertex's neighbor
+    ORDER, not just shift it) — so runs are bit-reproducible given
+    (graph, seeds, seed) and a SQL twin replays them with one
+    ROW_NUMBER per hop (gate row ``neighbor_sample_f2``).
+
+    Skew: a hub's candidate rows never hit one window group whole — the
+    top-k by a TOTAL order is selection-associative, so Spark runs it in
+    two phases (partial top-k inside ``salt_buckets`` hash buckets of the
+    neighbor id, then final top-k over ≤ salt_buckets·fanout survivors),
+    which bounds any single window partition at ~degree/salt_buckets
+    rows while computing EXACTLY the single-phase answer.  State is
+    O(frontier · fanout) per hop; the frontier is deduped (an expanded
+    vertex is re-sampled identically anyway, so duplicates only waste
+    work).
+    """
+    from pyspark.sql import Window
+
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError("neighbor_sample requires fanouts >= 1")
+    if salt_buckets < 1:
+        raise ValueError("neighbor_sample requires salt_buckets >= 1")
+    sym = _simple_undirected(edges)
+    row = sym.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).first()
+    if row["mn"] is not None and row["mn"] < 0:
+        raise ValueError(
+            f"neighbor_sample requires non-negative vertex ids (min id "
+            f"{row['mn']}); renumber with graph.dense_ids first"
+        )
+    if row["mx"] is not None and row["mx"] >= (1 << 31):
+        raise ValueError(
+            "neighbor_sample: vertex ids must stay below 2^31 for the "
+            f"overflow-free choice hash (max id {row['mx']}); renumber "
+            "with graph.dense_ids first"
+        )
+    sym = fresh_checkpoint(sym)
+    if seeds is None:
+        frontier = sym.select(F.col("src").alias("v")).distinct()
+    else:
+        c = seeds.columns[0]
+        frontier = seeds.select(F.col(c).cast("long").alias("v")).distinct()
+    out: DataFrame | None = None
+    for i, fanout in enumerate(fanouts, start=1):
+        cand = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("src", "dst")
+            .withColumn(
+                "h", _rank_hash(F.col("src"), i, F.col("dst"), seed)
+            )
+        )
+        # two-phase exact top-k by the (h, dst) total order (see skew
+        # note): partial inside neighbor-id hash buckets, final on the
+        # survivors
+        part = Window.partitionBy(
+            "src", F.pmod(F.col("dst"), F.lit(salt_buckets))
+        ).orderBy("h", "dst")
+        survivors = cand.withColumn(
+            "r", F.row_number().over(part)
+        ).filter(F.col("r") <= fanout)
+        final = Window.partitionBy("src").orderBy("h", "dst")
+        block = (
+            survivors.withColumn("r2", F.row_number().over(final))
+            .filter(F.col("r2") <= fanout)
+            .select(
+                F.lit(i).cast("int").alias("hop"),
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+            )
+        )
+        block = fresh_checkpoint(block)
+        out = block if out is None else out.unionByName(block)
+        if i < len(fanouts):
+            frontier = block.select(F.col("dst").alias("v")).distinct()
+    return out

@@ -1046,3 +1046,92 @@ def test_near_dup_clusters_planted(spark):
         ).collect()
     )
     assert kept == [1, 10, 20]
+
+
+def test_neighbor_sample_golden16(spark, golden16_df):
+    """GraphSAGE-style fanout sampling vs an independent python replay of
+    the (hash, dst) top-k; two-phase salt-bucket top-k == single-phase;
+    deterministic reruns; seed sensitivity; id guards."""
+    from parallel_louvain_method_spark.operators.walks import (
+        _A, _B, _C, _M, neighbor_sample,
+    )
+
+    n = 16
+    adj = {v: set() for v in range(n)}
+    for a, b in GOLDEN16_EDGES:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def replay(fanouts, seeds, seed):
+        mixer = (_C + (seed * _A + _B) % _M) % _M
+        frontier = sorted(seeds)
+        out = set()
+        for i, f in enumerate(fanouts, start=1):
+            nxt = set()
+            for s in frontier:
+                keyed = sorted(
+                    (((s * _A + i * _B) % _M + d * mixer) % _M, d)
+                    for d in adj[s]
+                )
+                for _, d in keyed[:f]:
+                    out.add((i, s, d))
+                    nxt.add(d)
+            frontier = sorted(nxt)
+        return out
+
+    seeds_df = spark.createDataFrame([(0,), (5,), (10,)], "v long")
+    got = {
+        (r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(
+            golden16_df, [2, 3], seeds=seeds_df, seed=7
+        ).collect()
+    }
+    assert got == replay([2, 3], [0, 5, 10], 7)
+
+    # default seeds = all vertices; fanout bound holds per (hop, src)
+    all_rows = neighbor_sample(golden16_df, [2], seed=7).collect()
+    per_src: dict = {}
+    for r in all_rows:
+        per_src.setdefault(r["src"], set()).add(r["dst"])
+    assert set(per_src) == set(range(n))
+    assert all(len(v) <= 2 for v in per_src.values())
+    assert {
+        (r["hop"], r["src"], r["dst"]) for r in all_rows
+    } == replay([2], range(n), 7)
+
+    # two-phase == single-phase (selection by a total order is
+    # associative), and reruns are bit-identical
+    one = {
+        (r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(
+            golden16_df, [2, 3], seeds=seeds_df, seed=7, salt_buckets=1
+        ).collect()
+    }
+    assert one == got
+    again = {
+        (r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(
+            golden16_df, [2, 3], seeds=seeds_df, seed=7
+        ).collect()
+    }
+    assert again == got
+
+    # a different seed samples differently somewhere
+    other = {
+        (r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(
+            golden16_df, [2, 3], seeds=seeds_df, seed=8
+        ).collect()
+    }
+    assert other != got
+
+    with pytest.raises(ValueError):
+        neighbor_sample(golden16_df, [])
+    with pytest.raises(ValueError):
+        neighbor_sample(golden16_df, [0])
+    neg = spark.createDataFrame(
+        [(-5, 1, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        neighbor_sample(neg, [2])
