@@ -61,6 +61,10 @@ from parallel_louvain_method_spark.operators.triangles import (
     triangle_count,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
+from parallel_louvain_method_spark.operators.mis import (
+    coloring_rounds,
+    mis_rounds,
+)
 from parallel_louvain_method_spark.operators.walks import (
     neighbor_sample,
     random_walks,
@@ -1392,6 +1396,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _cc_edges(s, d), [2, 2], seed=11
     )
 
+    # determinized Luby rounds (packed-BIGINT priority keys): the MIS
+    # twin removes selection + neighborhood per round, the JP-coloring
+    # twin removes only the selection; full fixpoint runs pinned in
+    # pytest vs an independent python replay
+    q["mis_r2"] = lambda s, d: mis_rounds(_cc_edges(s, d), 2, seed=5)
+    q["coloring_r2"] = lambda s, d: coloring_rounds(_cc_edges(s, d), 2, seed=5)
+
     return q
 
 
@@ -1819,6 +1830,69 @@ def oracle_sql() -> dict[str, str]:
         FROM (
             SELECT 1 AS hop, src, dst FROM b1
             UNION ALL SELECT 2 AS hop, src, dst FROM b2
+        )"""
+    # Luby-round replays: the packed (priority, id) BIGINT key
+    # ((v * mixer_r + r*40503) % (2^31-1)) * 2^31 + v with the seed-5
+    # round mixers precomputed (operators/mis.py:_mixer: (69069 +
+    # ((5+r)*2654435761 + 40503) % M) % M -> 387386495, 894338609);
+    # one neighbor-MIN + one comparison per round, exactly the Spark plan
+    _lkey = lambda v, r: (
+        f"((({v}) * {387386495 if r == 0 else 894338609}"
+        f" + {r * 40503}) % 2147483647) * 2147483648 + ({v})"
+    )
+    _luby_round_sql = lambda vs, es, r, sel: f"""
+        k{r} AS MATERIALIZED (
+            SELECT vtx, {_lkey('vtx', r)} AS k FROM {vs}
+        ),
+        nm{r} AS (
+            SELECT w.src AS vtx, MIN(k2.k) AS nk
+            FROM {es} w JOIN k{r} k2 ON k2.vtx = w.dst
+            GROUP BY 1
+        ),
+        {sel} AS MATERIALIZED (
+            SELECT a.vtx FROM k{r} a LEFT JOIN nm{r} b ON b.vtx = a.vtx
+            WHERE b.nk IS NULL OR a.k < b.nk
+        )"""
+    _luby_prefix = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        wsym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        v0 AS (SELECT DISTINCT src AS vtx FROM wsym),
+        {_luby_round_sql('v0', 'wsym', 0, 's0')}"""
+    o["mis_r2"] = f"""{_luby_prefix},
+        g0 AS (
+            SELECT vtx FROM s0
+            UNION SELECT w.dst AS vtx FROM wsym w
+            JOIN s0 ON s0.vtx = w.src
+        ),
+        v1 AS MATERIALIZED (
+            SELECT vtx FROM v0 EXCEPT SELECT vtx FROM g0
+        ),
+        e1 AS MATERIALIZED (
+            SELECT w.src, w.dst FROM wsym w
+            JOIN v1 a ON a.vtx = w.src JOIN v1 b ON b.vtx = w.dst
+        ),
+        {_luby_round_sql('v1', 'e1', 1, 's1')}
+        SELECT CAST(vtx AS BIGINT) AS vtx FROM (
+            SELECT vtx FROM s0 UNION ALL SELECT vtx FROM s1
+        )"""
+    o["coloring_r2"] = f"""{_luby_prefix},
+        v1 AS MATERIALIZED (
+            SELECT vtx FROM v0 EXCEPT SELECT vtx FROM s0
+        ),
+        e1 AS MATERIALIZED (
+            SELECT w.src, w.dst FROM wsym w
+            JOIN v1 a ON a.vtx = w.src JOIN v1 b ON b.vtx = w.dst
+        ),
+        {_luby_round_sql('v1', 'e1', 1, 's1')}
+        SELECT CAST(vtx AS BIGINT) AS vtx, CAST(color AS INTEGER) AS color
+        FROM (
+            SELECT vtx, 0 AS color FROM s0
+            UNION ALL SELECT vtx, 1 AS color FROM s1
         )"""
     o["minhash_near_dups"] = _minhash_oracle_sql(paths["minhash"], threshold=0.3)
     o["simhash_near_dups"] = _simhash_oracle_sql(paths["simhash"], max_hamming=7)

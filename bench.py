@@ -152,6 +152,9 @@ def main() -> None:
         knn_lsh,
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.mis import (
+        maximal_independent_set,
+    )
     from parallel_louvain_method_spark.operators.truss import edge_support
     from parallel_louvain_method_spark.operators.walks import (
         neighbor_sample,
@@ -373,6 +376,11 @@ def main() -> None:
     timed(
         "neighbor_sample_2x10_repo",
         lambda: neighbor_sample(repo_edges, [10, 10], seed=3).count(),
+    )
+    # Luby symmetry breaking to fixpoint (O(log n) shrink-only rounds)
+    timed(
+        "mis_repo_graph",
+        lambda: maximal_independent_set(repo_edges, seed=3).count(),
     )
 
     if not only or "minhash_dedup_corpus" in only:

@@ -189,6 +189,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     ns.add_argument("--seed", type=int, default=0)
 
+    mi = sub.add_parser(
+        "mis",
+        help="deterministic Luby maximal independent set, or "
+        "Jones-Plassmann greedy coloring with --coloring",
+    )
+    mi.add_argument("--edges", required=True)
+    mi.add_argument("--out", required=True)
+    mi.add_argument("--seed", type=int, default=0)
+    mi.add_argument("--max-iter", type=int, default=None)
+    mi.add_argument(
+        "--coloring", action="store_true",
+        help="emit (vtx, color) independent color classes instead of "
+        "one maximal independent set",
+    )
+
     tu = sub.add_parser(
         "truss", help="k-truss subgraph / per-edge triangle support"
     )
@@ -507,6 +522,31 @@ def main(argv: list[str] | None = None) -> int:
             .groupBy("hop").agg(F.count("*").alias("n")).collect()
         }
         print(json.dumps({"fanouts": fanouts, "edges_per_hop": hop_counts}))
+    elif args.cmd == "mis":
+        from parallel_louvain_method_spark.operators.mis import (
+            greedy_coloring,
+            maximal_independent_set,
+        )
+
+        mi_edges = read_edge_parquet(spark, args.edges)
+        if args.coloring:
+            mi_df = greedy_coloring(
+                mi_edges, seed=args.seed, max_iter=args.max_iter
+            )
+            mi_df.write.mode("overwrite").parquet(args.out)
+            back = spark.read.parquet(args.out)
+            print(json.dumps({
+                "colored": back.count(),
+                "colors": back.agg(F.countDistinct("color")).first()[0],
+            }))
+        else:
+            mi_df = maximal_independent_set(
+                mi_edges, seed=args.seed, max_iter=args.max_iter
+            )
+            mi_df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps(
+                {"mis_size": spark.read.parquet(args.out).count()}
+            ))
     elif args.cmd == "truss":
         from parallel_louvain_method_spark.operators.truss import (
             edge_support,

@@ -1135,3 +1135,115 @@ def test_neighbor_sample_golden16(spark, golden16_df):
     )
     with pytest.raises(ValueError, match="non-negative"):
         neighbor_sample(neg, [2])
+
+
+def test_mis_and_coloring_golden16(spark, golden16_df):
+    """Luby MIS + JP coloring vs an independent python replay of the
+    packed-key selection; independence/maximality/properness invariants;
+    fixed-round twins; determinism; seed sensitivity; id guards."""
+    from parallel_louvain_method_spark.operators.mis import (
+        _M, _mixer, coloring_rounds, greedy_coloring,
+        maximal_independent_set, mis_rounds,
+    )
+
+    n = 16
+    adj = {v: set() for v in range(n)}
+    for a, b in GOLDEN16_EDGES:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def key(v, r, seed):
+        return ((v * _mixer(r, seed) + r * 40503) % _M) * (1 << 31) + v
+
+    def replay_mis(seed, keep_neighbors=False, max_rounds=None):
+        """keep_neighbors=False -> MIS (remove sel + N(sel));
+        True -> JP coloring (remove only sel)."""
+        live = set(range(n))
+        picked = {}  # vtx -> round
+        r = 0
+        while live and (max_rounds is None or r < max_rounds):
+            sel = {
+                v for v in live
+                if all(
+                    key(v, r, seed) < key(u, r, seed)
+                    for u in adj[v] & live
+                )
+            }
+            for v in sel:
+                picked[v] = r
+            if keep_neighbors:
+                live -= sel
+            else:
+                live -= sel | {u for v in sel for u in adj[v]}
+            r += 1
+        return picked
+
+    # --- MIS: replay equality + independence + maximality -------------
+    got = sorted(
+        r["vtx"] for r in maximal_independent_set(golden16_df, seed=5).collect()
+    )
+    want = sorted(replay_mis(5))
+    assert got == want
+    got_set = set(got)
+    assert all(
+        u not in got_set for v in got_set for u in adj[v]
+    ), "MIS not independent"
+    assert all(
+        v in got_set or adj[v] & got_set for v in range(n)
+    ), "MIS not maximal"
+
+    # determinism + seed sensitivity (some seed pair must differ)
+    again = sorted(
+        r["vtx"] for r in maximal_independent_set(golden16_df, seed=5).collect()
+    )
+    assert again == got
+    assert any(
+        sorted(replay_mis(s)) != want for s in (6, 7, 8)
+    )  # the replay itself is seed-sensitive...
+    s_diff = next(s for s in (6, 7, 8) if sorted(replay_mis(s)) != want)
+    other = sorted(
+        r["vtx"]
+        for r in maximal_independent_set(golden16_df, seed=s_diff).collect()
+    )
+    assert other == sorted(replay_mis(s_diff)) and other != got
+
+    # fixed-round twin: prefix of the full run
+    r1 = sorted(r["vtx"] for r in mis_rounds(golden16_df, 1, seed=5).collect())
+    assert r1 == sorted(replay_mis(5, max_rounds=1))
+    assert set(r1) <= got_set
+
+    # --- coloring: replay equality + properness ------------------------
+    col = {
+        r["vtx"]: r["color"]
+        for r in greedy_coloring(golden16_df, seed=5).collect()
+    }
+    assert col == replay_mis(5, keep_neighbors=True)
+    assert set(col) == set(range(n))
+    assert all(col[a] != col[b] for a, b in GOLDEN16_EDGES if a != b)
+    # color 0 is exactly the round-0 MIS selection of the full graph
+    assert {v for v, c in col.items() if c == 0} == set(
+        replay_mis(5, max_rounds=1)
+    )
+
+    cr = {
+        r["vtx"]: r["color"]
+        for r in coloring_rounds(golden16_df, 2, seed=5).collect()
+    }
+    assert cr == replay_mis(5, keep_neighbors=True, max_rounds=2)
+
+    # --- guards ---------------------------------------------------------
+    with pytest.raises(ValueError):
+        mis_rounds(golden16_df, 0)
+    neg = spark.createDataFrame(
+        [(-3, 1, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        maximal_independent_set(neg, seed=1)
+    with pytest.raises(RuntimeError):
+        # triangle needs 2+ coloring rounds; max_iter=1 must raise
+        tri = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)],
+            "src long, dst long, weight double",
+        )
+        greedy_coloring(tri, seed=1, max_iter=1)
