@@ -65,6 +65,10 @@ from parallel_louvain_method_spark.operators.mis import (
     coloring_rounds,
     mis_rounds,
 )
+from parallel_louvain_method_spark.operators.paths import shortest_paths_rounds
+from parallel_louvain_method_spark.operators.scc import (
+    strongly_connected_components,
+)
 from parallel_louvain_method_spark.operators.walks import (
     neighbor_sample,
     random_walks,
@@ -118,6 +122,76 @@ _CC_EDGES_SQL = f"SELECT * FROM ({_EDGES_SQL}) WHERE src < 300"
 
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges(spark, sf_dir).filter(F.col("src") < 300)
+
+
+# small DIRECTED graph for the SCC recursive-CTE oracle: two part bands —
+# a cyclic band (a -> b when a precedes b by linenumber in some order;
+# opposite orders in different orders plant cycles) and a pure-DAG band
+# (a -> b only when partkey a < b), so trim, coloring AND backward match
+# all do real work (sf0.01: one 140-vertex giant SCC + singleton fringe)
+_DPREC_SQL = """
+    SELECT DISTINCT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber < b.l_linenumber
+        WHERE a.l_partkey <> b.l_partkey
+          AND a.l_partkey < 150 AND b.l_partkey < 150
+        UNION ALL
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey >= 1000 AND a.l_partkey < 1100
+          AND b.l_partkey >= 1000 AND b.l_partkey < 1100
+          AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _precedence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = l.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_partkey").alias("src"),
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_partkey").alias("dst"),
+    )
+    cyc = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("ln_a") < F.col("ln_b"))
+            & (F.col("src") != F.col("dst"))
+            & (F.col("src") < 150)
+            & (F.col("dst") < 150)
+        )
+        .select("src", "dst")
+    )
+    dag = (
+        a.join(b, "ok")
+        .filter(
+            (F.col("src") >= 1000)
+            & (F.col("src") < 1100)
+            & (F.col("dst") >= 1000)
+            & (F.col("dst") < 1100)
+            & (F.col("src") < F.col("dst"))
+        )
+        .select("src", "dst")
+    )
+    return (
+        cyc.unionByName(dag)
+        .distinct()
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
 
 
 def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +605,56 @@ def _coreness_peel_oracle_sql(max_k: int, rounds: int) -> str:
         f" FROM {prev_keep}"
     )
     return "".join(parts).rstrip(",") + "\n        " + "\n        UNION ALL ".join(sel)
+
+
+def _sssp_rounds_oracle_sql(sources: list[int], rounds: int) -> str:
+    """DuckDB twin of ``shortest_paths_rounds(cc_edges, sources, rounds)``
+    (``operators/paths.py``): each round is the min-merge of the state
+    with one-step candidates over the simple symmetrized relation —
+    identical double sums + MIN on both engines, so values are bit-exact."""
+    seeds = "\n            UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS vtx, CAST({s} AS BIGINT) AS root,"
+        f" CAST(0 AS DOUBLE) AS dist"
+        for s in sources
+    )
+    sql = f"""
+        WITH rel AS MATERIALIZED (
+            SELECT src, dst, MIN(weight) AS w FROM (
+                SELECT src, dst, weight FROM ({_CC_EDGES_SQL})
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM ({_CC_EDGES_SQL})
+            ) WHERE src <> dst GROUP BY 1, 2
+        ),
+        s0 AS ({seeds})"""
+    for i in range(rounds):
+        sql += f""",
+        s{i + 1} AS (
+            SELECT vtx, root, MIN(dist) AS dist FROM (
+                SELECT vtx, root, dist FROM s{i}
+                UNION ALL
+                SELECT rel.dst AS vtx, s.root AS root, s.dist + rel.w AS dist
+                FROM rel JOIN s{i} s ON s.vtx = rel.src
+            ) GROUP BY 1, 2
+        )"""
+    sql += (
+        f"\n        SELECT CAST(vtx AS BIGINT) AS vtx,"
+        f" CAST(root AS BIGINT) AS root, dist FROM s{rounds}"
+    )
+    return sql
+
+
+_SCC_ORACLE_SQL = f"""
+    WITH RECURSIVE d AS ({_DPREC_SQL}),
+    verts AS (SELECT src AS v FROM d UNION SELECT dst AS v FROM d),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src
+    )
+    SELECT CAST(r1.a AS BIGINT) AS vtx, CAST(MIN(r1.b) AS BIGINT) AS component
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    GROUP BY 1
+"""
 
 
 def _user_sessions_oracle_sql(gap_seconds: int) -> str:
@@ -1403,6 +1527,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mis_r2"] = lambda s, d: mis_rounds(_cc_edges(s, d), 2, seed=5)
     q["coloring_r2"] = lambda s, d: coloring_rounds(_cc_edges(s, d), 2, seed=5)
 
+    # 3 Bellman-Ford relaxation rounds from landmark seeds on the cc
+    # subgraph — the fixed-round twin of operators/paths.py's fixpoint
+    # (which pytest pins vs an independent Dijkstra); both engines take
+    # MIN over identical double sums, so values are bit-exact
+    q["sssp_r3"] = lambda s, d: shortest_paths_rounds(
+        _cc_edges(s, d), [1, 7, 13], rounds=3
+    )
+
+    # FULL SCC fixpoint (trim + forward-coloring + backward match) on the
+    # two-band part-precedence directed graph; the oracle is the
+    # recursive-CTE mutual-reachability closure, so the gate hashes the
+    # complete decomposition, not a fixed-round prefix
+    q["scc_precedence"] = lambda s, d: strongly_connected_components(
+        _precedence_edges(s, d)
+    )
+
     return q
 
 
@@ -1565,6 +1705,10 @@ def oracle_sql() -> dict[str, str]:
     o["louvain_coarsen_sweep"] = _louvain_coarsen_sweep_oracle_sql()
     o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
     o["user_sessions"] = _user_sessions_oracle_sql(gap_seconds=1800)
+    o["sssp_r3"] = _sssp_rounds_oracle_sql([1, 7, 13], rounds=3)
+    # FULL-fixpoint check: scc(v) = min mutual-reachability class via the
+    # recursive-CTE closure (same convention as connected_components)
+    o["scc_precedence"] = _SCC_ORACLE_SQL
     # explicit population-moment Pearson mirrors the engine exactly
     # (metrics.py uses covar_pop/stddev_pop + try_divide, not `corr`,
     # for ANSI-safe NULL on zero-variance graphs)

@@ -152,6 +152,12 @@ def main() -> None:
         knn_lsh,
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.paths import (
+        shortest_paths_rounds,
+    )
+    from parallel_louvain_method_spark.operators.scc import (
+        strongly_connected_components,
+    )
     from parallel_louvain_method_spark.operators.mis import (
         maximal_independent_set,
     )
@@ -381,6 +387,34 @@ def main() -> None:
     timed(
         "mis_repo_graph",
         lambda: maximal_independent_set(repo_edges, seed=3).count(),
+    )
+    # landmark distances: 8 fixed Bellman-Ford relaxation rounds from 4
+    # seeds (deterministic work, like pagerank_10it)
+    timed(
+        "sssp_r8_repo",
+        lambda: shortest_paths_rounds(
+            repo_edges, [0, 1, 2, 3], rounds=8
+        ).count(),
+    )
+    # SCC on a deterministic pseudo-random orientation of the repo graph
+    # (hash-parity picks each edge's direction -> real cycles, so trim,
+    # forward coloring AND backward match all run)
+    directed_repo = (
+        repo_edges.filter(F.col("src") < F.col("dst"))
+        .select(
+            F.when(
+                F.pmod(F.hash("src", "dst"), F.lit(2)) == 0, F.col("src")
+            ).otherwise(F.col("dst")).alias("s"),
+            F.when(
+                F.pmod(F.hash("src", "dst"), F.lit(2)) == 0, F.col("dst")
+            ).otherwise(F.col("src")).alias("d"),
+        )
+        .withColumnsRenamed({"s": "src", "d": "dst"})
+        .withColumn("weight", F.lit(1.0))
+    )
+    timed(
+        "scc_randor_repo",
+        lambda: strongly_connected_components(directed_repo).count(),
     )
 
     if not only or "minhash_dedup_corpus" in only:

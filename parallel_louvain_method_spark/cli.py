@@ -155,6 +155,44 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--max-iter", type=int, default=None)
 
+    sp = sub.add_parser(
+        "sssp",
+        help="multi-source shortest paths (Bellman-Ford relaxation rounds)",
+    )
+    sp.add_argument("--edges", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--sources",
+        required=True,
+        help="comma-separated landmark/source vertex ids",
+    )
+    sp.add_argument(
+        "--hops",
+        action="store_true",
+        help="unit weights (hop counts) instead of the weight column",
+    )
+    sp.add_argument(
+        "--directed",
+        action="store_true",
+        help="relax along src->dst as given instead of symmetrizing",
+    )
+    sp.add_argument(
+        "--max-iter",
+        type=int,
+        default=None,
+        help="optional bound on relaxation rounds (raises if exhausted "
+        "before the fixpoint; default: relax to fixpoint, < |V| rounds)",
+    )
+
+    sc = sub.add_parser(
+        "scc",
+        help="strongly connected components of the directed graph "
+        "(trim + forward-coloring + backward match)",
+    )
+    sc.add_argument("--edges", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--max-iter", type=int, default=None)
+
     wk = sub.add_parser(
         "walks",
         help="deterministic DeepWalk-style random walks (seeded hash; "
@@ -480,6 +518,50 @@ def main(argv: list[str] | None = None) -> int:
                     "max_coreness": int(
                         cores.agg(F.max("coreness")).first()[0] or 0
                     ),
+                }
+            )
+        )
+    elif args.cmd == "sssp":
+        from parallel_louvain_method_spark.operators.paths import (
+            shortest_paths,
+        )
+
+        dists = shortest_paths(
+            read_edge_parquet(spark, args.edges),
+            sources=[int(s) for s in args.sources.split(",") if s.strip()],
+            weighted=not args.hops,
+            directed=args.directed,
+            max_iter=args.max_iter,
+        )
+        dists.write.mode("overwrite").parquet(args.out)
+        dists = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "reached_pairs": dists.count(),
+                    "max_dist": float(
+                        dists.agg(F.max("dist")).first()[0] or 0.0
+                    ),
+                }
+            )
+        )
+    elif args.cmd == "scc":
+        from parallel_louvain_method_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        comps = strongly_connected_components(
+            read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+        )
+        comps.write.mode("overwrite").parquet(args.out)
+        comps = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "vertices": comps.count(),
+                    "components": comps.select("component")
+                    .distinct()
+                    .count(),
                 }
             )
         )

@@ -1247,3 +1247,208 @@ def test_mis_and_coloring_golden16(spark, golden16_df):
             "src long, dst long, weight double",
         )
         greedy_coloring(tri, seed=1, max_iter=1)
+
+
+def _py_multi_dijkstra(edges, sources, weighted=True, directed=False):
+    """Independent per-source Dijkstra oracle (heapq, dict adjacency)."""
+    import heapq
+
+    adj: dict = {}
+    best: dict = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        ww = float(w) if weighted else 1.0
+        for u, v in ((a, b),) if directed else ((a, b), (b, a)):
+            k = (u, v)
+            if k not in best or ww < best[k]:
+                best[k] = ww
+    for (u, v), w in best.items():
+        adj.setdefault(u, []).append((v, w))
+    out = {}
+    for s in sources:
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        for v, d in dist.items():
+            out[(v, s)] = d
+    return out
+
+
+def test_shortest_paths_random(spark):
+    """Weighted + hop fixpoints vs an independent Dijkstra; the
+    fixed-round twin is a monotone prefix that hits the fixpoint."""
+    from parallel_louvain_method_spark.operators.paths import (
+        shortest_paths,
+        shortest_paths_rounds,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 60
+    rows = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(
+            rng.integers(0, n, 260),
+            rng.integers(0, n, 260),
+            rng.integers(1, 9, 260),
+        )
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    sources = [0, 7, 23]
+
+    got = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in shortest_paths(df, sources).collect()
+    }
+    assert got == _py_multi_dijkstra(rows, sources)
+
+    hops = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in shortest_paths(df, sources, weighted=False).collect()
+    }
+    assert hops == _py_multi_dijkstra(rows, sources, weighted=False)
+
+    directed = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in shortest_paths(df, [0], directed=True).collect()
+    }
+    assert directed == _py_multi_dijkstra(rows, [0], directed=True)
+
+    # fixed-round prefix: distances never below the fixpoint, and a
+    # large-enough round count IS the fixpoint
+    r2 = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in shortest_paths_rounds(df, sources, 2).collect()
+    }
+    assert set(r2) <= set(got)
+    assert all(r2[k] >= got[k] for k in r2)
+    rbig = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in shortest_paths_rounds(df, sources, n).collect()
+    }
+    assert rbig == got
+
+
+def test_shortest_paths_guards(spark):
+    from parallel_louvain_method_spark.operators.paths import shortest_paths
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, -1.0)],
+        "src long, dst long, weight double",
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(df, [0])
+    ok = df.filter(F.col("weight") > 0)
+    with pytest.raises(ValueError, match="duplicate"):
+        shortest_paths(ok, [0, 0])
+    with pytest.raises(ValueError, match="at least one"):
+        shortest_paths(ok, [])
+    with pytest.raises(RuntimeError, match="converge"):
+        shortest_paths(ok, [0], max_iter=1)
+    # isolated source still reports its own 0-distance row
+    got = shortest_paths(ok, [99]).collect()
+    assert [(r["vtx"], r["root"], r["dist"]) for r in got] == [(99, 99, 0.0)]
+    with pytest.raises(ValueError, match="weight column"):
+        shortest_paths(ok.select("src", "dst"), [0], weighted=True)
+
+
+def _py_tarjan(edge_pairs):
+    """Independent iterative Tarjan oracle -> {vtx: min id of its SCC}."""
+    adj: dict = {}
+    verts = set()
+    for a, b in edge_pairs:
+        verts.add(a)
+        verts.add(b)
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, iter(sorted(adj.get(root, ()))))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        onstack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(sorted(adj.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def test_scc_random_directed(spark):
+    """Trim+color+match SCC vs an independent Tarjan on a random sparse
+    directed graph (DAG fringe + planted cycles + self-loop singleton)."""
+    from parallel_louvain_method_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 80
+    pairs = {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, 160), rng.integers(0, n, 160))
+    }
+    # planted 4-cycle and 2-cycle plus a self-loop-only vertex
+    pairs |= {(70, 71), (71, 72), (72, 73), (73, 70), (10, 11), (11, 10),
+              (200, 200)}
+    pairs = sorted(pairs)
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    got = {
+        r["vtx"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == _py_tarjan(pairs)
+    assert got[200] == 200  # self-loop vertex is its own singleton SCC
+
+    with pytest.raises(RuntimeError, match="outer rounds"):
+        strongly_connected_components(df, max_iter=0)
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert strongly_connected_components(empty).count() == 0
