@@ -65,8 +65,12 @@ from parallel_louvain_method_spark.operators.mis import (
     coloring_rounds,
     mis_rounds,
 )
+from parallel_louvain_method_spark.operators.betweenness import (
+    betweenness_centrality,
+)
 from parallel_louvain_method_spark.operators.paths import shortest_paths_rounds
 from parallel_louvain_method_spark.operators.scc import (
+    condensation,
     strongly_connected_components,
 )
 from parallel_louvain_method_spark.operators.walks import (
@@ -655,6 +659,101 @@ _SCC_ORACLE_SQL = f"""
     FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
     GROUP BY 1
 """
+
+
+# condensation DAG: the SCC closure projected onto cross-component edges
+_CONDENSATION_ORACLE_SQL = f"""
+    WITH RECURSIVE d AS ({_DPREC_SQL}),
+    verts AS (SELECT src AS v FROM d UNION SELECT dst AS v FROM d),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src
+    ),
+    scc AS (
+        SELECT r1.a AS vtx, MIN(r1.b) AS component
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY 1
+    )
+    SELECT DISTINCT CAST(a.component AS BIGINT) AS src,
+                    CAST(b.component AS BIGINT) AS dst
+    FROM d JOIN scc a ON a.vtx = d.src JOIN scc b ON b.vtx = d.dst
+    WHERE a.component <> b.component
+"""
+
+
+def _betweenness_oracle_sql(sources: list[int], hops: int) -> str:
+    """DuckDB twin of ``betweenness_centrality(cc_edges, sources,
+    max_hops=hops)`` (``operators/betweenness.py``): the forward
+    path-counting BFS unrolls one join + anti-join per hop (sigma sums
+    are integer-valued doubles — exact either engine), the backward
+    dependency recursion unrolls one depth per CTE deepest-first with
+    the identical ``sv/sw * (1 + delta)`` IEEE algebra."""
+    seeds = "\n            UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS vtx, CAST({s} AS BIGINT) AS root,"
+        f" 0 AS dist, CAST(1 AS DOUBLE) AS sigma"
+        for s in sources
+    )
+    sql = f"""
+        WITH rel AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ({_CC_EDGES_SQL})
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM ({_CC_EDGES_SQL})
+            ) WHERE src <> dst
+        ),
+        s0 AS ({seeds})"""
+    for d in range(hops):
+        sql += f""",
+        n{d + 1} AS (
+            SELECT rel.dst AS vtx, f.root, SUM(f.sigma) AS sigma
+            FROM rel JOIN s{d} f ON f.vtx = rel.src AND f.dist = {d}
+            GROUP BY 1, 2
+        ),
+        s{d + 1} AS (
+            SELECT * FROM s{d}
+            UNION ALL
+            SELECT n.vtx, n.root, {d + 1} AS dist, n.sigma FROM n{d + 1} n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s{d} p
+                WHERE p.vtx = n.vtx AND p.root = n.root
+            )
+        )"""
+    sql += f""",
+        ps AS MATERIALIZED (
+            SELECT v.vtx AS v, v.root AS root, v.dist AS dv, v.sigma AS sv,
+                   w.vtx AS w, w.sigma AS sw
+            FROM rel e
+            JOIN s{hops} v ON v.vtx = e.src
+            JOIN s{hops} w ON w.vtx = e.dst AND w.root = v.root
+                          AND w.dist = v.dist + 1
+        ),
+        d{hops} AS (
+            SELECT vtx, root, CAST(0 AS DOUBLE) AS delta
+            FROM s{hops} WHERE FALSE
+        )"""
+    for d in range(hops - 1, -1, -1):
+        sql += f""",
+        d{d} AS (
+            SELECT ps.v AS vtx, ps.root,
+                   SUM(ps.sv / ps.sw * (1 + COALESCE(n.delta, 0))) AS delta
+            FROM ps LEFT JOIN d{d + 1} n
+              ON n.vtx = ps.w AND n.root = ps.root
+            WHERE ps.dv = {d}
+            GROUP BY 1, 2
+        )"""
+    alld = "\n            UNION ALL ".join(
+        f"SELECT vtx, delta FROM d{d} WHERE vtx <> root"
+        for d in range(hops)
+    )
+    sql += f""",
+        alld AS ({alld}),
+        verts AS (SELECT src AS v FROM rel UNION SELECT dst AS v FROM rel)
+        SELECT CAST(verts.v AS BIGINT) AS vtx,
+               CAST(COALESCE(SUM(a.delta), 0) AS DOUBLE) AS btw
+        FROM verts LEFT JOIN alld a ON a.vtx = verts.v
+        GROUP BY 1"""
+    return sql
 
 
 def _user_sessions_oracle_sql(gap_seconds: int) -> str:
@@ -1543,6 +1642,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _precedence_edges(s, d)
     )
 
+    # condensation DAG of the same directed graph — SCC contraction +
+    # distinct cross-component edges, also a full-fixpoint hash
+    q["condensation_dag"] = lambda s, d: condensation(_precedence_edges(s, d))
+
+    # sampled + hop-truncated betweenness (Brandes-Pich estimator from 3
+    # landmark sources, paths of length <= 3) on the cc subgraph; sigma
+    # path counts are exact integer doubles, dependencies identical IEEE
+    q["betweenness_s3_h3"] = lambda s, d: betweenness_centrality(
+        _cc_edges(s, d), [1, 7, 13], max_hops=3
+    )
+
     return q
 
 
@@ -1709,6 +1819,8 @@ def oracle_sql() -> dict[str, str]:
     # FULL-fixpoint check: scc(v) = min mutual-reachability class via the
     # recursive-CTE closure (same convention as connected_components)
     o["scc_precedence"] = _SCC_ORACLE_SQL
+    o["condensation_dag"] = _CONDENSATION_ORACLE_SQL
+    o["betweenness_s3_h3"] = _betweenness_oracle_sql([1, 7, 13], hops=3)
     # explicit population-moment Pearson mirrors the engine exactly
     # (metrics.py uses covar_pop/stddev_pop + try_divide, not `corr`,
     # for ANSI-safe NULL on zero-variance graphs)

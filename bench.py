@@ -152,6 +152,9 @@ def main() -> None:
         knn_lsh,
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
     from parallel_louvain_method_spark.operators.paths import (
         shortest_paths_rounds,
     )
@@ -415,6 +418,14 @@ def main() -> None:
     timed(
         "scc_randor_repo",
         lambda: strongly_connected_components(directed_repo).count(),
+    )
+    # sampled hop-truncated betweenness (Brandes-Pich, 8 landmark
+    # sources, paths <= 4) — deterministic work like pagerank_10it
+    timed(
+        "betweenness_s8_h4",
+        lambda: betweenness_centrality(
+            repo_edges, [0, 1, 2, 3, 4, 5, 6, 7], max_hops=4
+        ).count(),
     )
 
     if not only or "minhash_dedup_corpus" in only:

@@ -192,6 +192,38 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--edges", required=True)
     sc.add_argument("--out", required=True)
     sc.add_argument("--max-iter", type=int, default=None)
+    sc.add_argument(
+        "--condensation",
+        action="store_true",
+        help="emit the condensation DAG (distinct cross-SCC edges, "
+        "components labeled by min member id) instead of vertex labels",
+    )
+
+    bw = sub.add_parser(
+        "betweenness",
+        help="sampled / hop-truncated betweenness centrality "
+        "(level-synchronous Brandes from explicit source vertices)",
+    )
+    bw.add_argument("--edges", required=True)
+    bw.add_argument("--out", required=True)
+    bw.add_argument(
+        "--sources",
+        required=True,
+        help="comma-separated source sample (Brandes-Pich estimator); "
+        "pass every vertex for the exact small-graph value",
+    )
+    bw.add_argument(
+        "--max-hops",
+        type=int,
+        default=None,
+        help="truncate to shortest paths of length <= k (k-betweenness); "
+        "default: untruncated",
+    )
+    bw.add_argument(
+        "--directed",
+        action="store_true",
+        help="count src->dst paths as given instead of symmetrizing",
+    )
 
     wk = sub.add_parser(
         "walks",
@@ -547,21 +579,51 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "scc":
         from parallel_louvain_method_spark.operators.scc import (
+            condensation,
             strongly_connected_components,
         )
 
-        comps = strongly_connected_components(
-            read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+        if args.condensation:
+            dag = condensation(
+                read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+            )
+            dag.write.mode("overwrite").parquet(args.out)
+            dag = spark.read.parquet(args.out)
+            print(json.dumps({"dag_edges": dag.count()}))
+        else:
+            comps = strongly_connected_components(
+                read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+            )
+            comps.write.mode("overwrite").parquet(args.out)
+            comps = spark.read.parquet(args.out)
+            print(
+                json.dumps(
+                    {
+                        "vertices": comps.count(),
+                        "components": comps.select("component")
+                        .distinct()
+                        .count(),
+                    }
+                )
+            )
+    elif args.cmd == "betweenness":
+        from parallel_louvain_method_spark.operators.betweenness import (
+            betweenness_centrality,
         )
-        comps.write.mode("overwrite").parquet(args.out)
-        comps = spark.read.parquet(args.out)
+
+        btw = betweenness_centrality(
+            read_edge_parquet(spark, args.edges),
+            sources=[int(s) for s in args.sources.split(",") if s.strip()],
+            max_hops=args.max_hops,
+            directed=args.directed,
+        )
+        btw.write.mode("overwrite").parquet(args.out)
+        btw = spark.read.parquet(args.out)
         print(
             json.dumps(
                 {
-                    "vertices": comps.count(),
-                    "components": comps.select("component")
-                    .distinct()
-                    .count(),
+                    "vertices": btw.count(),
+                    "max_btw": float(btw.agg(F.max("btw")).first()[0] or 0.0),
                 }
             )
         )

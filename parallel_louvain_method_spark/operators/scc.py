@@ -236,3 +236,34 @@ def strongly_connected_components(
         F.col("vtx").cast("long").alias("vtx"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+def condensation(
+    edges: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """The condensation DAG: contract every SCC to one vertex (labeled
+    with the SCC's min member id, the :func:`strongly_connected_components`
+    convention) and keep the distinct cross-component edges —
+    ``DataFrame[src: long, dst: long]``, acyclic by construction.
+
+    This is the standard first step of directed-reachability pipelines
+    (topological layering, dominator-style analyses, web-graph bow-tie
+    decomposition): all cycle structure collapses into the labels, and
+    every downstream pass runs on a DAG a fraction of the input's size.
+    Two broadcast-or-shuffle equi-joins of the edge table against the
+    vertex→component map, then a distinct — nothing new to scale.
+    """
+    comp = strongly_connected_components(edges, max_iter=max_iter)
+    return (
+        _simple_directed(edges)
+        .join(comp.withColumnRenamed("vtx", "src"), "src")
+        .withColumnRenamed("component", "csrc")
+        .join(comp.withColumnRenamed("vtx", "dst"), "dst")
+        .withColumnRenamed("component", "cdst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select(
+            F.col("csrc").cast("long").alias("src"),
+            F.col("cdst").cast("long").alias("dst"),
+        )
+        .distinct()
+    )

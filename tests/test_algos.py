@@ -1452,3 +1452,165 @@ def test_scc_random_directed(spark):
 
     empty = spark.createDataFrame([], "src long, dst long, weight double")
     assert strongly_connected_components(empty).count() == 0
+
+
+def _py_brandes(edges, sources, directed=False, max_hops=None):
+    """Independent Brandes oracle (BFS + stack-order dependency
+    accumulation, raw dependency sums, endpoints excluded)."""
+    from collections import deque
+
+    adj: dict = {}
+    seen = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        for u, v in ((a, b),) if directed else ((a, b), (b, a)):
+            if (u, v) not in seen:
+                seen.add((u, v))
+                adj.setdefault(u, []).append(v)
+    verts = {u for u, v in seen} | {v for u, v in seen}
+    btw = {v: 0.0 for v in verts}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        preds: dict = {}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            if max_hops is not None and dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0.0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds.setdefault(v, []).append(u)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in preds.get(w, ()):
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s and v in btw:
+                btw[v] += delta[v]
+    return btw
+
+
+def test_betweenness_golden16(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+    from tests.conftest import GOLDEN16_EDGES
+
+    all_sources = sorted({a for a, _ in GOLDEN16_EDGES}
+                         | {b for _, b in GOLDEN16_EDGES})
+    got = {
+        r["vtx"]: r["btw"]
+        for r in betweenness_centrality(golden16_df, all_sources).collect()
+    }
+    want = _py_brandes(GOLDEN16_EDGES, all_sources)
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+    # leaves carry zero dependency but are still rows
+    assert got[15] == 0.0
+    # undirected all-sources raw sums are symmetric-double the classic
+    # C_B, so every value is ~2x an integer-free rational; spot-pin one
+    # high-centrality broker against the independent oracle
+    assert got[10] == pytest.approx(want[10], abs=1e-9)
+
+    # truncation: a max_hops >= diameter equals the full run; h=1 is 0
+    full = betweenness_centrality(golden16_df, all_sources, max_hops=16)
+    assert {r["vtx"]: r["btw"] for r in full.collect()} == pytest.approx(
+        want, abs=1e-9
+    )
+    h1 = betweenness_centrality(golden16_df, all_sources, max_hops=1)
+    assert all(r["btw"] == 0.0 for r in h1.collect())
+    h2 = {
+        r["vtx"]: r["btw"]
+        for r in betweenness_centrality(
+            golden16_df, all_sources, max_hops=2
+        ).collect()
+    }
+    want_h2 = _py_brandes(GOLDEN16_EDGES, all_sources, max_hops=2)
+    assert h2 == pytest.approx(want_h2, abs=1e-9)
+
+
+def test_betweenness_directed_and_guards(spark):
+    from parallel_louvain_method_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    # directed path 0->1->2->3: interior vertices carry exactly the
+    # number of source-side vertices x sink-side paths through them
+    path = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in path], "src long, dst long, weight double"
+    )
+    got = {
+        r["vtx"]: r["btw"]
+        for r in betweenness_centrality(
+            df, [0, 1, 2, 3], directed=True
+        ).collect()
+    }
+    assert got == _py_brandes(path, [0, 1, 2, 3], directed=True)
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+    with pytest.raises(ValueError, match="at least one"):
+        betweenness_centrality(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        betweenness_centrality(df, [0, 0])
+    with pytest.raises(ValueError, match="max_hops"):
+        betweenness_centrality(df, [0], max_hops=0)
+
+
+def test_betweenness_sampled_random(spark):
+    """A random graph + PROPER SUBSET of sources (the Brandes-Pich
+    sampled estimator) against the independent python oracle."""
+    from parallel_louvain_method_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 40
+    rows = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 120), rng.integers(0, n, 120))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in rows], "src long, dst long, weight double"
+    )
+    sources = [0, 5, 11, 17, 29]
+    got = {
+        r["vtx"]: r["btw"]
+        for r in betweenness_centrality(df, sources).collect()
+    }
+    want = _py_brandes(rows, sources)
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+
+
+def test_scc_condensation(spark):
+    from parallel_louvain_method_spark.operators.scc import (
+        condensation,
+        strongly_connected_components,
+    )
+
+    # two 3-cycles {0,1,2} {3,4,5} bridged 2->3, plus a tail 5->6
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    dag = sorted(
+        (r["src"], r["dst"]) for r in condensation(df).collect()
+    )
+    assert dag == [(0, 3), (3, 6)]
+    # acyclicity: every SCC of the condensation is a singleton
+    dag_df = spark.createDataFrame(dag, "src long, dst long")
+    comps = strongly_connected_components(dag_df).collect()
+    assert all(r["vtx"] == r["component"] for r in comps)

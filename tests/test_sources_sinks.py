@@ -274,3 +274,63 @@ def test_cli_dedup_clusters(spark, tmp_path, capsys):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(kept).collect()
     ) == [1, 7]
+
+
+def test_cli_paths_scc_betweenness_subcommands(spark, tmp_path, golden16_df, capsys):
+    """`plm sssp` / `plm scc [--condensation]` / `plm betweenness` write
+    parquet matching the operators' outputs."""
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    edges_path = str(tmp_path / "edges")
+    golden16_df.write.parquet(edges_path)
+
+    out = str(tmp_path / "sssp")
+    assert main([
+        "sssp", "--edges", edges_path, "--out", out,
+        "--sources", "0,8", "--hops",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["reached_pairs"] == 32  # golden16 is connected: 16 x 2
+    dists = {
+        (r["vtx"], r["root"]): r["dist"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert dists[(0, 0)] == 0.0 and dists[(8, 8)] == 0.0
+    assert dists[(2, 0)] == 1.0
+
+    # directed two-cycle + bridge + tail: known SCCs {0,1,2} {3,4,5} 6
+    dedges = str(tmp_path / "dedges")
+    spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 4, 1.0), (4, 5, 1.0),
+         (5, 3, 1.0), (2, 3, 1.0), (5, 6, 1.0)],
+        "src long, dst long, weight double",
+    ).write.parquet(dedges)
+    out2 = str(tmp_path / "scc")
+    assert main(["scc", "--edges", dedges, "--out", out2]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"vertices": 7, "components": 3}
+
+    out3 = str(tmp_path / "cond")
+    assert main([
+        "scc", "--edges", dedges, "--out", out3, "--condensation",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"dag_edges": 2}
+    dag = sorted(
+        (r["src"], r["dst"]) for r in spark.read.parquet(out3).collect()
+    )
+    assert dag == [(0, 3), (3, 6)]
+
+    out4 = str(tmp_path / "btw")
+    assert main([
+        "betweenness", "--edges", edges_path, "--out", out4,
+        "--sources", ",".join(str(v) for v in range(16)),
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["vertices"] == 16
+    assert report["max_btw"] > 0.0
+    btw = {r["vtx"]: r["btw"] for r in spark.read.parquet(out4).collect()}
+    # vertex 10 is golden16's top broker (also the eigenvector leader)
+    assert max(btw, key=btw.get) == 10
