@@ -68,8 +68,10 @@ from parallel_louvain_method_spark.operators.mis import (
 from parallel_louvain_method_spark.operators.betweenness import (
     betweenness_centrality,
 )
+from parallel_louvain_method_spark.operators.dag import topological_levels
 from parallel_louvain_method_spark.operators.paths import shortest_paths_rounds
 from parallel_louvain_method_spark.operators.scc import (
+    bowtie_decomposition,
     condensation,
     strongly_connected_components,
 )
@@ -195,6 +197,85 @@ def _precedence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").cast("long"),
             F.lit(1.0).alias("weight"),
         )
+    )
+
+
+# directed multi-band "web" graph for the bow-tie gate: partkey bands of
+# lineitem same-order pairs planted so all 7 Broder regions are non-empty
+# at sf0.01 — core = the <150 cyclic band (both linenumber orientations),
+# IN = the [1000,1100) DAG band bridging into the core, OUT = the core
+# bridging into the [400,500) DAG band, TUBE via [800,830) (IN→tube→OUT,
+# never touching the core), TENDRIL_IN = [600,660) (fed by IN only),
+# TENDRIL_OUT = [700,760) (feeding OUT only), DISCONNECTED = stragglers
+_WEB_BANDS = [
+    # (src_lo, src_hi, dst_lo, dst_hi, rule): rule 'ln' = linenumber
+    # order (cyclic), 'lt' = src < dst (DAG), 'any' = all cross pairs
+    (1, 150, 1, 150, "ln"),
+    (1000, 1100, 1000, 1100, "lt"),
+    (1000, 1100, 1, 150, "any"),
+    (1, 150, 400, 500, "any"),
+    (400, 500, 400, 500, "lt"),
+    (1000, 1100, 800, 830, "any"),
+    (800, 830, 400, 500, "any"),
+    (1000, 1100, 600, 660, "any"),
+    (700, 760, 400, 500, "any"),
+    # unbridged island -> DISCONNECTED
+    (1200, 1240, 1200, 1240, "lt"),
+]
+
+
+def _web_band_sql(lo, hi, lo2, hi2, rule) -> str:
+    cond = {
+        "ln": "a.l_linenumber < b.l_linenumber",
+        "lt": "a.l_partkey < b.l_partkey",
+        "any": "TRUE",
+    }[rule]
+    return f"""
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey >= {lo} AND a.l_partkey < {hi}
+          AND b.l_partkey >= {lo2} AND b.l_partkey < {hi2}
+          AND a.l_partkey <> b.l_partkey AND {cond}"""
+
+
+_WEB_SQL = (
+    "    SELECT DISTINCT src, dst FROM (\n"
+    + "        UNION ALL".join(_web_band_sql(*b) for b in _WEB_BANDS)
+    + "\n    )"
+)
+
+
+def _web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = l.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_partkey").alias("src"),
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_partkey").alias("dst"),
+    )
+    joined = a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+    bands = None
+    for lo, hi, lo2, hi2, rule in _WEB_BANDS:
+        cond = (
+            (F.col("src") >= lo) & (F.col("src") < hi)
+            & (F.col("dst") >= lo2) & (F.col("dst") < hi2)
+        )
+        if rule == "ln":
+            cond &= F.col("ln_a") < F.col("ln_b")
+        elif rule == "lt":
+            cond &= F.col("src") < F.col("dst")
+        piece = joined.filter(cond).select("src", "dst")
+        bands = piece if bands is None else bands.unionByName(piece)
+    return bands.distinct().select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.lit(1.0).alias("weight"),
     )
 
 
@@ -658,6 +739,89 @@ _SCC_ORACLE_SQL = f"""
     SELECT CAST(r1.a AS BIGINT) AS vtx, CAST(MIN(r1.b) AS BIGINT) AS component
     FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
     GROUP BY 1
+"""
+
+
+# bow-tie census: full reachability closure + mutual-reach SCCs, giant =
+# (max size, min label), regions by the same precedence as the operator
+_BOWTIE_ORACLE_SQL = f"""
+    WITH RECURSIVE d AS ({_WEB_SQL}),
+    verts AS (
+        -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0 applies
+        -- recursive setop semantics and a plain UNION keeps duplicates
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM d UNION ALL SELECT dst AS v FROM d
+        )
+    ),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src
+    ),
+    scc AS (
+        SELECT r1.a AS vtx, MIN(r1.b) AS component
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY 1
+    ),
+    giant AS (
+        SELECT component FROM scc GROUP BY component
+        ORDER BY COUNT(*) DESC, component ASC LIMIT 1
+    ),
+    core AS (
+        SELECT vtx AS v FROM scc
+        WHERE component = (SELECT component FROM giant)
+    ),
+    fwd AS (SELECT DISTINCT r.b AS v FROM reach r JOIN core c ON r.a = c.v),
+    bwd AS (SELECT DISTINCT r.a AS v FROM reach r JOIN core c ON r.b = c.v),
+    inset AS (SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM core)),
+    outset AS (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)),
+    f_in AS (
+        SELECT DISTINCT r.b AS v FROM reach r JOIN inset i ON r.a = i.v
+    ),
+    t_out AS (
+        SELECT DISTINCT r.a AS v FROM reach r JOIN outset o ON r.b = o.v
+    )
+    SELECT CAST(verts.v AS BIGINT) AS vtx,
+           CASE WHEN verts.v IN (SELECT v FROM core) THEN 'CORE'
+                WHEN verts.v IN (SELECT v FROM inset) THEN 'IN'
+                WHEN verts.v IN (SELECT v FROM outset) THEN 'OUT'
+                WHEN verts.v IN (SELECT v FROM f_in)
+                     AND verts.v IN (SELECT v FROM t_out) THEN 'TUBE'
+                WHEN verts.v IN (SELECT v FROM f_in) THEN 'TENDRIL_IN'
+                WHEN verts.v IN (SELECT v FROM t_out) THEN 'TENDRIL_OUT'
+                ELSE 'DISCONNECTED' END AS region
+    FROM verts
+"""
+
+
+# longest-path levels of the condensation DAG: enumerate every path of
+# the (finite, acyclic) contracted graph, keep the max length per vertex
+_TOPO_LEVELS_ORACLE_SQL = f"""
+    WITH RECURSIVE d AS ({_DPREC_SQL}),
+    verts AS (SELECT src AS v FROM d UNION SELECT dst AS v FROM d),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, d.dst FROM reach r JOIN d ON r.b = d.src
+    ),
+    scc AS (
+        SELECT r1.a AS vtx, MIN(r1.b) AS component
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY 1
+    ),
+    cond AS (
+        SELECT DISTINCT a.component AS src, b.component AS dst
+        FROM d JOIN scc a ON a.vtx = d.src JOIN scc b ON b.vtx = d.dst
+        WHERE a.component <> b.component
+    ),
+    cverts AS (SELECT src AS v FROM cond UNION SELECT dst AS v FROM cond),
+    p(v, len) AS (
+        SELECT v, 0 FROM cverts
+        UNION
+        SELECT cond.dst, p.len + 1 FROM p JOIN cond ON cond.src = p.v
+    )
+    SELECT CAST(v AS BIGINT) AS vtx, CAST(MAX(len) AS BIGINT) AS level
+    FROM p GROUP BY 1
 """
 
 
@@ -1646,6 +1810,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct cross-component edges, also a full-fixpoint hash
     q["condensation_dag"] = lambda s, d: condensation(_precedence_edges(s, d))
 
+    # longest-path levels of that condensation DAG (full fixpoint; the
+    # oracle enumerates every contracted path and keeps the max)
+    q["topo_levels_dag"] = lambda s, d: topological_levels(
+        condensation(_precedence_edges(s, d))
+    )
+
+    # Broder bow-tie census of the planted multi-band web graph — full
+    # fixpoint (SCC + 4 reachability closures), all 7 regions non-empty
+    q["bowtie_regions"] = lambda s, d: bowtie_decomposition(_web_edges(s, d))
+
     # sampled + hop-truncated betweenness (Brandes-Pich estimator from 3
     # landmark sources, paths of length <= 3) on the cc subgraph; sigma
     # path counts are exact integer doubles, dependencies identical IEEE
@@ -1821,6 +1995,8 @@ def oracle_sql() -> dict[str, str]:
     o["scc_precedence"] = _SCC_ORACLE_SQL
     o["condensation_dag"] = _CONDENSATION_ORACLE_SQL
     o["betweenness_s3_h3"] = _betweenness_oracle_sql([1, 7, 13], hops=3)
+    o["topo_levels_dag"] = _TOPO_LEVELS_ORACLE_SQL
+    o["bowtie_regions"] = _BOWTIE_ORACLE_SQL
     # explicit population-moment Pearson mirrors the engine exactly
     # (metrics.py uses covar_pop/stddev_pop + try_divide, not `corr`,
     # for ANSI-safe NULL on zero-variance graphs)

@@ -158,7 +158,11 @@ def main() -> None:
     from parallel_louvain_method_spark.operators.paths import (
         shortest_paths_rounds,
     )
+    from parallel_louvain_method_spark.operators.dag import (
+        topological_levels,
+    )
     from parallel_louvain_method_spark.operators.scc import (
+        bowtie_decomposition,
         strongly_connected_components,
     )
     from parallel_louvain_method_spark.operators.mis import (
@@ -426,6 +430,24 @@ def main() -> None:
         lambda: betweenness_centrality(
             repo_edges, [0, 1, 2, 3, 4, 5, 6, 7], max_hops=4
         ).count(),
+    )
+    # Broder bow-tie census of the random orientation (SCC + 4
+    # reachability closures)
+    timed(
+        "bowtie_randor_repo",
+        lambda: bowtie_decomposition(directed_repo).count(),
+    )
+    # longest-path layering on a 16-layer hash-sliced DAG of the repo
+    # graph (layer(v) = hash(v) % 16, edges only layer -> layer+1: depth
+    # bounded by construction, so the row times the max-propagation
+    # rounds, not an unbounded longest path)
+    layered_dag = repo_edges.filter(
+        F.pmod(F.hash("dst"), F.lit(16))
+        == F.pmod(F.hash("src"), F.lit(16)) + 1
+    ).select("src", "dst")
+    timed(
+        "topo_levels_layered_repo",
+        lambda: topological_levels(layered_dag).count(),
     )
 
     if not only or "minhash_dedup_corpus" in only:

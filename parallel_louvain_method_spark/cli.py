@@ -199,6 +199,24 @@ def main(argv: list[str] | None = None) -> int:
         "components labeled by min member id) instead of vertex labels",
     )
 
+    bt = sub.add_parser(
+        "bowtie",
+        help="Broder bow-tie census of the directed graph (CORE/IN/OUT/"
+        "TUBE/TENDRIL_IN/TENDRIL_OUT/DISCONNECTED relative to the giant "
+        "SCC)",
+    )
+    bt.add_argument("--edges", required=True)
+    bt.add_argument("--out", required=True)
+    bt.add_argument("--max-iter", type=int, default=None)
+
+    tp = sub.add_parser(
+        "topo",
+        help="longest-path topological levels of a DAG (raises on "
+        "cycles; run `scc --condensation` first to collapse them)",
+    )
+    tp.add_argument("--edges", required=True)
+    tp.add_argument("--out", required=True)
+
     bw = sub.add_parser(
         "betweenness",
         help="sampled / hop-truncated betweenness centrality "
@@ -606,6 +624,37 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+    elif args.cmd == "bowtie":
+        from parallel_louvain_method_spark.operators.scc import (
+            bowtie_decomposition,
+        )
+
+        regions = bowtie_decomposition(
+            read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+        )
+        regions.write.mode("overwrite").parquet(args.out)
+        regions = spark.read.parquet(args.out)
+        counts = {
+            r["region"]: r["count"]
+            for r in regions.groupBy("region").count().collect()
+        }
+        print(json.dumps({"regions": counts}, sort_keys=True))
+    elif args.cmd == "topo":
+        from parallel_louvain_method_spark.operators.dag import (
+            topological_levels,
+        )
+
+        levels = topological_levels(read_edge_parquet(spark, args.edges))
+        levels.write.mode("overwrite").parquet(args.out)
+        levels = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "vertices": levels.count(),
+                    "depth": int(levels.agg(F.max("level")).first()[0] or 0),
+                }
+            )
+        )
     elif args.cmd == "betweenness":
         from parallel_louvain_method_spark.operators.betweenness import (
             betweenness_centrality,

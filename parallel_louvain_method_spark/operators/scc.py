@@ -238,6 +238,100 @@ def strongly_connected_components(
     )
 
 
+def _closure(rel: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Frontier-BFS reachability closure along ``rel`` (``src → dst``)
+    from ``seeds [vtx]``: ``DataFrame[vtx]`` including the seeds.
+    O(diameter) rounds, each one equi-join + anti-join."""
+    reached = fresh_checkpoint(seeds.select("vtx").distinct())
+    frontier = reached
+    while True:
+        new = fresh_checkpoint(
+            rel.join(
+                frontier.withColumnRenamed("vtx", "src"), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("vtx"))
+            .distinct()
+            .join(reached, "vtx", "left_anti")
+        )
+        if new.count() == 0:
+            return reached
+        reached = fresh_checkpoint(reached.unionByName(new))
+        frontier = new
+
+
+def bowtie_decomposition(
+    edges: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """Broder et al. bow-tie structure of a directed (web) graph:
+    ``DataFrame[vtx: long, region: string]`` labeling every vertex
+    relative to the LARGEST SCC (ties broken by min component label):
+
+    - ``CORE``        — the giant SCC itself;
+    - ``IN``          — reaches the core, not in it;
+    - ``OUT``         — reachable from the core, not in it;
+    - ``TUBE``        — reachable from IN and reaches OUT, avoiding the
+                        core (any IN→v path through the core would make
+                        v OUT, so full-graph closures need no residual
+                        filtering — precedence does it);
+    - ``TENDRIL_IN``  — reachable from IN only;
+    - ``TENDRIL_OUT`` — reaches OUT only;
+    - ``DISCONNECTED`` — none of the above.
+
+    The classic whole-corpus link-graph census ("Graph structure in the
+    Web", Broder et al. 2000).  Cost: one SCC decomposition + four
+    frontier-BFS closures (forward/backward from the core, forward from
+    IN, backward from OUT) — every step an equi-join, O(diameter)
+    rounds each, nothing collected driver-side but the 1-row giant pick.
+    """
+    comp = strongly_connected_components(edges, max_iter=max_iter)
+    comp = fresh_checkpoint(comp)
+    giant_row = (
+        comp.groupBy("component")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("component").asc())
+        .first()
+    )
+    verts = comp.select("vtx")
+    if giant_row is None:
+        return verts.select(
+            F.col("vtx").cast("long"), F.lit("DISCONNECTED").alias("region")
+        )
+    giant = giant_row["component"]
+    core = comp.filter(F.col("component") == giant).select("vtx")
+    rel = fresh_checkpoint(_simple_directed(edges))
+    rev = rel.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    fwd = _closure(rel, core)          # core ∪ OUT
+    bwd = _closure(rev, core)          # core ∪ IN
+    in_set = bwd.join(core, "vtx", "left_anti")
+    out_set = fwd.join(core, "vtx", "left_anti")
+    f_in = _closure(rel, in_set)       # reachable from IN (incl. IN)
+    t_out = _closure(rev, out_set)     # reaches OUT (incl. OUT)
+
+    def _flag(s: DataFrame, name: str) -> DataFrame:
+        return s.select("vtx", F.lit(True).alias(name))
+
+    return (
+        verts.join(_flag(core, "is_core"), "vtx", "left")
+        .join(_flag(in_set, "is_in"), "vtx", "left")
+        .join(_flag(out_set, "is_out"), "vtx", "left")
+        .join(_flag(f_in, "from_in"), "vtx", "left")
+        .join(_flag(t_out, "to_out"), "vtx", "left")
+        .select(
+            F.col("vtx").cast("long"),
+            F.when(F.col("is_core"), "CORE")
+            .when(F.col("is_in"), "IN")
+            .when(F.col("is_out"), "OUT")
+            .when(F.col("from_in") & F.col("to_out"), "TUBE")
+            .when(F.col("from_in"), "TENDRIL_IN")
+            .when(F.col("to_out"), "TENDRIL_OUT")
+            .otherwise("DISCONNECTED")
+            .alias("region"),
+        )
+    )
+
+
 def condensation(
     edges: DataFrame, max_iter: int | None = None
 ) -> DataFrame:

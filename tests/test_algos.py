@@ -1614,3 +1614,176 @@ def test_scc_condensation(spark):
     dag_df = spark.createDataFrame(dag, "src long, dst long")
     comps = strongly_connected_components(dag_df).collect()
     assert all(r["vtx"] == r["component"] for r in comps)
+
+
+def test_topological_levels(spark):
+    from parallel_louvain_method_spark.operators.dag import (
+        topological_levels,
+    )
+    from parallel_louvain_method_spark.operators.scc import condensation
+
+    # diamond with a long arm: longest path wins the level
+    #   0 -> 1 -> 3 -> 4,  0 -> 2 -> 4,  5 isolated-source -> 1
+    dag = [(0, 1), (1, 3), (3, 4), (0, 2), (2, 4), (5, 1)]
+    df = spark.createDataFrame(dag, "src long, dst long")
+    got = {
+        r["vtx"]: r["level"] for r in topological_levels(df).collect()
+    }
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    with pytest.raises(ValueError, match="self-loop"):
+        topological_levels(
+            spark.createDataFrame([(0, 0)], "src long, dst long")
+        )
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(
+            spark.createDataFrame(
+                [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+            )
+        )
+
+    # the intended pipeline: cycles collapse via condensation first
+    cyc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0), (3, 4, 1.0),
+         (4, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    lv = {
+        r["vtx"]: r["level"]
+        for r in topological_levels(condensation(cyc)).collect()
+    }
+    assert lv == {0: 0, 3: 1}
+
+    # one giant SCC condenses to the EMPTY DAG -> empty levels, not the
+    # cycle error (regression: range(0) used to fall through to raise)
+    one_scc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    assert topological_levels(condensation(one_scc)).count() == 0
+
+
+def _py_bowtie(edge_pairs):
+    """Independent bow-tie oracle: per-vertex BFS reachability sets +
+    Tarjan-free SCC via mutual reachability."""
+    from collections import deque
+
+    adj: dict = {}
+    radj: dict = {}
+    verts = set()
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        verts |= {a, b}
+        adj.setdefault(a, set()).add(b)
+        radj.setdefault(b, set()).add(a)
+
+    def bfs(starts, graph):
+        seen = set(starts)
+        q = deque(starts)
+        while q:
+            u = q.popleft()
+            for v in graph.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        return seen
+
+    fwd_of = {v: bfs([v], adj) for v in verts}
+    sccs: dict = {}
+    for v in verts:
+        members = frozenset(
+            u for u in fwd_of[v] if v in fwd_of.get(u, set())
+        )
+        sccs[v] = members
+    giant = min(
+        (m for m in sccs.values()),
+        key=lambda m: (-len(m), min(m)),
+    )
+    core = set(giant)
+    fwd = bfs(core, adj)
+    bwd = bfs(core, radj)
+    in_set = bwd - core
+    out_set = fwd - core
+    f_in = bfs(in_set, adj) if in_set else set()
+    t_out = bfs(out_set, radj) if out_set else set()
+    out = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif v in in_set:
+            out[v] = "IN"
+        elif v in out_set:
+            out[v] = "OUT"
+        elif v in f_in and v in t_out:
+            out[v] = "TUBE"
+        elif v in f_in:
+            out[v] = "TENDRIL_IN"
+        elif v in t_out:
+            out[v] = "TENDRIL_OUT"
+        else:
+            out[v] = "DISCONNECTED"
+    return out
+
+
+def test_bowtie_decomposition(spark):
+    from parallel_louvain_method_spark.operators.scc import (
+        bowtie_decomposition,
+    )
+
+    # hand-built graph exercising all 7 regions:
+    #   core 3-cycle {0,1,2}; IN 10->11->0; OUT 2->20->21;
+    #   tube 11->30->20; tendril-in 11->40; tendril-out 50->20;
+    #   disconnected pair 60->61
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (10, 11), (11, 0),
+        (2, 20), (20, 21),
+        (11, 30), (30, 20),
+        (11, 40),
+        (50, 20),
+        (60, 61),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    got = {
+        r["vtx"]: r["region"]
+        for r in bowtie_decomposition(df).collect()
+    }
+    want = _py_bowtie(edges)
+    assert got == want
+    assert want == {
+        0: "CORE", 1: "CORE", 2: "CORE",
+        10: "IN", 11: "IN",
+        20: "OUT", 21: "OUT",
+        30: "TUBE",
+        40: "TENDRIL_IN",
+        50: "TENDRIL_OUT",
+        60: "DISCONNECTED", 61: "DISCONNECTED",
+    }
+
+
+def test_bowtie_random(spark):
+    """Random directed graph vs the independent python oracle (regions
+    emerge organically rather than by construction)."""
+    from parallel_louvain_method_spark.operators.scc import (
+        bowtie_decomposition,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 45
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 110), rng.integers(0, n, 110))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    got = {
+        r["vtx"]: r["region"] for r in bowtie_decomposition(df).collect()
+    }
+    assert got == _py_bowtie(pairs)

@@ -323,6 +323,17 @@ def test_cli_paths_scc_betweenness_subcommands(spark, tmp_path, golden16_df, cap
     )
     assert dag == [(0, 3), (3, 6)]
 
+    out5 = str(tmp_path / "bowtie")
+    assert main(["bowtie", "--edges", dedges, "--out", out5]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # giant pick ties at size 3 -> min label {0,1,2}; {3,4,5} becomes OUT
+    assert report == {"regions": {"CORE": 3, "OUT": 4}}
+
+    out6 = str(tmp_path / "topo")
+    assert main(["topo", "--edges", out3, "--out", out6]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"vertices": 3, "depth": 2}
+
     out4 = str(tmp_path / "btw")
     assert main([
         "betweenness", "--edges", edges_path, "--out", out4,
