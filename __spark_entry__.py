@@ -45,6 +45,7 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_lsh,
 )
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
+from parallel_louvain_method_spark.operators.msf import msf_rounds
 from parallel_louvain_method_spark.operators.metrics import (
     closeness_centrality,
     degree_assortativity,
@@ -1501,6 +1502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k=80 on the part-pair graph cascades 2000 -> 1903 -> 1878 -> 1865 at
     # sf0.01, so both oracled rounds do real work
     q["kcore80_peel2"] = lambda s, d: kcore_peel(_part_pairs(s, d), k=80, rounds=2)
+    # fixed-round Boruvka twin of minimum_spanning_forest() (A32): forest
+    # edges picked in rounds 1+2 on the weighted customer—part subgraph;
+    # weights ride MIN only (no arithmetic), so the hashes are bit-exact
+    q["msf_rounds2"] = lambda s, d: msf_rounds(_cc_edges(s, d), rounds=2)
     # no rounding needed: Spark and the oracle evaluate the literally same
     # IEEE expression (2.0·tri / (d·(d−1)) on exactly-representable ints)
     q["clustering_coeff"] = lambda s, d: clustering_coefficient(
@@ -1855,6 +1860,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src
                   JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    # Boruvka rounds 1+2: round 1 needs no labels (every vertex is its own
+    # component); the contraction closure is the connected_components
+    # recursive-CTE shape restricted to the round-1 picked pseudo-forest
+    o["msf_rounds2"] = f"""
+        WITH RECURSIVE rel AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   MIN(CAST(weight AS DOUBLE)) AS w
+            FROM ({_CC_EDGES_SQL}) WHERE src <> dst GROUP BY 1, 2
+        ),
+        cand1 AS (
+            SELECT comp, w, a, b,
+                   ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b)
+                       AS rn
+            FROM (SELECT a AS comp, w, a, b FROM rel
+                  UNION ALL SELECT b, w, a, b FROM rel)
+        ),
+        picked1 AS (SELECT DISTINCT w, a, b FROM cand1 WHERE rn = 1),
+        psym AS (
+            SELECT a AS s, b AS d FROM picked1
+            UNION SELECT b, a FROM picked1
+        ),
+        cl(v, label) AS (
+            SELECT s, s FROM psym UNION SELECT d, d FROM psym
+            UNION
+            SELECT p.s, c.label FROM cl c JOIN psym p ON c.v = p.d
+            WHERE c.label < p.s
+        ),
+        lab1 AS (SELECT v, MIN(label) AS lbl FROM cl GROUP BY v),
+        cross2 AS (
+            SELECT r.a, r.b, r.w, la.lbl AS la, lb.lbl AS lb
+            FROM rel r JOIN lab1 la ON r.a = la.v
+                       JOIN lab1 lb ON r.b = lb.v
+            WHERE la.lbl <> lb.lbl
+        ),
+        cand2 AS (
+            SELECT comp, w, a, b,
+                   ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b)
+                       AS rn
+            FROM (SELECT la AS comp, w, a, b FROM cross2
+                  UNION ALL SELECT lb, w, a, b FROM cross2)
+        ),
+        picked2 AS (SELECT DISTINCT w, a, b FROM cand2 WHERE rn = 1)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(w AS DOUBLE) AS w
+        FROM (SELECT * FROM picked1 UNION SELECT * FROM picked2) u
     """
     o["kcore80_peel2"] = f"""
         WITH p AS ({_PART_PAIRS_SQL}),

@@ -152,6 +152,9 @@ def main() -> None:
         knn_lsh,
     )
     from parallel_louvain_method_spark.operators.kcore import kcore
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
     from parallel_louvain_method_spark.operators.betweenness import (
         betweenness_centrality,
     )
@@ -355,6 +358,10 @@ def main() -> None:
     timed("connected_components", lambda: connected_components(file_edges).count())
     timed("triangle_count_repo", lambda: triangle_count(repo_edges))
     timed("kcore10_file_graph", lambda: kcore(file_edges, k=10).count())
+    timed(
+        "msf_file_graph",
+        lambda: minimum_spanning_forest(file_edges).count(),
+    )
     timed(
         "clustering_coeff_repo",
         lambda: clustering_coefficient(repo_edges).count(),

@@ -155,6 +155,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--max-iter", type=int, default=None)
 
+    ms = sub.add_parser(
+        "msf", help="minimum spanning forest (Boruvka rounds)"
+    )
+    ms.add_argument("--edges", required=True)
+    ms.add_argument("--out", required=True)
+    ms.add_argument(
+        "--max-iter",
+        type=int,
+        default=None,
+        help="optional bound on Boruvka rounds (raises if exhausted "
+        "before the fixpoint; default: run to fixpoint, <= log2(|V|) "
+        "rounds — components at least halve per round)",
+    )
+
     sp = sub.add_parser(
         "sssp",
         help="multi-source shortest paths (Bellman-Ford relaxation rounds)",
@@ -567,6 +581,26 @@ def main(argv: list[str] | None = None) -> int:
                     "vertices": cores.count(),
                     "max_coreness": int(
                         cores.agg(F.max("coreness")).first()[0] or 0
+                    ),
+                }
+            )
+        )
+    elif args.cmd == "msf":
+        from parallel_louvain_method_spark.operators.msf import (
+            minimum_spanning_forest,
+        )
+
+        forest = minimum_spanning_forest(
+            read_edge_parquet(spark, args.edges), max_iter=args.max_iter
+        )
+        forest.write.mode("overwrite").parquet(args.out)
+        forest = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "forest_edges": forest.count(),
+                    "total_weight": float(
+                        forest.agg(F.sum("w")).first()[0] or 0.0
                     ),
                 }
             )

@@ -1787,3 +1787,141 @@ def test_bowtie_random(spark):
         r["vtx"]: r["region"] for r in bowtie_decomposition(df).collect()
     }
     assert got == _py_bowtie(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka) — A32
+
+
+def _kruskal(canon):
+    """Independent union-find Kruskal under the (w, a, b) total order.
+
+    ``canon``: iterable of (a, b, w) with a < b, already simple.
+    Returns the forest as a set of (a, b, w).
+    """
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for w, a, b in sorted((w, a, b) for a, b, w in canon):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            forest.add((a, b, w))
+    return forest
+
+
+def _canon_pairs(edges):
+    """Canonical simple (a, b, w) from raw (src, dst, w) rows."""
+    best = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        if k not in best or w < best[k]:
+            best[k] = w
+    return [(a, b, w) for (a, b), w in best.items()]
+
+
+def test_msf_golden16(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
+
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(golden16_df).collect()
+    }
+    want = _kruskal(_canon_pairs([(a, b, 1.0) for a, b in GOLDEN16_EDGES]))
+    assert got == want
+    # golden16 is connected with 16 vertices -> exactly 15 forest edges
+    assert len(got) == 15
+
+
+def test_msf_weighted_random_vs_kruskal(spark):
+    """Seeded random graph with DUPLICATE weights (small integer pool) —
+    the (w, a, b) tie-break must make both engines agree exactly."""
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+        msf_rounds,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 60
+    raw = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(
+            rng.integers(0, n, 220),
+            rng.integers(0, n, 220),
+            rng.integers(1, 6, 220),  # weights 1..5: many ties
+        )
+    ]
+    df = spark.createDataFrame(raw, "src long, dst long, weight double")
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+    want = _kruskal(_canon_pairs(raw))
+    assert got == want
+    # fixed-round prefix is always a subset of the full forest
+    r1 = {(r["a"], r["b"], r["w"]) for r in msf_rounds(df, 1).collect()}
+    assert r1 <= got and len(r1) > 0
+    # enough rounds == the fixpoint (components at least halve per round)
+    r9 = {(r["a"], r["b"], r["w"]) for r in msf_rounds(df, 9).collect()}
+    assert r9 == got
+
+
+def test_msf_disconnected_and_parallel_edges(spark):
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
+
+    raw = [
+        # component {0,1,2}: triangle with a parallel heavier edge + loop
+        (0, 1, 1.0), (1, 0, 9.0), (1, 2, 2.0), (0, 2, 3.0), (2, 2, 0.1),
+        # component {10,11}
+        (10, 11, 5.0),
+    ]
+    df = spark.createDataFrame(raw, "src long, dst long, weight double")
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+    assert got == {(0, 1, 1.0), (1, 2, 2.0), (10, 11, 5.0)}
+
+
+def test_msf_determinism_and_empty(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
+
+    a = sorted(minimum_spanning_forest(golden16_df).collect())
+    b = sorted(minimum_spanning_forest(golden16_df).collect())
+    assert a == b
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert minimum_spanning_forest(empty).count() == 0
+
+
+def test_msf_max_iter_raise(spark):
+    """Path 0-1(w1) 1-2(w3) 2-3(w2): round 1 merges {0,1} and {2,3},
+    round 2 picks the middle edge — max_iter=2 exhausts before the empty
+    cross-edge check, max_iter=3 converges."""
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+    )
+
+    raw = [(0, 1, 1.0), (1, 2, 3.0), (2, 3, 2.0)]
+    df = spark.createDataFrame(raw, "src long, dst long, weight double")
+    with pytest.raises(RuntimeError, match="Boruvka"):
+        minimum_spanning_forest(df, max_iter=2)
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(df, max_iter=3).collect()
+    }
+    assert got == {(0, 1, 1.0), (1, 2, 3.0), (2, 3, 2.0)}

@@ -421,24 +421,33 @@ def test_pipeline_caches_release(spark, docs, embeddings):
         return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
 
     # the module fixtures persist lazily — force their caches to exist
-    # BEFORE the baseline or they'd show up as false leaks
+    # BEFORE the baselines or they'd show up as false leaks
     docs.count()
     embeddings.count()
-    before = persistent_ids()
     # one representative — ngram grams, simhash sigs and the knn base
     # follow the same localCheckpoint pattern; release latency is ~30 s
     # per RDD (py4j finalizer + ContextCleaner), so testing each would
     # multiply it
-    pairs = D.minhash_lsh_pairs(docs.limit(50), threshold=0.3)
-    pairs.count()
-    assert persistent_ids() - before, "expected a live checkpoint RDD"
-    del pairs
-    deadline = time.time() + 90
-    while time.time() < deadline and not persistent_ids() <= before:
-        gc.collect()
-        spark._jvm.System.gc()
-        time.sleep(0.5)
-    leaked = persistent_ids() - before
+    # two attempts, each against its own baseline: a reintroduced
+    # session-lifetime persist() leaks on EVERY attempt, while py4j's
+    # rare lost-detach race (a dropped finalizer detach pins that one
+    # JVM object for the rest of the run — observed ~1/10 runs under
+    # load) poisons at most the attempt it struck
+    leaked = None
+    for _attempt in range(2):
+        base = persistent_ids()
+        pairs = D.minhash_lsh_pairs(docs.limit(50), threshold=0.3)
+        pairs.count()
+        assert persistent_ids() - base, "expected a live checkpoint RDD"
+        del pairs
+        deadline = time.time() + 90
+        while time.time() < deadline and not persistent_ids() <= base:
+            gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(0.5)
+        leaked = persistent_ids() - base
+        if not leaked:
+            break
     assert not leaked, leaked
 
 

@@ -111,6 +111,12 @@ def test_cli_louvain_sql_skew_salt(spark, tmp_path, golden16_df):
         for r in spark.read.parquet(out_cn).collect()
     }
     assert {v for v, c in cores.items() if c >= 2} == set(range(15))
+    # msf subcommand: golden16 is connected -> exactly 15 forest edges
+    out_ms = str(tmp_path / "msf")
+    assert main(["msf", "--edges", edges_path, "--out", out_ms]) == 0
+    forest = spark.read.parquet(out_ms)
+    assert forest.count() == 15
+    assert set(forest.columns) == {"a", "b", "w"}
 
 
 def test_cli_pipeline_subcommands(spark, tmp_path):
