@@ -45,7 +45,10 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_lsh,
 )
 from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
-from parallel_louvain_method_spark.operators.msf import msf_rounds
+from parallel_louvain_method_spark.operators.msf import (
+    msf_rounds,
+    single_linkage,
+)
 from parallel_louvain_method_spark.operators.metrics import (
     closeness_centrality,
     degree_assortativity,
@@ -1506,6 +1509,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # edges picked in rounds 1+2 on the weighted customer—part subgraph;
     # weights ride MIN only (no arithmetic), so the hashes are bit-exact
     q["msf_rounds2"] = lambda s, d: msf_rounds(_cc_edges(s, d), rounds=2)
+    # single-linkage cut at distance 0.75 over the INVERTED weights
+    # (1/weight as distance: weight>=2 pairs are "close") — the light
+    # graph is sparse so most vertices land in singleton clusters, which
+    # exercises the isolated-vertex path; the Spark side cuts the FULL
+    # Boruvka fixpoint forest while the oracle closes over the raw light
+    # edges directly, so a hash match cross-validates the entire MSF via
+    # the Kruskal single-linkage property (components of {w<=t} ==
+    # components of MSF edges with w<=t)
+    q["single_linkage_d075"] = lambda s, d: single_linkage(
+        _cc_edges(s, d).withColumn(
+            "weight", F.lit(1.0) / F.col("weight")
+        ),
+        threshold=0.75,
+    )
     # no rounding needed: Spark and the oracle evaluate the literally same
     # IEEE expression (2.0·tri / (d·(d−1)) on exactly-representable ints)
     q["clustering_coeff"] = lambda s, d: clustering_coefficient(
@@ -1906,6 +1923,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                CAST(w AS DOUBLE) AS w
         FROM (SELECT * FROM picked1 UNION SELECT * FROM picked2) u
+    """
+    # single-linkage oracle: min-label closure over the raw light edges
+    # (w = 1/weight <= 0.75) — NO MSF involved, so the match proves the
+    # Spark side's full Boruvka fixpoint via the Kruskal cut property
+    o["single_linkage_d075"] = f"""
+        WITH RECURSIVE base AS (
+            SELECT src, dst, 1.0 / weight AS d FROM ({_CC_EDGES_SQL})
+        ),
+        verts AS (
+            -- explicit DISTINCT subselect: inside WITH RECURSIVE, DuckDB
+            -- gives ANY top-level-UNION cte recursive anchor/step
+            -- semantics, which here dropped the dedup (23462 rows)
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM base UNION ALL SELECT dst FROM base
+            )
+        ),
+        rel AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   MIN(d) AS w
+            FROM base WHERE src <> dst GROUP BY 1, 2
+        ),
+        light AS (SELECT a, b FROM rel WHERE w <= 0.75),
+        sym AS (
+            SELECT a AS s, b AS t FROM light UNION SELECT b, a FROM light
+        ),
+        cc(v, label) AS (
+            SELECT s, s FROM sym UNION SELECT t, t FROM sym
+            UNION
+            SELECT s.s, c.label FROM cc c JOIN sym s ON c.v = s.t
+            WHERE c.label < s.s
+        ),
+        lab AS (SELECT v, MIN(label) AS lbl FROM cc GROUP BY v)
+        SELECT CAST(verts.v AS BIGINT) AS vtx,
+               CAST(COALESCE(lab.lbl, verts.v) AS BIGINT) AS cluster
+        FROM verts LEFT JOIN lab ON verts.v = lab.v
     """
     o["kcore80_peel2"] = f"""
         WITH p AS ({_PART_PAIRS_SQL}),

@@ -168,6 +168,18 @@ def main(argv: list[str] | None = None) -> int:
         "before the fixpoint; default: run to fixpoint, <= log2(|V|) "
         "rounds — components at least halve per round)",
     )
+    ms.add_argument(
+        "--cut",
+        type=float,
+        default=None,
+        help="also emit the single-linkage clustering at this distance "
+        "threshold (clusters = components of forest edges with w <= cut)",
+    )
+    ms.add_argument(
+        "--clusters-out",
+        default=None,
+        help="output path for the --cut clustering (required with --cut)",
+    )
 
     sp = sub.add_parser(
         "sssp",
@@ -588,23 +600,28 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "msf":
         from parallel_louvain_method_spark.operators.msf import (
             minimum_spanning_forest,
+            single_linkage,
         )
 
-        forest = minimum_spanning_forest(
-            read_edge_parquet(spark, args.edges), max_iter=args.max_iter
-        )
+        if args.cut is not None and not args.clusters_out:
+            raise SystemExit("--cut requires --clusters-out")
+        edges_df = read_edge_parquet(spark, args.edges)
+        forest = minimum_spanning_forest(edges_df, max_iter=args.max_iter)
         forest.write.mode("overwrite").parquet(args.out)
         forest = spark.read.parquet(args.out)
-        print(
-            json.dumps(
-                {
-                    "forest_edges": forest.count(),
-                    "total_weight": float(
-                        forest.agg(F.sum("w")).first()[0] or 0.0
-                    ),
-                }
-            )
-        )
+        stats = {
+            "forest_edges": forest.count(),
+            "total_weight": float(
+                forest.agg(F.sum("w")).first()[0] or 0.0
+            ),
+        }
+        if args.cut is not None:
+            clusters = single_linkage(edges_df, args.cut, forest=forest)
+            clusters.write.mode("overwrite").parquet(args.clusters_out)
+            clusters = spark.read.parquet(args.clusters_out)
+            stats["cut"] = args.cut
+            stats["clusters"] = clusters.select("cluster").distinct().count()
+        print(json.dumps(stats))
     elif args.cmd == "sssp":
         from parallel_louvain_method_spark.operators.paths import (
             shortest_paths,

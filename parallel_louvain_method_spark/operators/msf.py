@@ -169,6 +169,51 @@ def minimum_spanning_forest(
     )
 
 
+def single_linkage(
+    edges: DataFrame,
+    threshold: float,
+    forest: DataFrame | None = None,
+    max_iter: int | None = None,
+) -> DataFrame:
+    """Single-linkage flat clustering at distance ``threshold``:
+    ``DataFrame[vtx: long, cluster: long]`` where two vertices share a
+    cluster iff some path connects them using only edges of weight
+    ``<= threshold`` (weights are DISTANCES here — invert similarities
+    first), and ``cluster`` is the min vertex id of the cluster (the
+    :func:`~parallel_louvain_method_spark.operators.components
+    .connected_components` label convention).  Every vertex of the raw
+    edge table appears; vertices with no light edge are singleton
+    clusters.
+
+    The classic Kruskal/single-linkage property: for ANY cut height t,
+    the components of ``{e : w(e) <= t}`` equal the components of the
+    MSF edges of weight ``<= t`` — so one
+    :func:`minimum_spanning_forest` (``|V|-#components`` edges, the
+    whole dendrogram) serves every threshold.  Pass a precomputed
+    ``forest`` to amortize repeated cuts; the filter+components step
+    touches only forest rows, never the full edge table.
+    """
+    verts = (
+        edges.select(F.col("src").cast("long").alias("v"))
+        .unionAll(edges.select(F.col("dst").cast("long").alias("v")))
+        .distinct()
+    )
+    if forest is None:
+        forest = minimum_spanning_forest(edges, max_iter=max_iter)
+    light = forest.filter(F.col("w") <= F.lit(float(threshold)))
+    comp = connected_components(
+        light.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.col("w").alias("weight"),
+        )
+    )
+    return verts.join(comp, verts.v == comp.vtx, "left").select(
+        verts.v.alias("vtx"),
+        F.coalesce(comp.component, verts.v).alias("cluster"),
+    )
+
+
 def msf_rounds(edges: DataFrame, rounds: int) -> DataFrame:
     """Forest edges picked in the first ``rounds`` Boruvka rounds (a
     subset of the full MSF — NOT necessarily spanning) — the

@@ -1908,6 +1908,65 @@ def test_msf_determinism_and_empty(spark, golden16_df):
     assert minimum_spanning_forest(empty).count() == 0
 
 
+def _py_single_linkage(raw, t):
+    """Union-find over the raw edges with weight <= t (the single-linkage
+    DEFINITION — no MSF involved); min-label clusters over every vertex
+    that appears in the raw table (self-loops included)."""
+    verts = {v for s, d, _ in raw for v in (s, d)}
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, w in raw:
+        if s != d and w <= t:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+    label = {}
+    for v in verts:
+        r = find(v)
+        label.setdefault(r, set()).add(v)
+    return {v: min(members) for members in label.values() for v in members}
+
+
+def test_single_linkage_vs_python(spark):
+    from parallel_louvain_method_spark.operators.msf import (
+        minimum_spanning_forest,
+        single_linkage,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 50
+    raw = [
+        (int(a), int(b), float(w) / 4.0)
+        for a, b, w in zip(
+            rng.integers(0, n, 150),
+            rng.integers(0, n, 150),
+            rng.integers(1, 9, 150),
+        )
+    ]
+    # a self-loop-only vertex must still appear, as a singleton
+    raw.append((97, 97, 0.1))
+    df = spark.createDataFrame(raw, "src long, dst long, weight double")
+    for t in (0.25, 0.75, 1.5, 5.0):
+        got = {
+            r["vtx"]: r["cluster"]
+            for r in single_linkage(df, threshold=t).collect()
+        }
+        assert got == _py_single_linkage(raw, t), t
+    # forest reuse across cuts: identical result, MSF computed once
+    forest = minimum_spanning_forest(df)
+    got = {
+        r["vtx"]: r["cluster"]
+        for r in single_linkage(df, threshold=0.75, forest=forest).collect()
+    }
+    assert got == _py_single_linkage(raw, 0.75)
+
+
 def test_msf_max_iter_raise(spark):
     """Path 0-1(w1) 1-2(w3) 2-3(w2): round 1 merges {0,1} and {2,3},
     round 2 picks the middle edge — max_iter=2 exhausts before the empty

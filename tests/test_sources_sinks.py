@@ -111,12 +111,18 @@ def test_cli_louvain_sql_skew_salt(spark, tmp_path, golden16_df):
         for r in spark.read.parquet(out_cn).collect()
     }
     assert {v for v, c in cores.items() if c >= 2} == set(range(15))
-    # msf subcommand: golden16 is connected -> exactly 15 forest edges
+    # msf subcommand: golden16 is connected -> exactly 15 forest edges;
+    # unit weights, so the cut at 1.0 is one 16-vertex cluster
     out_ms = str(tmp_path / "msf")
-    assert main(["msf", "--edges", edges_path, "--out", out_ms]) == 0
+    out_cl = str(tmp_path / "msf_clusters")
+    assert main(["msf", "--edges", edges_path, "--out", out_ms,
+                 "--cut", "1.0", "--clusters-out", out_cl]) == 0
     forest = spark.read.parquet(out_ms)
     assert forest.count() == 15
     assert set(forest.columns) == {"a", "b", "w"}
+    clusters = spark.read.parquet(out_cl)
+    assert clusters.count() == 16
+    assert clusters.select("cluster").distinct().count() == 1
 
 
 def test_cli_pipeline_subcommands(spark, tmp_path):
