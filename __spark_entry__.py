@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from parallel_louvain_method_spark.operators import graph as G
 from parallel_louvain_method_spark.operators import text as T
 from parallel_louvain_method_spark.operators import dedup as D
-from parallel_louvain_method_spark.operators.components import connected_components
+from parallel_louvain_method_spark.operators.components import (
+    component_size_histogram,
+    connected_components,
+)
 from parallel_louvain_method_spark.operators.labelprop import label_propagation
 from parallel_louvain_method_spark.operators.louvain import louvain
 from parallel_louvain_method_spark.operators.pagerank import pagerank
@@ -59,9 +62,11 @@ from parallel_louvain_method_spark.operators.metrics import (
 from parallel_louvain_method_spark.operators.spectral import (
     eigenvector_centrality,
     hits,
+    katz_centrality,
 )
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
+    four_cycle_count,
     triangle_count,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
@@ -1364,6 +1369,39 @@ def _unrolled_eigen_sql(k: int = 2) -> str:
     return "\n".join(parts)
 
 
+def _unrolled_katz_sql(k: int = 3, beta: float = 0.05) -> str:
+    """Fixed-k truncated Katz series on the symmetrized part-pair graph —
+    twin of ``katz_centrality`` (operators/spectral.py) with ``tol=None``:
+    walk term ``c_i = β·A·c_{i-1}`` (sparse, zero-filled into the
+    accumulator exactly like the Spark left join)."""
+    parts = [
+        f"WITH base AS MATERIALIZED ({_PART_PAIRS_SQL}),",
+        """sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION ALL SELECT dst AS src, src AS dst, weight FROM base
+            )
+        ),""",
+        "v AS (SELECT DISTINCT src AS vtx FROM sym),",
+        "c0 AS (SELECT vtx, 1.0 AS c FROM v),",
+        "a0 AS (SELECT vtx, 0.0 AS katz FROM v),",
+    ]
+    for i in range(k):
+        parts.append(
+            f"""c{i + 1} AS (
+              SELECT e.dst AS vtx, {beta} * SUM(e.weight * c.c) AS c
+              FROM sym e JOIN c{i} c ON e.src = c.vtx GROUP BY 1
+            ),
+            a{i + 1} AS (
+              SELECT a.vtx, a.katz + COALESCE(c{i + 1}.c, 0.0) AS katz
+              FROM a{i} a LEFT JOIN c{i + 1} ON c{i + 1}.vtx = a.vtx
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip(",\n )") + ")"
+    parts.append(f"SELECT vtx, ROUND(katz, 8) AS katz FROM a{k}")
+    return "\n".join(parts)
+
+
 def _unrolled_hits_sql(k: int = 2) -> str:
     """Fixed-k HITS (Kleinberg order: authority from hub, then hub from
     the NEW authority; L1 normalization, zero-fill for vertices without
@@ -1789,6 +1827,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtx",
         F.round("hub", 8).alias("hub"),
         F.round("authority", 8).alias("authority"),
+    )
+    # Katz: truncated attenuated-walk series, 3 terms, same part-pair
+    # graph as eigencentrality (fixed-k gate-twin mode, tol=None)
+    q["katz_k3"] = lambda s, d: katz_centrality(
+        _part_pairs(s, d), beta=0.05, max_iter=3, tol=None
+    ).select("vtx", F.round("katz", 8).alias("katz"))
+
+    # exact rectangle (4-cycle) count via the co-degree identity
+    # Σ c(c-1)/4 — the motif one up from triangle_count, same graph
+    q["four_cycles"] = lambda s, d: s.createDataFrame(
+        [(four_cycle_count(_part_pairs(s, d))[0],)], "n_four_cycles long"
+    )
+
+    # top TF-IDF term per document (deterministic integer tie-breaks)
+    q["tfidf_top1"] = lambda s, d: T.tfidf_top_terms(_docs(s, d), k=1)
+
+    # component size histogram over the cc subgraph
+    q["component_sizes"] = lambda s, d: component_size_histogram(
+        _cc_edges(s, d)
     )
 
     # transitive near-dup clustering: the minhash pair graph (threshold
@@ -2551,6 +2608,79 @@ def oracle_sql() -> dict[str, str]:
 
     o["eigencentrality_k2"] = _unrolled_eigen_sql(2)
     o["hits_k2"] = _unrolled_hits_sql(2)
+    o["katz_k3"] = _unrolled_katz_sql(3, beta=0.05)
+
+    # rectangle count: co-degree identity over wedges of the simple
+    # symmetric graph — each 4-cycle is C(c,2) at each of its two
+    # diagonals, so #C4 = Σ c(c-1) / 4
+    o["four_cycles"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM p
+                UNION ALL SELECT dst AS src, src AS dst FROM p
+            ) WHERE src <> dst
+        ),
+        cd AS (
+            SELECT a.dst AS u1, b.dst AS u2, COUNT(*) AS c
+            FROM sym a JOIN sym b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT)
+                   AS n_four_cycles
+        FROM cd
+    """
+
+    o["tfidf_top1"] = f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_WORDS}) AS term FROM documents
+        ),
+        tok_ne AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok_ne GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tok_ne GROUP BY 1
+        ),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN nn
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, tf DESC, term ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, ROUND(tfidf, 8) AS tfidf, rnk
+        FROM ranked WHERE rnk <= 1
+    """
+
+    o["component_sizes"] = f"""
+        WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst FROM base UNION SELECT dst, src FROM base
+        ),
+        cc(v, label) AS (
+            SELECT src, src FROM sym
+            UNION SELECT dst, dst FROM sym
+            UNION
+            SELECT s.src, c.label FROM cc c JOIN sym s ON c.v = s.dst
+            WHERE c.label < s.src
+        ),
+        lab AS (SELECT v, MIN(label) AS component FROM cc GROUP BY v),
+        sizes AS (
+            SELECT component, COUNT(*) AS size FROM lab GROUP BY 1
+        )
+        SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY 1
+    """
 
     # transitive near-dup clusters: the minhash pair twin (threshold 0.3,
     # same hashed-shingle seam) closed under min-label components — the

@@ -211,3 +211,20 @@ def component_counts(edges: DataFrame) -> DataFrame:
         .groupBy("component")
         .agg(F.count("*").alias("size"))
     )
+
+
+def component_size_histogram(edges: DataFrame) -> DataFrame:
+    """``DataFrame[size, n_components]`` — how many components exist at
+    each size, the standard first diagnostic over a web-scale link graph
+    (giant-component check, isolate count, fragmentation profile).
+
+    Two map-side-combined aggregations on top of
+    :func:`connected_components`; the histogram is at most
+    O(√(2·|V|)) rows (distinct sizes), so it is always tiny relative to
+    the graph — safe to collect, broadcast, or plot at any scale.
+    """
+    return (
+        component_counts(edges)
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )

@@ -219,3 +219,69 @@ def hits(
         else:
             state = new
     return state.select("vtx", "hub", "authority")
+
+
+def katz_centrality(
+    edges: DataFrame,
+    beta: float = 0.05,
+    max_iter: int = 20,
+    tol: float | None = 1e-9,
+) -> DataFrame:
+    """Katz centrality (Katz 1953) over the undirected graph.
+
+    ``katz(v) = Σ_{i≥1} β^i · (# weighted walks of length i ending at
+    v)`` — attenuated walk counting, the third classic importance score
+    next to PageRank (operators/pagerank.py) and eigenvector centrality
+    above.  Unlike eigenvector centrality it is well-defined on bipartite
+    and disconnected graphs (no dominant-eigenvector oscillation), which
+    makes it the safe default on the engine's bipartite corpus graphs.
+
+    ``DataFrame[vtx: long, katz: double]`` over every vertex.  Computed
+    as the truncated series: walk term ``c_0 = 1`` per vertex,
+    ``c_{i}(v) = β · Σ_{u~v} w(u,v) · c_{i-1}(u)``, accumulator
+    ``katz_k = Σ_{i=1..k} c_i``.  The series converges iff
+    ``β < 1/λ₁(A)``; this is the caller's contract (standard theory) —
+    with ``tol`` set, the loop also stops when the newest term's max
+    entry falls below it, which for convergent β bounds the truncation
+    error by ``max|c_k| / (1 - β·λ₁)``.
+
+    Loop posture identical to :func:`eigenvector_centrality`: one
+    vertex-keyed join + one map-side-combined aggregation per iteration,
+    per-iteration ``fresh_checkpoint``, no mid-loop driver action when
+    ``tol=None`` (the SQL-unrollable fixed-k gate-twin mode,
+    ``katz_k3``).  The walk term is SPARSE (only vertices reached this
+    round); the accumulator join zero-fills once per iteration.
+    """
+    if max_iter < 1:
+        raise ValueError("katz_centrality requires max_iter >= 1")
+    if beta <= 0.0:
+        raise ValueError("katz_centrality requires beta > 0")
+    sym = fresh_checkpoint(symmetric_edges(edges))
+    verts = vertex_ids(sym).select(F.col("v").alias("vtx"))
+    spark = sym.sparkSession
+    if verts.limit(1).count() == 0:
+        return spark.createDataFrame([], "vtx long, katz double")
+    # state: walk term c (sparse join source) + accumulator katz
+    term = verts.select("vtx", F.lit(1.0).alias("c"))
+    acc = verts.select("vtx", F.lit(0.0).alias("katz"))
+    for _ in range(max_iter):
+        new_term = (
+            sym.join(term.withColumnRenamed("vtx", "src"), "src")
+            .groupBy(F.col("dst").alias("vtx"))
+            .agg((F.lit(beta) * F.sum(F.col("weight") * F.col("c"))).alias("c"))
+        )
+        new_term = fresh_checkpoint(new_term)
+        acc = fresh_checkpoint(
+            acc.join(new_term, "vtx", "left").select(
+                "vtx",
+                (F.col("katz") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "katz"
+                ),
+            )
+        )
+        term = new_term
+        if tol is not None:
+            biggest = term.agg(F.max(F.abs(F.col("c"))).alias("m")).first()["m"]
+            if biggest is None or biggest < tol:
+                break
+    return acc.select("vtx", "katz")

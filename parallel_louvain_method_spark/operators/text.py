@@ -112,3 +112,65 @@ def fingerprints(docs: DataFrame, text_col: str = "text", gram: int = 8) -> Data
         "doc_id",
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 1
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document —
+    ``[doc_id, term, tf, tfidf, rnk]``.
+
+    The classic training-data-pipeline keyword extractor: term frequency
+    from the whitespace tokenizer (same ``_words`` seam as
+    ``token_counts``), document frequency across the corpus, and
+    ``tfidf = tf · ln(N / df)`` with N = distinct documents in the input.
+    Ranking within a doc is ``tfidf DESC, tf DESC, term ASC`` — fully
+    deterministic (the integer tie-breaks resolve equal-score terms
+    without depending on float ordering of identical values).
+
+    Scale shape: one explode (row count = token count, the same shape a
+    tokenizer stage already pays), two map-side-combined aggregations,
+    one broadcast-able join of the |vocab|-row df table, and one window
+    partitioned BY DOCUMENT (bounded by per-doc vocabulary, never a
+    global sort).  N rides as a broadcast 1-row cross join, engine
+    convention (operators/louvain.py A6).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("tfidf_top_terms requires k >= 1")
+    tok = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nn = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round("tfidf", 8).alias("tfidf"),
+            "rnk",
+        )
+    )

@@ -156,3 +156,60 @@ def clustering_coefficient(
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
     )
     return out if include_triangles else out.drop("triangles")
+
+
+def four_cycle_count(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> tuple[int, int]:
+    """Exact number of distinct 4-cycles (rectangles) in the simple
+    undirected graph, the next motif up from ``triangle_count``.
+
+    Co-degree identity: every 4-cycle ``u-v-w-x-u`` has two diagonals
+    ``{u,w}`` and ``{v,x}``; a diagonal pair with ``c`` common neighbors
+    closes ``C(c,2)`` rectangles, and summing over all unordered pairs
+    counts each rectangle exactly twice, so
+
+        ``#C4 = Σ_pairs c·(c-1) / 4``.
+
+    Plan: one self-join of the neighbor table on the wedge center + one
+    aggregation to co-degrees + one scalar sum — the same wedge shape as
+    link prediction (operators/linkpred.py), which is the skew hot spot:
+    a center of degree d emits ``C(d,2)`` wedge rows.  Unlike triangle
+    counting, the degree orientation cannot prune rectangle wedges
+    without undercounting, so the hub defense here is the observable-cap
+    rule (operators/dedup.py): ``max_center_degree`` drops hub CENTERS
+    and the dropped count is returned — the result is then a lower
+    bound.  Default is exact (no cap).
+
+    Returns ``(n_four_cycles, dropped_centers)``.
+    """
+    simple = _simple_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    nbrs = simple.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    dropped = 0
+    if max_center_degree is not None:
+        deg = _degrees(simple)
+        dropped = deg.filter(F.col("d") > max_center_degree).count()
+        nbrs = nbrs.join(
+            deg.filter(F.col("d") <= max_center_degree).select(
+                F.col("v").alias("w")
+            ),
+            "w",
+        )
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    nbrs = nbrs.repartition(n_parts, "w").persist(StorageLevel.MEMORY_AND_DISK)
+    codeg = (
+        nbrs.alias("a")
+        .join(nbrs.alias("b"), "w")
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("p"), F.col("b.u").alias("q"))
+        .agg(F.count("*").alias("c"))
+    )
+    row = codeg.agg(
+        F.sum(F.col("c") * (F.col("c") - F.lit(1))).alias("s")
+    ).first()
+    nbrs.unpersist()
+    simple.unpersist()
+    s = row["s"] or 0
+    return int(s) // 4, dropped

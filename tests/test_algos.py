@@ -1984,3 +1984,195 @@ def test_msf_max_iter_raise(spark):
         for r in minimum_spanning_forest(df, max_iter=3).collect()
     }
     assert got == {(0, 1, 1.0), (1, 2, 3.0), (2, 3, 2.0)}
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (operators/spectral.py)
+# ---------------------------------------------------------------------------
+
+
+def _np_katz(edges, n, beta, iters):
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+        A[b, a] = 1.0
+    c = np.ones(n)
+    acc = np.zeros(n)
+    for _ in range(iters):
+        c = beta * (A @ c)
+        acc += c
+    return acc
+
+
+def test_katz_golden16(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.spectral import (
+        katz_centrality,
+    )
+
+    got = {
+        r["vtx"]: r["katz"]
+        for r in katz_centrality(
+            golden16_df, beta=0.05, max_iter=3, tol=None
+        ).collect()
+    }
+    want = _np_katz(GOLDEN16_EDGES, 16, 0.05, 3)
+    assert len(got) == 16
+    for v in range(16):
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # with tol set, a convergent beta reaches the same values as a long
+    # truncation (geometric tail); golden16 max degree 6 => beta 0.05 is
+    # well inside 1/lambda_1
+    got_tol = {
+        r["vtx"]: r["katz"]
+        for r in katz_centrality(
+            golden16_df, beta=0.05, max_iter=100, tol=1e-13
+        ).collect()
+    }
+    want_full = _np_katz(GOLDEN16_EDGES, 16, 0.05, 200)
+    for v in range(16):
+        assert got_tol[v] == pytest.approx(want_full[v], abs=1e-10)
+
+
+def test_katz_guards(spark):
+    from parallel_louvain_method_spark.operators.spectral import (
+        katz_centrality,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert katz_centrality(empty, max_iter=2).count() == 0
+    with pytest.raises(ValueError):
+        katz_centrality(empty, max_iter=0)
+    with pytest.raises(ValueError):
+        katz_centrality(empty, beta=0.0)
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (rectangle) counting (operators/triangles.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_four_cycles(edges, n):
+    import itertools
+
+    adj = np.zeros((n, n), dtype=bool)
+    for a, b in edges:
+        if a != b:
+            adj[a, b] = adj[b, a] = True
+    count = 0
+    for a, b, c, d in itertools.combinations(range(n), 4):
+        # the 3 distinct cyclic orders of 4 labelled vertices
+        for w, x, y, z in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            if adj[w, x] and adj[x, y] and adj[y, z] and adj[z, w]:
+                count += 1
+    return count
+
+
+def test_four_cycles_known(spark):
+    from parallel_louvain_method_spark.operators.triangles import (
+        four_cycle_count,
+    )
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "src long, dst long, weight double",
+        )
+
+    # square = 1; K4 = 3; path = 0
+    assert four_cycle_count(df([(0, 1), (1, 2), (2, 3), (3, 0)]))[0] == 1
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    assert four_cycle_count(df(k4))[0] == 3
+    assert four_cycle_count(df([(0, 1), (1, 2), (2, 3)]))[0] == 0
+    # observable hub cap: capping the degree-3 centers of K4 drops all
+    # rectangles and reports the dropped centers
+    n, dropped = four_cycle_count(df(k4), max_center_degree=2)
+    assert n == 0 and dropped == 4
+
+
+def test_four_cycles_random(spark):
+    from parallel_louvain_method_spark.operators.triangles import (
+        four_cycle_count,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 12
+    edges = [
+        (int(a), int(b))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.rand() < 0.35
+    ]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    got, dropped = four_cycle_count(df)
+    assert dropped == 0
+    assert got == _brute_four_cycles(edges, n)
+
+
+def test_four_cycles_golden16(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.triangles import (
+        four_cycle_count,
+    )
+
+    got, _ = four_cycle_count(golden16_df)
+    assert got == _brute_four_cycles(GOLDEN16_EDGES, 16)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms(spark):
+    from parallel_louvain_method_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry durian cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r["doc_id"]: (r["term"], r["tf"])
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # doc0: apple tf=2, df=1 -> 2 ln 3; doc1: banana/cherry tie on
+    # (tfidf, tf) -> term asc picks banana; doc2: durian ln 3 > cherry
+    # 2 ln(3/2)
+    assert top1 == {0: ("apple", 2), 1: ("banana", 1), 2: ("durian", 1)}
+    # k=2 ordering is deterministic and rnk is dense per doc
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    assert sorted(by_doc[1]) == [(1, "banana"), (2, "cherry")]
+    assert sorted(by_doc[2]) == [(1, "durian"), (2, "cherry")]
+    # score spot check: doc0 apple = 2 * ln(3/1)
+    apple = [r for r in rows if r["doc_id"] == 0 and r["term"] == "apple"][0]
+    assert apple["tfidf"] == pytest.approx(2 * np.log(3.0), abs=1e-8)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# component size histogram (operators/components.py)
+# ---------------------------------------------------------------------------
+
+
+def test_component_size_histogram(spark):
+    from parallel_louvain_method_spark.operators.components import (
+        component_size_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0), (5, 6, 1.0), (6, 7, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        r["size"]: r["n_components"]
+        for r in component_size_histogram(df).collect()
+    }
+    assert got == {2: 1, 3: 2}
