@@ -38,6 +38,7 @@ from parallel_louvain_method_spark.operators import dedup as D
 from parallel_louvain_method_spark.operators.components import (
     component_size_histogram,
     connected_components,
+    refine_communities,
 )
 from parallel_louvain_method_spark.operators.labelprop import label_propagation
 from parallel_louvain_method_spark.operators.louvain import louvain
@@ -55,9 +56,11 @@ from parallel_louvain_method_spark.operators.msf import (
 from parallel_louvain_method_spark.operators.metrics import (
     closeness_centrality,
     degree_assortativity,
+    degree_histogram,
     harmonic_centrality,
     neighborhood_function,
     partition_quality,
+    rich_club,
 )
 from parallel_louvain_method_spark.operators.spectral import (
     eigenvector_centrality,
@@ -1848,6 +1851,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _cc_edges(s, d)
     )
 
+    # exact degree distribution over the part-pair graph
+    q["degree_hist"] = lambda s, d: degree_histogram(_part_pairs(s, d))
+
+    # rich-club density at 4 thresholds on the part-pair graph
+    q["rich_club_graph"] = lambda s, d: rich_club(
+        _part_pairs(s, d), ks=[1, 2, 4, 8]
+    ).select("k", "n_k", "e_k", F.round("phi", 8).alias("phi"))
+
+    # Leiden-style connectivity refinement of the sweep-1 partition:
+    # split internally-disconnected communities into connected parts
+    # (canonical min-vtx labels)
+    def _refine_sweep1(s, d):
+        from parallel_louvain_method_spark.operators.graph import (
+            symmetric_edges,
+        )
+        from parallel_louvain_method_spark.operators.louvain import (
+            louvain_level,
+        )
+
+        base = _cc_edges(s, d)
+        assign, _deg, _m2, _stats = louvain_level(
+            s, symmetric_edges(base), mode="superstep",
+            superstep_engine="sql", max_sweeps=1,
+        )
+        return refine_communities(base, assign.select("vtx", "comm"))
+
+    q["refine_sweep1"] = _refine_sweep1
+
+    # generic one-mode bipartite projection (suppliers sharing parts),
+    # count weights, observable right-degree cap doing real work at 20
+    def _bipartite_supp(s, d):
+        from parallel_louvain_method_spark.operators.graph import (
+            bipartite_projection,
+        )
+
+        rel = _t(s, d, "lineitem").select("l_suppkey", "l_partkey")
+        edges, _dropped = bipartite_projection(
+            rel, "l_suppkey", "l_partkey", max_right_degree=20
+        )
+        return edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            "weight",
+        )
+
+    q["bipartite_supp_proj"] = _bipartite_supp
+
+    # 2-hop ego subgraph around seeds {1, 7} on the cc subgraph:
+    # original edge rows whose endpoints are both reached
+    def _ego_h2(s, d):
+        from parallel_louvain_method_spark.operators.graph import (
+            ego_subgraph,
+        )
+
+        return ego_subgraph(_cc_edges(s, d), seeds=[1, 7], hops=2)
+
+    q["ego_h2_cc"] = _ego_h2
+
     # transitive near-dup clustering: the minhash pair graph (threshold
     # 0.3, the minhash_near_dups row's exact knobs) closed under
     # connected components, keeper = min doc_id
@@ -2680,6 +2741,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, COUNT(*) AS size FROM lab GROUP BY 1
         )
         SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY 1
+    """
+
+    o["degree_hist"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM p
+                UNION ALL SELECT dst AS src, src AS dst FROM p
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY 1)
+        SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY 1
+    """
+
+    # rich-club: n_k = |{v : deg(v) > k}|, e_k = edges inside the club,
+    # phi = 2 e_k / (n_k (n_k - 1)) — same IEEE expression as the Spark
+    # side (2.0 * e / (n * (n-1)), double division last)
+    o["rich_club_graph"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM p
+                UNION ALL SELECT dst AS src, src AS dst FROM p
+            ) WHERE src <> dst
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1
+        ),
+        ks AS (SELECT UNNEST([1, 2, 4, 8]) AS k),
+        n_k AS (
+            SELECT k, COUNT(*) AS n_k FROM deg CROSS JOIN ks
+            WHERE d > k GROUP BY 1
+        ),
+        emin AS (
+            SELECT LEAST(du.d, dv.d) AS dmin
+            FROM sym e JOIN deg du ON du.v = e.src
+                       JOIN deg dv ON dv.v = e.dst
+            WHERE e.src < e.dst
+        ),
+        e_k AS (
+            SELECT k, COUNT(*) AS e_k FROM emin CROSS JOIN ks
+            WHERE dmin > k GROUP BY 1
+        )
+        SELECT ks.k,
+               COALESCE(n_k.n_k, 0) AS n_k,
+               COALESCE(e_k.e_k, 0) AS e_k,
+               ROUND(
+                   CASE WHEN COALESCE(n_k.n_k, 0) >= 2 THEN
+                       2.0 * COALESCE(e_k.e_k, 0)
+                       / (COALESCE(n_k.n_k, 0) * (COALESCE(n_k.n_k, 0) - 1))
+                   END, 8) AS phi
+        FROM ks LEFT JOIN n_k ON n_k.k = ks.k
+                LEFT JOIN e_k ON e_k.k = ks.k
+    """
+
+    # Leiden-style refinement of the sweep-1 partition: min-label
+    # connected components over the INTRA-community symmetric edges,
+    # singleton fallback for vertices with no intra-community edge
+    o["refine_sweep1"] = f"""
+        WITH RECURSIVE a1 AS MATERIALIZED ({_louvain_sweep1_oracle_sql()}),
+        symr AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM ({_CC_EDGES_SQL})
+                UNION SELECT dst AS src, src AS dst FROM ({_CC_EDGES_SQL})
+            ) WHERE src <> dst
+        ),
+        intra AS MATERIALIZED (
+            SELECT s.src, s.dst
+            FROM symr s
+            JOIN a1 x ON x.vtx = s.src
+            JOIN a1 y ON y.vtx = s.dst
+            WHERE x.comm = y.comm
+        ),
+        cc(v, label) AS (
+            SELECT src, src FROM intra
+            UNION SELECT dst, dst FROM intra
+            UNION
+            SELECT i.src, c.label FROM cc c JOIN intra i ON c.v = i.dst
+            WHERE c.label < i.src
+        ),
+        lab AS (SELECT v, MIN(label) AS component FROM cc GROUP BY v)
+        SELECT a1.vtx, COALESCE(lab.component, a1.vtx) AS comm
+        FROM a1 LEFT JOIN lab ON lab.v = a1.vtx
+    """
+
+    # generic bipartite projection: suppliers sharing parts, weight =
+    # shared part count, right-degree cap 20 (groups above it excluded)
+    o["bipartite_supp_proj"] = """
+        WITH rel AS (
+            SELECT DISTINCT l_suppkey AS node, l_partkey AS rk
+            FROM lineitem
+        ),
+        ok AS (
+            SELECT node, rk FROM rel
+            WHERE rk NOT IN (
+                SELECT rk FROM rel GROUP BY rk HAVING COUNT(*) > 20
+            )
+        )
+        SELECT CAST(a.node AS BIGINT) AS src,
+               CAST(b.node AS BIGINT) AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM ok a JOIN ok b ON a.rk = b.rk AND a.node < b.node
+        GROUP BY 1, 2
+    """
+
+    # 2-hop ego subgraph from seeds {1,7}: unrolled frontier expansion
+    # over the symmetric cc edges, then both-endpoint induction on the
+    # ORIGINAL rows
+    o["ego_h2_cc"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            )
+        ),
+        r0 AS (SELECT UNNEST([1, 7]) AS v),
+        r1 AS (
+            SELECT v FROM r0
+            UNION SELECT s.dst FROM sym s JOIN r0 ON r0.v = s.src
+        ),
+        r2 AS (
+            SELECT v FROM r1
+            UNION SELECT s.dst FROM sym s JOIN r1 ON r1.v = s.src
+        )
+        SELECT b.src, b.dst, b.weight
+        FROM base b
+        JOIN r2 x ON x.v = b.src
+        JOIN r2 y ON y.v = b.dst
     """
 
     # transitive near-dup clusters: the minhash pair twin (threshold 0.3,

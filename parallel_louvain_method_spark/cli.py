@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         "shuffle; WRONG declarations corrupt results",
     )
     lv.add_argument(
+        "--refine-levels",
+        action="store_true",
+        help="Leiden-style connectivity refinement per level: split every "
+        "internally-disconnected community into its connected parts "
+        "before coarsening (never decreases Q)",
+    )
+    lv.add_argument(
         "--skew-salt",
         type=int,
         default=0,
@@ -365,6 +372,31 @@ def main(argv: list[str] | None = None) -> int:
         "--harmonic-out (0 = skip; same --anf-method/--lg-k knobs)",
     )
     mt.add_argument("--harmonic-out")
+    mt.add_argument(
+        "--rich-club",
+        help="comma-separated degree thresholds, e.g. 1,10,100 — reports "
+        "club size, internal edges and density phi(k) per threshold",
+    )
+    mt.add_argument(
+        "--degree-hist", action="store_true",
+        help="also report the exact degree histogram (bounded at "
+        "O(sqrt(2|E|)) rows, safe to print at any scale)",
+    )
+
+    rf = sub.add_parser(
+        "refine",
+        help="Leiden-style connectivity refinement: split every community "
+        "whose induced subgraph is disconnected into its connected parts "
+        "(never decreases modularity)",
+    )
+    rf.add_argument("--edges", required=True)
+    rf.add_argument(
+        "--assignment", required=True,
+        help="parquet with (vtx, comm) or (vtx, community) — e.g. a "
+        "louvain/lpa output",
+    )
+    rf.add_argument("--out", required=True)
+    rf.add_argument("--max-iter", type=int, default=50)
 
     ce = sub.add_parser(
         "centrality",
@@ -466,6 +498,7 @@ def main(argv: list[str] | None = None) -> int:
             superstep_engine=args.engine,
             input_symmetric=args.input_symmetric,
             skew_salt=args.skew_salt,
+            refine_levels=args.refine_levels,
         )
         res.assignment.write.mode("overwrite").parquet(args.out)
         print(
@@ -861,7 +894,50 @@ def main(argv: list[str] | None = None) -> int:
             report["harmonic_vertices"] = (
                 spark.read.parquet(args.harmonic_out).count()
             )
+        if args.rich_club:
+            from parallel_louvain_method_spark.operators.metrics import (
+                rich_club,
+            )
+
+            ks = [int(x) for x in args.rich_club.split(",") if x.strip()]
+            report["rich_club"] = {
+                str(r["k"]): {"n": r["n_k"], "e": r["e_k"], "phi": r["phi"]}
+                for r in rich_club(mt_edges, ks).collect()
+            }
+        if args.degree_hist:
+            from parallel_louvain_method_spark.operators.metrics import (
+                degree_histogram,
+            )
+
+            report["degree_histogram"] = {
+                str(r["degree"]): r["n_vertices"]
+                for r in sorted(degree_histogram(mt_edges).collect())
+            }
         print(json.dumps(report))
+    elif args.cmd == "refine":
+        from parallel_louvain_method_spark.operators.components import (
+            refine_communities,
+        )
+
+        rf_assign = spark.read.parquet(args.assignment)
+        if "comm" not in rf_assign.columns and "community" in rf_assign.columns:
+            rf_assign = rf_assign.withColumnRenamed("community", "comm")
+        rf_edges = read_edge_parquet(spark, args.edges)
+        refine_communities(
+            rf_edges, rf_assign, max_iter=args.max_iter
+        ).write.mode("overwrite").parquet(args.out)
+        refined = spark.read.parquet(args.out)
+        n_in = rf_assign.select("comm").distinct().count()
+        n_out = refined.select("comm").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "communities_in": n_in,
+                    "communities_out": n_out,
+                    "splits": n_out - n_in,
+                }
+            )
+        )
     elif args.cmd == "centrality":
         ce_edges = read_edge_parquet(spark, args.edges)
         tol = args.tol if args.tol > 0 else None

@@ -183,3 +183,93 @@ def renumber_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("src", "dst", "weight")
     )
     return out, mapping
+
+
+def bipartite_projection(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_right_degree: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """One-mode projection of a bipartite relation onto its left side —
+    the generic form of the corpus edge builders (sources/corpus.py J5/J6
+    specialize this to (repo, sha256) and (file, commit)).
+
+    ``pairs``: any DataFrame holding the two columns; duplicates collapse
+    first (set semantics — a left node relates to a right key once).
+    Returns ``(edges, dropped)``:
+
+    - ``edges``: ``DataFrame[src, dst, weight]`` with ``src < dst`` (one
+      row per undirected pair), ``weight`` = number of shared right keys
+      as double — directly feedable to every operator in the engine;
+    - ``dropped``: ``DataFrame[<right_col>, n_left]`` — right keys whose
+      left-side group exceeded ``max_right_degree``.
+
+    A right key shared by k left nodes emits k·(k−1)/2 pairs, so the
+    projection is quadratic in group size — the single most common
+    web-scale blow-up (a boilerplate file shared by 10⁶ repos would emit
+    5·10¹¹ pairs).  The cap excludes those groups EXPLICITLY and
+    observably (the no-silent-caps rule, operators/dedup.py); pass
+    ``max_right_degree=None`` for the exact projection.
+    """
+    rel = pairs.select(
+        F.col(left_col).alias("node"), F.col(right_col).alias("rk")
+    ).distinct()
+    sizes = rel.groupBy("rk").agg(F.count("*").alias("n_left"))
+    if max_right_degree is None:
+        dropped = sizes.filter(F.lit(False))
+        ok = rel
+    else:
+        dropped = sizes.filter(F.col("n_left") > max_right_degree)
+        ok = rel.join(F.broadcast(dropped.select("rk")), "rk", "left_anti")
+    a = ok.select("rk", F.col("node").alias("src"))
+    b = ok.select("rk", F.col("node").alias("dst"))
+    edges = (
+        a.join(b, "rk")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return edges, dropped.withColumnRenamed("rk", right_col)
+
+
+def ego_subgraph(
+    edges: DataFrame, seeds: "DataFrame | list[int]", hops: int = 1
+) -> DataFrame:
+    """Induced subgraph of everything within ``hops`` undirected hops of
+    ``seeds`` — the neighborhood-extraction primitive (drill into a
+    community, debug a hub, cut a training subgraph around labeled
+    nodes).
+
+    ``seeds``: a ``DataFrame[v]`` or a small driver-side list of vertex
+    ids.  Returns the ORIGINAL edge rows (``src, dst, weight``, original
+    direction and multiplicity) whose both endpoints lie in the reached
+    set — so the extraction composes with every operator exactly like
+    the full table does.
+
+    Plan: ``hops`` frontier joins over the symmetric table (each a
+    vertex-keyed equi-join + distinct, checkpointed — the same bounded
+    BFS shape as closeness/ANF truncation), then two semi-joins to
+    induce.  The reached set is a one-column table; at web scale it
+    broadcasts while small and falls back to a shuffle semi-join when it
+    grows — Catalyst/AQE's call, not hand-scheduled.
+    """
+    from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
+
+    if hops < 0:
+        raise ValueError("ego_subgraph requires hops >= 0")
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(int(v),) for v in seeds], "v long")
+    reach = seeds.select("v").distinct()
+    sym = symmetric_edges(edges).select("src", "dst")
+    for _ in range(hops):
+        nxt = sym.join(
+            reach.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"))
+        reach = fresh_checkpoint(reach.union(nxt).distinct())
+    return edges.join(
+        reach.withColumnRenamed("v", "src"), "src", "left_semi"
+    ).join(reach.withColumnRenamed("v", "dst"), "dst", "left_semi").select(
+        *edges.columns
+    )

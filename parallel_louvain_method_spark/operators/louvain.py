@@ -1880,8 +1880,23 @@ def louvain(
     assume_dense: bool = False,
     input_symmetric: bool = False,
     skew_salt: int = 0,
+    refine_levels: bool = False,
 ) -> LouvainResult:
     """Multi-level Louvain over an arbitrary edge table.
+
+    ``refine_levels=True`` runs Leiden-style connectivity refinement
+    (operators/components.py:refine_communities) on every level's
+    partition before coarsening — the "From Louvain to Leiden" §2
+    guarantee that no community's induced subgraph is disconnected
+    (splitting one never decreases THAT level's Q, so each level's
+    modularity is recomputed post-split and only improves in place —
+    but the refined coarse graph steers later levels onto a different
+    trajectory, so the END-TO-END Q may land slightly above or below
+    plain Louvain's; what is guaranteed is connectivity of every flat
+    community).  This is the paper's connectivity guarantee, not its
+    full randomized merge refinement; the cost is one
+    connected-components run per level over the strictly sparser
+    intra-community subgraph.
 
     The flat assignment (original vtx -> final community) is maintained by
     composing each level's coarsening map.  When ``checkpoint_dir`` is set,
@@ -2029,6 +2044,21 @@ def louvain(
             unique_pairs=True,
             skew_salt=skew_salt,
         )
+        if refine_levels:
+            from parallel_louvain_method_spark.operators.components import (
+                refine_communities,
+            )
+
+            # split disconnected communities before this level freezes
+            # into the coarse graph; Q never decreases under the split,
+            # so the recomputed value both corrects the level stats and
+            # keeps the min_q_gain convergence test monotone
+            assign = fresh_checkpoint(
+                refine_communities(
+                    sym, assign.select("vtx", "comm"), input_symmetric=True
+                )
+            )
+            stats.modularity = modularity_df(sym, assign, deg, m2)
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0
         t_co = time.monotonic()

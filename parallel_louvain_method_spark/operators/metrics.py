@@ -434,3 +434,96 @@ def closeness_centrality(
             F.col("dsum") > 0.0, (F.col("n_ball") - 1) / F.col("dsum")
         ).alias("closeness"),
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """``DataFrame[degree, n_vertices]`` — exact degree distribution over
+    the simple undirected graph (self-loops dropped, parallel edges
+    collapsed), the power-law diagnostic every link-graph report starts
+    with.
+
+    Two map-side-combined aggregations; the histogram has at most
+    O(√(2·|E|)) rows (a graph with D distinct degrees needs Σ1..D ≈ D²/2
+    edge endpoints), so like ``component_size_histogram`` it is always
+    tiny relative to the graph.
+    """
+    sym = (
+        symmetric_edges(edges)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club coefficient φ(k) at each threshold in ``ks`` —
+    ``DataFrame[k, n_k, e_k, phi]``.
+
+    ``n_k`` = vertices of simple degree > k, ``e_k`` = undirected edges
+    with BOTH endpoints in that club, ``phi = 2·e_k / (n_k·(n_k−1))`` —
+    the density of the subgraph induced by the hubs (Zhou & Mondragón
+    2004).  φ(k) → 1 means the high-degree vertices form a near-clique
+    (the "rich club" of web/citation graphs); NULL when the club has
+    fewer than 2 members (density undefined).
+
+    One degree pass + one edge pass for ALL thresholds: the ks list
+    (driver-side, assumed small) is exploded into a tiny broadcast and
+    cross-joined against per-vertex degrees and per-edge min-endpoint
+    degrees, so adding thresholds adds no extra scan.  The final
+    aggregation keys on k — |ks| rows, never a skew concern.
+    """
+    if not ks:
+        raise ValueError("rich_club requires at least one threshold")
+    if len(set(ks)) != len(ks):
+        raise ValueError("rich_club thresholds must be distinct")
+    spark = edges.sparkSession
+    kdf = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in ks], "k long")
+    )
+    sym = (
+        symmetric_edges(edges)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("d")
+    )
+    n_k = (
+        deg.crossJoin(kdf)
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_k"))
+    )
+    # one direction per edge; an edge is in club k iff its SMALLER
+    # endpoint degree clears k
+    emin = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(F.least("ds", "dd").alias("dmin"))
+    )
+    e_k = (
+        emin.crossJoin(kdf)
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    return (
+        kdf.join(n_k, "k", "left")
+        .join(e_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.try_divide(
+                2.0 * F.coalesce("e_k", F.lit(0)),
+                F.coalesce("n_k", F.lit(0))
+                * (F.coalesce("n_k", F.lit(0)) - F.lit(1)),
+            ).alias("phi"),
+        )
+    )

@@ -2176,3 +2176,221 @@ def test_component_size_histogram(spark):
         for r in component_size_histogram(df).collect()
     }
     assert got == {2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# Leiden-style connectivity refinement (operators/components.py)
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_refine_splits_disconnected_community(spark):
+    from parallel_louvain_method_spark.operators.components import (
+        refine_communities,
+    )
+
+    # two triangles, no edge between them, forced into ONE community
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    assign = spark.createDataFrame(
+        [(v, 99) for v in (0, 1, 2, 10, 11, 12)], "vtx long, comm long"
+    )
+    got = {
+        r["vtx"]: r["comm"]
+        for r in refine_communities(_edges_df(spark, pairs), assign).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_refine_connected_community_and_singletons(spark):
+    from parallel_louvain_method_spark.operators.components import (
+        refine_communities,
+    )
+
+    # path 0-1-2-3: community 7 = {0, 2, 3} induces only edge (2,3), so
+    # it splits into {0} and {2,3}; community 8 = {1} is a lone vertex
+    # with no intra edge -> singleton via the left-join fallback
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    assign = spark.createDataFrame(
+        [(0, 7), (2, 7), (1, 8), (3, 7)], "vtx long, comm long"
+    )
+    got = {
+        r["vtx"]: r["comm"]
+        for r in refine_communities(_edges_df(spark, pairs), assign).collect()
+    }
+    assert got == {0: 0, 2: 2, 1: 1, 3: 2}
+    # connected community keeps one (min-vtx) label
+    assign2 = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 7), (3, 7)], "vtx long, comm long"
+    )
+    got2 = {
+        r["vtx"]: r["comm"]
+        for r in refine_communities(_edges_df(spark, pairs), assign2).collect()
+    }
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_refine_never_decreases_modularity(spark):
+    """Splitting disconnected communities never lowers Q (Leiden §2)."""
+    from parallel_louvain_method_spark.operators.components import (
+        refine_communities,
+    )
+    from parallel_louvain_method_spark.operators.metrics import (
+        partition_quality,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 24
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, n, size=(40, 2))
+            if a != b
+        }
+    )
+    edges = _edges_df(spark, pairs)
+    assign = spark.createDataFrame(
+        [(v, int(rng.randint(0, 4))) for v in range(n)],
+        "vtx long, comm long",
+    )
+
+    def q_of(a):
+        return sum(
+            r["modularity"]
+            for r in partition_quality(
+                edges, a.withColumnRenamed("comm", "community")
+            ).collect()
+        )
+
+    refined = refine_communities(edges, assign)
+    assert q_of(refined) >= q_of(assign) - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# degree histogram + rich club (operators/metrics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_degree_histogram_star(spark):
+    from parallel_louvain_method_spark.operators.metrics import (
+        degree_histogram,
+    )
+
+    # K_{1,3} plus a self-loop and a parallel edge (both ignored)
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 1), (2, 2)]
+    got = {
+        r["degree"]: r["n_vertices"]
+        for r in degree_histogram(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {3: 1, 1: 3}
+
+
+def test_rich_club_known(spark):
+    from parallel_louvain_method_spark.operators.metrics import rich_club
+
+    # K4 with a pendant at 0: deg = {0: 4, 1..3: 3, 4: 1}
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)]
+    rows = {
+        r["k"]: r
+        for r in rich_club(_edges_df(spark, pairs), ks=[0, 1, 3, 9]).collect()
+    }
+    assert rows[0]["n_k"] == 5 and rows[0]["e_k"] == 7
+    assert rows[0]["phi"] == pytest.approx(0.7)
+    # club at k=1 is the K4 -> density 1
+    assert rows[1]["n_k"] == 4 and rows[1]["e_k"] == 6
+    assert rows[1]["phi"] == pytest.approx(1.0)
+    # club of one vertex: density undefined
+    assert rows[3]["n_k"] == 1 and rows[3]["e_k"] == 0
+    assert rows[3]["phi"] is None
+    # empty club
+    assert rows[9]["n_k"] == 0 and rows[9]["phi"] is None
+    with pytest.raises(ValueError):
+        rich_club(_edges_df(spark, pairs), ks=[])
+    with pytest.raises(ValueError):
+        rich_club(_edges_df(spark, pairs), ks=[1, 1])
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection + ego subgraph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bipartite_projection_known(spark):
+    from parallel_louvain_method_spark.operators.graph import (
+        bipartite_projection,
+    )
+
+    rel = spark.createDataFrame(
+        [
+            (1, "x"), (2, "x"), (3, "x"),       # x shared by 1,2,3
+            (1, "y"), (2, "y"),                  # y shared by 1,2
+            (2, "y"),                            # duplicate collapses
+            (4, "z"),                            # z touches one node only
+        ],
+        "node long, k string",
+    )
+    edges, dropped = bipartite_projection(rel, "node", "k")
+    got = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
+    assert got == {(1, 2): 2.0, (1, 3): 1.0, (2, 3): 1.0}
+    assert dropped.count() == 0
+    # cap at 2 drops the x group; only y survives
+    edges2, dropped2 = bipartite_projection(
+        rel, "node", "k", max_right_degree=2
+    )
+    got2 = {(r["src"], r["dst"]): r["weight"] for r in edges2.collect()}
+    assert got2 == {(1, 2): 1.0}
+    drows = dropped2.collect()
+    assert len(drows) == 1 and drows[0]["k"] == "x" and drows[0]["n_left"] == 3
+
+
+def test_ego_subgraph_hops(spark):
+    from parallel_louvain_method_spark.operators.graph import ego_subgraph
+
+    # path 0-1-2-3-4 plus an isolated edge 10-11
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    edges = _edges_df(spark, pairs)
+    by_hops = {
+        h: {
+            (r["src"], r["dst"])
+            for r in ego_subgraph(edges, seeds=[0], hops=h).collect()
+        }
+        for h in (0, 1, 2)
+    }
+    assert by_hops[0] == set()            # induced on {0}: no edge
+    assert by_hops[1] == {(0, 1)}
+    assert by_hops[2] == {(0, 1), (1, 2)}
+    # seeds as a DataFrame; multiple seeds union their neighborhoods
+    seeds = spark.createDataFrame([(0,), (10,)], "v long")
+    got = {
+        (r["src"], r["dst"])
+        for r in ego_subgraph(edges, seeds=seeds, hops=1).collect()
+    }
+    assert got == {(0, 1), (10, 11)}
+    with pytest.raises(ValueError):
+        ego_subgraph(edges, seeds=[0], hops=-1)
+
+
+def test_louvain_refine_levels(spark, golden16_df):
+    """refine_levels guarantees every flat community is internally
+    connected (per-level connectivity composes through coarsening:
+    coarse vertices are connected fine subgraphs and coarse edges exist
+    iff fine edges do).  NOTE the guarantee is PER-LEVEL Q-monotone,
+    not end-to-end: refinement changes the coarse graph, so the final Q
+    may differ from plain Louvain in either direction (Cora: 0.8119 vs
+    0.8136) — assert quality stays in the same band, not dominance."""
+    from parallel_louvain_method_spark.operators.components import (
+        refine_communities,
+    )
+    from parallel_louvain_method_spark.operators.louvain import louvain
+
+    base = louvain(spark, golden16_df)
+    ref = louvain(spark, golden16_df, refine_levels=True)
+    assert ref.modularity >= base.modularity - 0.05
+    n_comms = ref.assignment.select("comm").distinct().count()
+    # refining the final flat partition must be a structural no-op
+    again = refine_communities(golden16_df, ref.assignment)
+    assert again.select("comm").distinct().count() == n_comms
