@@ -57,9 +57,12 @@ from parallel_louvain_method_spark.operators.metrics import (
     closeness_centrality,
     degree_assortativity,
     degree_histogram,
+    graph_summary,
     harmonic_centrality,
     neighborhood_function,
+    partition_compare,
     partition_quality,
+    reciprocity,
     rich_club,
 )
 from parallel_louvain_method_spark.operators.spectral import (
@@ -1909,6 +1912,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ego_h2_cc"] = _ego_h2
 
+    # one-row graph census on the part-pair graph
+    q["graph_census"] = lambda s, d: graph_summary(_part_pairs(s, d)).select(
+        "n_vertices", "n_edges", "n_self_loops", "max_degree",
+        F.round("avg_degree", 8).alias("avg_degree"),
+        F.round("density", 8).alias("density"),
+    )
+
+    # reciprocity of the DIRECTED part-precedence graph (earlier
+    # linenumber -> later linenumber within an order; pairs seen in both
+    # orders across different orders make the score non-trivial)
+    def _reciprocity(s, d):
+        l = _t(s, d, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber"
+        )
+        a = l.withColumnsRenamed(
+            {"l_partkey": "src", "l_linenumber": "la"}
+        )
+        b = l.withColumnsRenamed(
+            {"l_partkey": "dst", "l_linenumber": "lb"}
+        )
+        directed = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("la") < F.col("lb"))
+            .select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+            )
+        )
+        return reciprocity(directed).select(
+            "n_directed", "n_reciprocal",
+            F.round("reciprocity", 8).alias("reciprocity"),
+        )
+
+    q["edge_reciprocity"] = _reciprocity
+
+    # ARI + NMI between the sweep-1 Louvain partition and the vtx%8
+    # blocking on the cc subgraph (partition_conductance's partition)
+    def _partition_ari(s, d):
+        from parallel_louvain_method_spark.operators.graph import (
+            symmetric_edges,
+        )
+        from parallel_louvain_method_spark.operators.louvain import (
+            louvain_level,
+        )
+
+        base = _cc_edges(s, d)
+        assign, _deg, _m2, _stats = louvain_level(
+            s, symmetric_edges(base), mode="superstep",
+            superstep_engine="sql", max_sweeps=1,
+        )
+        blocks = assign.select(
+            "vtx", (F.col("vtx") % F.lit(8)).alias("comm")
+        )
+        return partition_compare(
+            assign.select("vtx", "comm"), blocks
+        ).select(
+            "n", "n_a", "n_b",
+            F.round("ari", 8).alias("ari"),
+            F.round("nmi", 8).alias("nmi"),
+        )
+
+    q["partition_ari_nmi"] = _partition_ari
+
     # transitive near-dup clustering: the minhash pair graph (threshold
     # 0.3, the minhash_near_dups row's exact knobs) closed under
     # connected components, keeper = min doc_id
@@ -2870,6 +2936,108 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         JOIN r2 x ON x.v = b.src
         JOIN r2 y ON y.v = b.dst
+    """
+
+    o["graph_census"] = f"""
+        WITH p AS MATERIALIZED ({_PART_PAIRS_SQL}),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM p
+                UNION ALL SELECT dst AS src, src AS dst FROM p
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+        s AS (
+            SELECT COUNT(*) AS n_vertices, SUM(d) AS deg_sum,
+                   MAX(d) AS max_degree
+            FROM deg
+        ),
+        loops AS (
+            SELECT COUNT(*) AS n_self_loops
+            FROM (SELECT DISTINCT src, dst FROM p WHERE src = dst)
+        )
+        SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+               CAST(deg_sum / 2 AS BIGINT) AS n_edges,
+               CAST(n_self_loops AS BIGINT) AS n_self_loops,
+               CAST(max_degree AS BIGINT) AS max_degree,
+               ROUND(2.0 * (deg_sum / 2) / n_vertices, 8) AS avg_degree,
+               ROUND(2.0 * (deg_sum / 2)
+                     / (n_vertices * (n_vertices - 1)), 8) AS density
+        FROM s CROSS JOIN loops
+    """
+
+    o["edge_reciprocity"] = """
+        WITH d AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_linenumber < b.l_linenumber
+            WHERE a.l_partkey <> b.l_partkey
+        ),
+        r AS (
+            SELECT COUNT(*) AS n_reciprocal
+            FROM d WHERE EXISTS (
+                SELECT 1 FROM d x WHERE x.src = d.dst AND x.dst = d.src
+            )
+        ),
+        n AS (SELECT COUNT(*) AS n_directed FROM d)
+        SELECT n.n_directed, r.n_reciprocal,
+               ROUND(CAST(r.n_reciprocal AS DOUBLE) / n.n_directed, 8)
+                   AS reciprocity
+        FROM n CROSS JOIN r
+    """
+
+    # ARI + NMI between sweep-1 Louvain and the vtx%8 blocking: exact
+    # integer contingency sums, then the same IEEE log/division shapes
+    # as the Spark side (ln n - sum/n entropies, pair counts / 2.0)
+    o["partition_ari_nmi"] = f"""
+        WITH a1 AS MATERIALIZED ({_louvain_sweep1_oracle_sql()}),
+        pairs AS (SELECT vtx, comm AS ca, vtx % 8 AS cb FROM a1),
+        cells AS (
+            SELECT ca, cb, COUNT(*) AS nij FROM pairs GROUP BY 1, 2
+        ),
+        arow AS (SELECT ca, SUM(nij) AS ai FROM cells GROUP BY 1),
+        brow AS (SELECT cb, SUM(nij) AS bj FROM cells GROUP BY 1),
+        nn AS (
+            SELECT SUM(nij) AS n,
+                   SUM(nij * (nij - 1) / 2.0) AS sum_nij_pairs
+            FROM cells
+        ),
+        aa AS (
+            SELECT COUNT(*) AS n_a,
+                   SUM(ai * (ai - 1) / 2.0) AS sum_ai_pairs,
+                   SUM(ai * ln(ai)) AS sum_ai_log
+            FROM arow
+        ),
+        bb AS (
+            SELECT COUNT(*) AS n_b,
+                   SUM(bj * (bj - 1) / 2.0) AS sum_bj_pairs,
+                   SUM(bj * ln(bj)) AS sum_bj_log
+            FROM brow
+        ),
+        mi AS (
+            SELECT SUM(c.nij * ln(c.nij / (CAST(a.ai AS DOUBLE) * b.bj)))
+                       AS sum_nij_log
+            FROM cells c JOIN arow a ON a.ca = c.ca
+                         JOIN brow b ON b.cb = c.cb
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               CAST(aa.n_a AS BIGINT) AS n_a,
+               CAST(bb.n_b AS BIGINT) AS n_b,
+               ROUND(
+                   (nn.sum_nij_pairs
+                    - aa.sum_ai_pairs * bb.sum_bj_pairs
+                      / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0))
+                   / ((aa.sum_ai_pairs + bb.sum_bj_pairs) / 2.0
+                      - aa.sum_ai_pairs * bb.sum_bj_pairs
+                        / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0)), 8)
+                   AS ari,
+               ROUND(
+                   (mi.sum_nij_log / nn.n + ln(CAST(nn.n AS DOUBLE)))
+                   / (((ln(CAST(nn.n AS DOUBLE)) - aa.sum_ai_log / nn.n)
+                       + (ln(CAST(nn.n AS DOUBLE)) - bb.sum_bj_log / nn.n))
+                      / 2.0), 8) AS nmi
+        FROM nn CROSS JOIN aa CROSS JOIN bb CROSS JOIN mi
     """
 
     # transitive near-dup clusters: the minhash pair twin (threshold 0.3,

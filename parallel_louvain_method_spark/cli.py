@@ -382,6 +382,24 @@ def main(argv: list[str] | None = None) -> int:
         help="also report the exact degree histogram (bounded at "
         "O(sqrt(2|E|)) rows, safe to print at any scale)",
     )
+    mt.add_argument(
+        "--summary", action="store_true",
+        help="also report the one-row graph census (n, m, self-loops, "
+        "max/avg degree, density)",
+    )
+    mt.add_argument(
+        "--reciprocity", action="store_true",
+        help="also report directed-edge reciprocity (fraction of edges "
+        "whose reverse is present; 1.0 on a symmetric table)",
+    )
+
+    cp = sub.add_parser(
+        "compare",
+        help="partition agreement: ARI + NMI between two assignments "
+        "(e.g. louvain vs lpa outputs)",
+    )
+    cp.add_argument("--a", required=True, help="parquet with (vtx, comm)")
+    cp.add_argument("--b", required=True, help="parquet with (vtx, comm)")
 
     rf = sub.add_parser(
         "refine",
@@ -913,7 +931,39 @@ def main(argv: list[str] | None = None) -> int:
                 str(r["degree"]): r["n_vertices"]
                 for r in sorted(degree_histogram(mt_edges).collect())
             }
+        if args.summary:
+            from parallel_louvain_method_spark.operators.metrics import (
+                graph_summary,
+            )
+
+            report["summary"] = graph_summary(mt_edges).first().asDict()
+        if args.reciprocity:
+            from parallel_louvain_method_spark.operators.metrics import (
+                reciprocity,
+            )
+
+            report["reciprocity"] = reciprocity(mt_edges).first().asDict()
         print(json.dumps(report))
+    elif args.cmd == "compare":
+        from parallel_louvain_method_spark.operators.metrics import (
+            partition_compare,
+        )
+
+        def _load_assign(path):
+            df = spark.read.parquet(path)
+            if "comm" not in df.columns and "community" in df.columns:
+                df = df.withColumnRenamed("community", "comm")
+            return df
+
+        print(
+            json.dumps(
+                partition_compare(
+                    _load_assign(args.a), _load_assign(args.b)
+                )
+                .first()
+                .asDict()
+            )
+        )
     elif args.cmd == "refine":
         from parallel_louvain_method_spark.operators.components import (
             refine_communities,

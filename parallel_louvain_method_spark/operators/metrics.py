@@ -28,6 +28,7 @@ Conventions (shared with the engine, documented against the gate twins):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .graph import exclude_self_loops, symmetric_edges, vertex_ids
 
@@ -527,3 +528,181 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def partition_compare(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Agreement between two community assignments — 1-row
+    ``DataFrame[n, n_a, n_b, ari, nmi]`` (compare Louvain vs LPA vs an
+    external labeling over the same vertex set).
+
+    Both inputs are ``DataFrame[vtx, comm]`` (extra columns ignored);
+    only vertices present in BOTH sides enter (inner join — n reports
+    the overlap).  Scores are the standard pair-counting / information
+    measures over the contingency table ``n_ij = |A_i ∩ B_j|``:
+
+    - ``ari``: Adjusted Rand Index (Hubert-Arabie) — pair agreement
+      corrected for chance; 1 = identical partitions, ~0 = random,
+      NULL when the expected index equals the maximum (both sides one
+      cluster, or all singletons — the usual convention);
+    - ``nmi``: Normalized Mutual Information, arithmetic-mean
+      normalization ``I(A;B) / ((H(A)+H(B))/2)``; NULL when both
+      entropies are 0 (both partitions trivial).
+
+    Scale shape: ONE vertex-keyed join builds the contingency relation,
+    then two map-side-combined aggregations (cells, then scalars) — the
+    contingency table is at most min(#A, #B) · overlap-bounded cells and
+    every later step keys on community ids, never on vertices.  All
+    pair counts are exact integer sums in fp64 (< 2^53 pairs); the log
+    terms use the same ``ln`` expression shape both engines compile.
+    """
+    av = a.select("vtx", F.col("comm").alias("ca"))
+    bv = b.select("vtx", F.col("comm").alias("cb"))
+    cells = (
+        av.join(bv, "vtx")
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("nij"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    arow = cells.groupBy("ca").agg(F.sum("nij").alias("ai"))
+    brow = cells.groupBy("cb").agg(F.sum("nij").alias("bj"))
+
+    def _pairs(c):
+        return F.sum(F.col(c) * (F.col(c) - F.lit(1)) / F.lit(2.0))
+
+    n_df = cells.agg(
+        F.sum("nij").alias("n"),
+        _pairs("nij").alias("sum_nij_pairs"),
+    )
+    a_df = arow.agg(
+        F.count("*").alias("n_a"),
+        _pairs("ai").alias("sum_ai_pairs"),
+        F.sum(F.col("ai") * F.log("ai")).alias("sum_ai_log"),
+    )
+    b_df = brow.agg(
+        F.count("*").alias("n_b"),
+        _pairs("bj").alias("sum_bj_pairs"),
+        F.sum(F.col("bj") * F.log("bj")).alias("sum_bj_log"),
+    )
+    mi_df = (
+        cells.join(arow, "ca")
+        .join(brow, "cb")
+        .agg(
+            F.sum(
+                F.col("nij")
+                * F.log(F.col("nij") / (F.col("ai") * F.col("bj")))
+            ).alias("sum_nij_log")
+        )
+    )
+    j = (
+        n_df.crossJoin(F.broadcast(a_df))
+        .crossJoin(F.broadcast(b_df))
+        .crossJoin(F.broadcast(mi_df))
+    )
+    n = F.col("n").cast("double")
+    total_pairs = n * (n - F.lit(1)) / F.lit(2.0)
+    expected = F.col("sum_ai_pairs") * F.col("sum_bj_pairs") / total_pairs
+    max_idx = (F.col("sum_ai_pairs") + F.col("sum_bj_pairs")) / F.lit(2.0)
+    # H(A) = ln n − (Σ a_i ln a_i)/n; I(A;B) = (Σ n_ij ln(n·n_ij/(a_i b_j)))/n
+    h_a = F.log(n) - F.col("sum_ai_log") / n
+    h_b = F.log(n) - F.col("sum_bj_log") / n
+    mi = F.col("sum_nij_log") / n + F.log(n)
+    out = j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.try_divide(
+            F.col("sum_nij_pairs") - expected, max_idx - expected
+        ).alias("ari"),
+        F.try_divide(mi, (h_a + h_b) / F.lit(2.0)).alias("nmi"),
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row census — the first query anyone runs on a new edge table:
+    ``DataFrame[n_vertices, n_edges, n_self_loops, max_degree,
+    avg_degree, density]``.
+
+    ``n_edges`` counts simple undirected edges (parallel collapsed,
+    self-loops excluded and reported separately); ``density`` =
+    ``2·m / (n·(n−1))`` (NULL below 2 vertices).  One symmetrize +
+    distinct, one degree aggregation, one global aggregate — every
+    output is a scalar, so the result is collectable at any scale.
+    """
+    raw = edges.select("src", "dst")
+    loops = raw.filter(F.col("src") == F.col("dst")).distinct()
+    sym = (
+        symmetric_edges(edges)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("d")
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum("d").alias("deg_sum"),
+        F.max("d").alias("max_degree"),
+    )
+    nl = loops.agg(F.count("*").alias("n_self_loops"))
+    # loop-only vertices carry degree 0 here; count them back in
+    lonely = loops.join(
+        deg.withColumnRenamed("v", "src"), "src", "left_anti"
+    ).agg(F.count("*").alias("n_loop_only"))
+    n = F.col("n_vertices") + F.col("n_loop_only")
+    m = F.coalesce(F.col("deg_sum"), F.lit(0)) / F.lit(2)
+    return (
+        stats.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(lonely))
+        .select(
+            n.cast("long").alias("n_vertices"),
+            m.cast("long").alias("n_edges"),
+            F.col("n_self_loops").cast("long").alias("n_self_loops"),
+            F.coalesce(F.col("max_degree"), F.lit(0))
+            .cast("long")
+            .alias("max_degree"),
+            F.try_divide(F.lit(2.0) * m, n).alias("avg_degree"),
+            F.try_divide(F.lit(2.0) * m, n * (n - F.lit(1))).alias(
+                "density"
+            ),
+        )
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-edge reciprocity — 1-row ``DataFrame[n_directed,
+    n_reciprocal, reciprocity]``: the fraction of distinct non-loop
+    directed edges (u→v) whose reverse (v→u) is also present (the
+    classic web/social directedness diagnostic; an undirected working
+    table scores exactly 1.0).
+
+    One distinct + one self-semi-join on the reversed key — both sides
+    are the same relation, so the join co-partitions for free.
+    """
+    d = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rec = d.join(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    out = (
+        d.agg(F.count("*").alias("n_directed"))
+        .crossJoin(F.broadcast(rec.agg(F.count("*").alias("n_reciprocal"))))
+        .select(
+            "n_directed",
+            "n_reciprocal",
+            F.try_divide(
+                F.col("n_reciprocal").cast("double"), F.col("n_directed")
+            ).alias("reciprocity"),
+        )
+    ).localCheckpoint(eager=True)
+    d.unpersist()
+    return out

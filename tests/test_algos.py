@@ -2394,3 +2394,106 @@ def test_louvain_refine_levels(spark, golden16_df):
     # refining the final flat partition must be a structural no-op
     again = refine_communities(golden16_df, ref.assignment)
     assert again.select("comm").distinct().count() == n_comms
+
+
+# ---------------------------------------------------------------------------
+# partition comparison + graph census + reciprocity (operators/metrics.py)
+# ---------------------------------------------------------------------------
+
+
+def _assign_df(spark, labels):
+    return spark.createDataFrame(
+        [(v, c) for v, c in labels.items()], "vtx long, comm long"
+    )
+
+
+def test_partition_compare_known(spark):
+    from parallel_louvain_method_spark.operators.metrics import (
+        partition_compare,
+    )
+
+    a = _assign_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    same = _assign_df(spark, {0: 5, 1: 5, 2: 9, 3: 9})  # relabeled copy
+    r = partition_compare(a, same).first()
+    assert r["n"] == 4 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["ari"] == pytest.approx(1.0)
+    assert r["nmi"] == pytest.approx(1.0)
+    # crossed blocking: contingency all-ones -> MI 0, ARI -0.5
+    crossed = _assign_df(spark, {0: 0, 1: 1, 2: 0, 3: 1})
+    r2 = partition_compare(a, crossed).first()
+    assert r2["ari"] == pytest.approx(-0.5)
+    assert r2["nmi"] == pytest.approx(0.0, abs=1e-12)
+    # degenerate: both one cluster -> NULL scores by convention
+    one = _assign_df(spark, {0: 3, 1: 3, 2: 3, 3: 3})
+    r3 = partition_compare(one, one).first()
+    assert r3["ari"] is None and r3["nmi"] is None
+    # inner-join semantics: only overlapping vertices count
+    bigger = _assign_df(spark, {0: 0, 1: 0, 2: 1, 3: 1, 9: 7})
+    assert partition_compare(a, bigger).first()["n"] == 4
+
+
+def test_partition_compare_vs_numpy(spark):
+    """Random partitions vs an independent python ARI/NMI replay."""
+    import math as _math
+    from collections import Counter
+
+    from parallel_louvain_method_spark.operators.metrics import (
+        partition_compare,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 60
+    la = {v: int(rng.randint(0, 5)) for v in range(n)}
+    lb = {v: int(rng.randint(0, 3)) for v in range(n)}
+    r = partition_compare(_assign_df(spark, la), _assign_df(spark, lb)).first()
+
+    cells = Counter((la[v], lb[v]) for v in range(n))
+    ai = Counter(la.values())
+    bj = Counter(lb.values())
+    c2 = lambda x: x * (x - 1) / 2.0
+    s_nij = sum(c2(x) for x in cells.values())
+    s_ai = sum(c2(x) for x in ai.values())
+    s_bj = sum(c2(x) for x in bj.values())
+    exp = s_ai * s_bj / c2(n)
+    want_ari = (s_nij - exp) / ((s_ai + s_bj) / 2.0 - exp)
+    h_a = -sum((x / n) * _math.log(x / n) for x in ai.values())
+    h_b = -sum((x / n) * _math.log(x / n) for x in bj.values())
+    mi = sum(
+        (x / n) * _math.log(n * x / (ai[i] * bj[j]))
+        for (i, j), x in cells.items()
+    )
+    want_nmi = mi / ((h_a + h_b) / 2.0)
+    assert r["ari"] == pytest.approx(want_ari, abs=1e-12)
+    assert r["nmi"] == pytest.approx(want_nmi, abs=1e-12)
+
+
+def test_graph_summary_known(spark):
+    from parallel_louvain_method_spark.operators.metrics import graph_summary
+
+    # edges 0-1, 1-2, self-loops at 2 and at loop-only vertex 5
+    pairs = [(0, 1), (1, 2), (2, 2), (5, 5)]
+    r = graph_summary(_edges_df(spark, pairs)).first()
+    assert r["n_vertices"] == 4
+    assert r["n_edges"] == 2
+    assert r["n_self_loops"] == 2
+    assert r["max_degree"] == 2
+    assert r["avg_degree"] == pytest.approx(1.0)
+    assert r["density"] == pytest.approx(1.0 / 3.0)
+    # empty graph: zero counts, NULL ratios
+    r0 = graph_summary(
+        spark.createDataFrame([], "src long, dst long, weight double")
+    ).first()
+    assert r0["n_vertices"] == 0 and r0["n_edges"] == 0
+    assert r0["avg_degree"] is None and r0["density"] is None
+
+
+def test_reciprocity_known(spark):
+    from parallel_louvain_method_spark.operators.metrics import reciprocity
+
+    d = _edges_df(spark, [(0, 1), (1, 0), (1, 2), (3, 3)])
+    r = reciprocity(d).first()
+    assert r["n_directed"] == 3 and r["n_reciprocal"] == 2
+    assert r["reciprocity"] == pytest.approx(2.0 / 3.0)
+    # a symmetric table scores exactly 1
+    sym = _edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    assert reciprocity(sym).first()["reciprocity"] == pytest.approx(1.0)
