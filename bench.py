@@ -350,6 +350,18 @@ def main() -> None:
         )
         pre_repo.unpersist()
 
+    # Leiden-style connectivity refinement per level (refine_levels=True):
+    # the same repo-graph run with the refinement join + intra-subgraph CC
+    # inside every level — the delta vs louvain_repo_graph is the price of
+    # the connectivity guarantee
+    timed(
+        "louvain_repo_refined",
+        lambda: louvain(
+            spark, repo_edges, n_vertices=nv_repo, assume_dense=True,
+            superstep_engine=louvain_engine, refine_levels=True,
+        ).assignment.count(),
+    )
+
     # ---- other pillars ----------------------------------------------------
     if not only or "pagerank_10it" in only:
         sym = G.symmetric_edges(file_edges).persist()
