@@ -1811,6 +1811,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _cc_edges(s, d), walk_length=2, walks_per_vertex=1, seed=11
     )
 
+    # node2vec: one uniform + one second-order biased step, integer bias
+    # weights (return 1 / stay 3 / explore 2) — pure integer choice, so
+    # the DuckDB twin replays it bit-for-bit
+    def _node2vec_l2(s, d):
+        from parallel_louvain_method_spark.operators.walks import (
+            node2vec_walks,
+        )
+
+        return node2vec_walks(
+            _cc_edges(s, d), walk_length=2,
+            w_return=1, w_stay=3, w_explore=2, seed=11,
+        )
+
+    q["node2vec_l2"] = _node2vec_l2
+
     # truncated closeness: same HyperBall scan as harmonic_h2 (exact
     # method = the oracle baseline; HLL parity pinned in pytest).  No
     # rounding: n_reached/dist_sum divides exactly-representable ints —
@@ -2510,6 +2525,70 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1 AS step, cur AS vtx FROM s1
             UNION ALL SELECT walk_id, 2 AS step, cur AS vtx FROM s2
         )"""
+    # node2vec replay: uniform step 0 (keeping prev), then the biased
+    # step's integer prefix-sum pick over the id-sorted candidates —
+    # weights via equality / adjacency-EXISTS classification, identical
+    # integer arithmetic end to end
+    o["node2vec_l2"] = f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        wsym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        wadj AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS idx
+            FROM wsym
+        ),
+        wdeg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*) AS deg FROM wsym GROUP BY 1
+        ),
+        s0 AS MATERIALIZED (SELECT v AS walk_id, v AS cur FROM wdeg),
+        s1 AS MATERIALIZED (
+            SELECT s.walk_id, s.cur AS prev, a.dst AS cur
+            FROM s0 s
+            JOIN wdeg d ON d.v = s.cur
+            JOIN wadj a ON a.src = s.cur
+             AND a.idx = ((s.walk_id * 2654435761 + 0 * 40503
+                           + s.cur * 69069 + 11) % 2147483647) % d.deg
+        ),
+        cand AS (
+            SELECT s.walk_id, s.prev, s.cur, a.dst AS nxt,
+                   CASE WHEN a.dst = s.prev THEN 1
+                        WHEN EXISTS (
+                            SELECT 1 FROM wsym e
+                            WHERE e.src = s.prev AND e.dst = a.dst
+                        ) THEN 3
+                        ELSE 2 END AS w
+            FROM s1 s JOIN wadj a ON a.src = s.cur
+        ),
+        csum AS (
+            SELECT walk_id, cur, nxt, w,
+                   SUM(w) OVER (
+                       PARTITION BY walk_id ORDER BY nxt
+                       ROWS UNBOUNDED PRECEDING
+                   ) - w AS cum,
+                   SUM(w) OVER (PARTITION BY walk_id) AS tot
+            FROM cand
+        ),
+        s2 AS (
+            SELECT walk_id, nxt AS cur FROM csum
+            WHERE ((walk_id * 2654435761 + 1 * 40503 + cur * 69069 + 11)
+                   % 2147483647) % tot
+                  BETWEEN cum AND cum + w - 1
+        )
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vtx AS BIGINT) AS vtx
+        FROM (
+            SELECT walk_id, 0 AS step, cur AS vtx FROM s0
+            UNION ALL SELECT walk_id, 1 AS step, cur AS vtx FROM s1
+            UNION ALL SELECT walk_id, 2 AS step, cur AS vtx FROM s2
+        )"""
+
     # GraphSAGE fanout sampling replay: the seed-11 _rank_hash collapses
     # to one BIGINT expression (mixer = (69069 + (11*2654435761 + 40503)
     # % M) % M = 1281615532, M = 2^31-1; dst*mixer < 2^62, no overflow),

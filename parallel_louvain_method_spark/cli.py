@@ -291,6 +291,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write (walk_id, sentence array<long>) corpus lines instead "
         "of (walk_id, step, vtx) rows",
     )
+    wk.add_argument(
+        "--node2vec",
+        help="second-order biased walks: three comma-separated integer "
+        "weights RETURN,STAY,EXPLORE (the node2vec 1/p, 1, 1/q with "
+        "denominators cleared), e.g. 1,4,1",
+    )
 
     ns = sub.add_parser(
         "sample",
@@ -784,12 +790,26 @@ def main(argv: list[str] | None = None) -> int:
             walk_sentences,
         )
 
-        wk_df = random_walks(
-            read_edge_parquet(spark, args.edges),
-            walk_length=args.length,
-            walks_per_vertex=args.per_vertex,
-            seed=args.seed,
-        )
+        if args.node2vec:
+            from parallel_louvain_method_spark.operators.walks import (
+                node2vec_walks,
+            )
+
+            wr, ws, we = (int(x) for x in args.node2vec.split(","))
+            wk_df = node2vec_walks(
+                read_edge_parquet(spark, args.edges),
+                walk_length=args.length,
+                w_return=wr, w_stay=ws, w_explore=we,
+                walks_per_vertex=args.per_vertex,
+                seed=args.seed,
+            )
+        else:
+            wk_df = random_walks(
+                read_edge_parquet(spark, args.edges),
+                walk_length=args.length,
+                walks_per_vertex=args.per_vertex,
+                seed=args.seed,
+            )
         if args.sentences:
             wk_df = walk_sentences(wk_df)
         wk_df.write.mode("overwrite").parquet(args.out)

@@ -282,3 +282,185 @@ def neighbor_sample(
         if i < len(fanouts):
             frontier = block.select(F.col("dst").alias("v")).distinct()
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    w_return: int = 1,
+    w_stay: int = 1,
+    w_explore: int = 1,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016) — the
+    second-order biased successor of :func:`random_walks`.
+
+    At each step beyond the first, the unnormalized probability of
+    moving ``cur → next`` depends on the PREVIOUS vertex: ``α = 1/p`` if
+    ``next == prev`` (return), ``1`` if ``next`` is adjacent to ``prev``
+    (stay at distance 1), ``1/q`` otherwise (explore to distance 2).
+    This generator takes the three weights as non-negative INTEGERS
+    ``(w_return, w_stay, w_explore)`` — any rational (p, q) maps onto
+    them by clearing denominators — so the weighted choice is pure
+    integer arithmetic: candidates sorted by id, integer prefix sums,
+    pick the candidate whose [cum, cum+w) range contains
+    ``H(walk_id, step, cur) mod W``.  No transcendental appears anywhere
+    (a Gumbel/exponential trick would hinge on ``ln`` agreeing to the
+    last ulp across engines — a discrete argmin flip waiting to happen),
+    so re-runs, resumes and the DuckDB twin reproduce walks
+    bit-for-bit.  With ``w_return == w_stay == w_explore`` every
+    candidate range has unit width and the pick reduces to
+    ``H mod degree`` over the id-sorted adjacency — EXACTLY
+    :func:`random_walks` (pinned by test).
+
+    Step 0 is the same uniform first move as :func:`random_walks` (no
+    prev exists).  A walk whose candidate weights all vanish (e.g.
+    ``w_return=0`` at a pendant vertex whose only neighbor is prev)
+    terminates early — its rows simply stop.
+
+    Returns ``DataFrame[walk_id, step, vtx]`` like :func:`random_walks`.
+
+    Scale note: second-order bias inherently materializes ``deg(cur)``
+    candidate rows per live walk per step (the stay/explore split needs
+    the (prev, next) membership probe) where the first-order walk pays
+    O(1) via its indexed-adjacency join — the per-(walk, step) window is
+    bounded by one vertex's adjacency list.  On hub-heavy graphs cap
+    degrees first (:func:`..graph.ego_subgraph` / top-k sparsifier) or
+    fall back to ``random_walks``; the membership probe itself is an
+    equi-join on (prev, next), never a fan-out.
+    """
+    from pyspark.sql import Window
+
+    for name, w in (
+        ("w_return", w_return), ("w_stay", w_stay), ("w_explore", w_explore)
+    ):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"node2vec_walks requires integer {name} >= 0")
+    if w_return + w_stay + w_explore <= 0:
+        raise ValueError("node2vec_walks requires a positive weight sum")
+    if walk_length < 1 or walks_per_vertex < 1:
+        raise ValueError(
+            "node2vec_walks requires walk_length >= 1 and "
+            "walks_per_vertex >= 1"
+        )
+    # weight sum bounds the modulus: W <= deg * max_w must stay inside
+    # the hash's int64 headroom alongside the id checks below
+    max_w = max(w_return, w_stay, w_explore)
+    if max_w >= (1 << 20):
+        raise ValueError("node2vec_walks: weights must stay below 2^20")
+
+    sym = _simple_undirected(edges)
+    row = sym.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).first()
+    mx, mn = row["mx"], row["mn"]
+    if mn is not None and mn < 0:
+        raise ValueError(
+            f"node2vec_walks requires non-negative vertex ids (min {mn});"
+            " renumber with graph.dense_ids first"
+        )
+    if mx is not None and (
+        mx * walks_per_vertex + walks_per_vertex - 1 >= (1 << 31)
+    ):
+        raise ValueError(
+            "node2vec_walks: max_vertex_id * walks_per_vertex must stay "
+            f"below 2^31 for the overflow-free choice hash (max id {mx})"
+        )
+
+    sym = fresh_checkpoint(sym)
+    adj = fresh_checkpoint(
+        sym.withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy("dst")
+            ) - 1,
+        ).select("src", "dst", "idx")
+    )
+    deg = fresh_checkpoint(
+        sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    )
+
+    starts = deg.select(
+        "v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("rep"),
+    )
+    state = starts.select(
+        (F.col("v") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.col("v").alias("cur"),
+    )
+    out = state.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vtx")
+    )
+    # step 0: uniform, identical to random_walks
+    state = (
+        state.join(deg.withColumnRenamed("v", "cur"), "cur")
+        .withColumn(
+            "idx",
+            F.pmod(
+                _choice_hash(F.col("walk_id"), 0, F.col("cur"), seed),
+                F.col("deg"),
+            ),
+        )
+        .join(adj.withColumnRenamed("src", "cur"), ["cur", "idx"])
+        .select(
+            "walk_id", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+        )
+    )
+    out = out.unionByName(
+        state.select("walk_id", F.lit(1).alias("step"), F.col("cur").alias("vtx"))
+    )
+    probe = sym.select(
+        F.col("src").alias("prev"), F.col("dst").alias("nxt"),
+        F.lit(1).alias("is_stay"),
+    )
+    wwin = Window.partitionBy("walk_id").orderBy("nxt")
+    for step in range(1, walk_length):
+        cand = (
+            state.join(
+                adj.select(F.col("src").alias("cur"), F.col("dst").alias("nxt")),
+                "cur",
+            )
+            .join(probe, ["prev", "nxt"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("nxt") == F.col("prev"), F.lit(w_return))
+                .when(F.col("is_stay").isNotNull(), F.lit(w_stay))
+                .otherwise(F.lit(w_explore)),
+            )
+            .filter(F.col("w") > 0)
+        )
+        cand = cand.withColumn(
+            "cum", F.sum("w").over(wwin) - F.col("w")
+        ).withColumn("tot", F.sum("w").over(wwin.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )))
+        r = F.pmod(
+            _choice_hash(F.col("walk_id"), step, F.col("cur"), seed),
+            F.col("tot"),
+        )
+        nxt_state = cand.filter(
+            (F.col("cum") <= r) & (r < F.col("cum") + F.col("w"))
+        ).select(
+            "walk_id", F.col("cur").alias("prev"), F.col("nxt").alias("cur")
+        )
+        state = (
+            fresh_checkpoint(nxt_state)
+            if (step % 4 == 3 and step < walk_length - 1)
+            else nxt_state
+        )
+        out = out.unionByName(
+            state.select(
+                "walk_id",
+                F.lit(step + 1).alias("step"),
+                F.col("cur").alias("vtx"),
+            )
+        )
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("int").alias("step"),
+        F.col("vtx").cast("long").alias("vtx"),
+    )

@@ -2497,3 +2497,132 @@ def test_reciprocity_known(spark):
     # a symmetric table scores exactly 1
     sym = _edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
     assert reciprocity(sym).first()["reciprocity"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased walks (operators/walks.py)
+# ---------------------------------------------------------------------------
+
+
+def _n2v_replay(edges, walk_length, wr, ws, we, wpv, seed):
+    """Independent python replay of the integer-weight node2vec spec."""
+    A_, B_, C_, M_ = 2654435761, 40503, 69069, 2147483647
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nbrs = {k: sorted(v) for k, v in adj.items()}
+    want = {}
+    for v in nbrs:
+        for rep in range(wpv):
+            wid = v * wpv + rep
+            cur = v
+            want[(wid, 0)] = cur
+            # step 0: uniform
+            h = (wid * A_ + 0 * B_ + cur * C_ + seed) % M_
+            prev, cur = cur, nbrs[cur][h % len(nbrs[cur])]
+            want[(wid, 1)] = cur
+            for step in range(1, walk_length):
+                cand = []
+                for nx in nbrs[cur]:
+                    if nx == prev:
+                        w = wr
+                    elif nx in adj[prev]:
+                        w = ws
+                    else:
+                        w = we
+                    if w > 0:
+                        cand.append((nx, w))
+                tot = sum(w for _, w in cand)
+                if tot == 0:
+                    break  # walk dies
+                r = ((wid * A_ + step * B_ + cur * C_ + seed) % M_) % tot
+                cum = 0
+                for nx, w in cand:
+                    if cum <= r < cum + w:
+                        prev, cur = cur, nx
+                        break
+                    cum += w
+                want[(wid, step + 1)] = cur
+    return want
+
+
+def test_node2vec_golden16_replay(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.walks import node2vec_walks
+
+    for wr, ws, we, seed in ((1, 4, 1, 7), (0, 1, 3, 11), (2, 1, 0, 3)):
+        got = {
+            (r["walk_id"], r["step"]): r["vtx"]
+            for r in node2vec_walks(
+                golden16_df, walk_length=4, w_return=wr, w_stay=ws,
+                w_explore=we, walks_per_vertex=2, seed=seed,
+            ).collect()
+        }
+        want = _n2v_replay(GOLDEN16_EDGES, 4, wr, ws, we, 2, seed)
+        assert got == want, (wr, ws, we, seed)
+
+
+def test_node2vec_uniform_equals_random_walks(spark, golden16_df):
+    """w_return == w_stay == w_explore collapses to the first-order walk
+    bit-for-bit (unit ranges over the id-sorted adjacency == idx pick)."""
+    from parallel_louvain_method_spark.operators.walks import (
+        node2vec_walks,
+        random_walks,
+    )
+
+    a = {
+        (r["walk_id"], r["step"]): r["vtx"]
+        for r in node2vec_walks(
+            golden16_df, walk_length=5, w_return=1, w_stay=1, w_explore=1,
+            walks_per_vertex=2, seed=9,
+        ).collect()
+    }
+    b = {
+        (r["walk_id"], r["step"]): r["vtx"]
+        for r in random_walks(
+            golden16_df, walk_length=5, walks_per_vertex=2, seed=9
+        ).collect()
+    }
+    assert a == b
+
+
+def test_node2vec_bias_semantics(spark):
+    from parallel_louvain_method_spark.operators.walks import node2vec_walks
+
+    # path graph 0-1-2-3: from step 1 on, w_return=0 forbids going back,
+    # so every walk marches monotonically to an end vertex and then DIES
+    # (the end's only candidate is prev)
+    path = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = node2vec_walks(
+        path, walk_length=6, w_return=0, w_stay=1, w_explore=1, seed=5
+    ).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vtx"]
+    for wid, seq in walks.items():
+        steps = sorted(seq)
+        vs = [seq[s] for s in steps]
+        assert len(vs) == len(set(vs)), (wid, vs)  # no revisits ever
+        assert vs[-1] in (0, 3)  # every walk ends at a path end
+    # triangle + pendant: from 1 after arriving 0->1, w_explore=0 and
+    # w_return=0 allow only the triangle closure 1->2 (2~0=prev)
+    tri = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (0, 3)])
+    got = {
+        (r["walk_id"], r["step"]): r["vtx"]
+        for r in node2vec_walks(
+            tri, walk_length=2, w_return=0, w_stay=1, w_explore=0, seed=0
+        ).collect()
+    }
+    # any walk whose step-1 landed on 1 coming from 0 must close the
+    # triangle at 2 (the only candidate with positive weight)
+    for wid in {w for (w, s) in got}:
+        if got.get((wid, 0)) == 0 and got.get((wid, 1)) == 1:
+            assert got.get((wid, 2)) == 2
+
+    with pytest.raises(ValueError):
+        node2vec_walks(tri, walk_length=1, w_return=-1)
+    with pytest.raises(ValueError):
+        node2vec_walks(tri, walk_length=1, w_return=0, w_stay=0, w_explore=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(tri, walk_length=0)
