@@ -707,6 +707,51 @@ def _coreness_peel_oracle_sql(max_k: int, rounds: int) -> str:
     return "".join(parts).rstrip(",") + "\n        " + "\n        UNION ALL ".join(sel)
 
 
+def _wl_oracle_sql(rounds: int) -> str:
+    """DuckDB twin of ``wl_colors(cc_edges, rounds).colors``
+    (``operators/wl.py``): colors start as degree; each unrolled round
+    builds the ASCII signature ``color ':' neighbor colors sorted
+    numerically and comma-joined`` and relabels by ``DENSE_RANK() OVER
+    (ORDER BY sig) - 1`` — memcmp on the pure-ASCII strings matches
+    Spark's UTF-8 binary ordering exactly, so the ranks agree."""
+    parts = [
+        f"""
+        WITH base AS MATERIALIZED ({_CC_EDGES_SQL}),
+        wsym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM base
+                UNION ALL SELECT dst AS src, src AS dst FROM base
+            ) WHERE src <> dst
+        ),
+        c0 AS MATERIALIZED (
+            SELECT src AS vtx, COUNT(*) AS color FROM wsym GROUP BY 1
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        s{r} AS (
+            SELECT e.src AS vtx,
+                   CAST(c.color AS VARCHAR) || ':' ||
+                   string_agg(
+                       CAST(n.color AS VARCHAR), ',' ORDER BY n.color
+                   ) AS sig
+            FROM wsym e
+            JOIN c{r - 1} c ON c.vtx = e.src
+            JOIN c{r - 1} n ON n.vtx = e.dst
+            GROUP BY e.src, c.color
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT vtx, DENSE_RANK() OVER (ORDER BY sig) - 1 AS color
+            FROM s{r}
+        )""")
+    parts.append(
+        f"""
+        SELECT CAST(vtx AS BIGINT) AS vtx, CAST(color AS BIGINT) AS color
+        FROM c{rounds}"""
+    )
+    return "".join(parts)
+
+
 def _sssp_rounds_oracle_sql(sources: list[int], rounds: int) -> str:
     """DuckDB twin of ``shortest_paths_rounds(cc_edges, sources, rounds)``
     (``operators/paths.py``): each round is the min-merge of the state
@@ -1753,6 +1798,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _cc_edges(s, d), max_k=3, rounds=3
     )
 
+    # Weisfeiler-Lehman color refinement, 2 fixed rounds: exact-rank
+    # relabeling (no hashing), so the DuckDB twin replays the dense ranks
+    # over the ASCII signature strings byte-for-byte
+    def _wl_colors_r2(s, d):
+        from parallel_louvain_method_spark.operators.wl import wl_colors
+
+        return wl_colors(_cc_edges(s, d), rounds=2).colors
+
+    q["wl_colors_r2"] = _wl_colors_r2
+
     # sessionization over the events table (gaps-and-islands; the batch
     # twin of the applyInPandasWithState stream in streaming/events.py)
     q["user_sessions"] = lambda s, d: user_sessions_batch(
@@ -1961,6 +2016,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["edge_reciprocity"] = _reciprocity
+
+    # directed triad census over the part-precedence graph (the SCC
+    # fixture: its cyclic band plants feedback triads, the DAG band
+    # transitive ones, opposite-order duplicates mutual sides)
+    def _triad_census(s, d):
+        from parallel_louvain_method_spark.operators.triangles import (
+            triad_census,
+        )
+
+        return triad_census(_precedence_edges(s, d))
+
+    q["triad_census"] = _triad_census
+
+    # deterministic train/val/test assignment over documents: pure
+    # integer hash of doc_id — the DuckDB twin replays every bucket
+    def _hash_split(s, d):
+        from parallel_louvain_method_spark.operators.sampling import (
+            hash_split,
+        )
+
+        return hash_split(
+            _docs(s, d), "doc_id", weights=(8, 1, 1), seed=7
+        ).select("doc_id", "split")
+
+    q["hash_split_docs"] = _hash_split
+
+    # balanced-mixture cap: 2 deterministically-chosen docs per language
+    def _stratified_top2(s, d):
+        from parallel_louvain_method_spark.operators.sampling import (
+            stratified_topk,
+        )
+
+        return stratified_topk(
+            _docs(s, d), "lang", "doc_id", k=2, seed=3
+        ).select("doc_id", "lang")
+
+    q["stratified_top2_lang"] = _stratified_top2
 
     # ARI + NMI between the sweep-1 Louvain partition and the vtx%8
     # blocking on the cc subgraph (partition_conductance's partition)
@@ -2290,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
     o["louvain_sweep1"] = _louvain_sweep1_oracle_sql()
     o["louvain_coarsen_sweep"] = _louvain_coarsen_sweep_oracle_sql()
     o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
+    o["wl_colors_r2"] = _wl_oracle_sql(rounds=2)
     o["user_sessions"] = _user_sessions_oracle_sql(gap_seconds=1800)
     o["sssp_r3"] = _sssp_rounds_oracle_sql([1, 7, 13], rounds=3)
     # FULL-fixpoint check: scc(v) = min mutual-reachability class via the
@@ -3064,6 +3157,65 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(r.n_reciprocal AS DOUBLE) / n.n_directed, 8)
                    AS reciprocity
         FROM n CROSS JOIN r
+    """
+    # triad census twin: pair flags on the canonical (lo, hi) key, then
+    # every underlying triangle a<b<c classified by the same boolean
+    # algebra as operators/triangles.py:triad_census
+    o["triad_census"] = f"""
+        WITH d AS MATERIALIZED ({_DPREC_SQL}),
+        p AS MATERIALIZED (
+            SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+                   MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+                   MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+            FROM d WHERE src <> dst GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT x.fwd AS f_ab, x.rev AS f_ba,
+                   y.fwd AS f_bc, y.rev AS f_cb,
+                   z.fwd AS f_ac, z.rev AS f_ca
+            FROM p x
+            JOIN p y ON y.lo = x.hi
+            JOIN p z ON z.lo = x.lo AND z.hi = y.hi
+        ),
+        c AS (
+            SELECT (f_ab = 1 AND f_ba = 1) OR (f_bc = 1 AND f_cb = 1)
+                       OR (f_ac = 1 AND f_ca = 1) AS mixed,
+                   (f_ab = 1 AND f_bc = 1 AND f_ca = 1)
+                       OR (f_ba = 1 AND f_cb = 1 AND f_ac = 1) AS cyc
+            FROM t
+        )
+        SELECT
+            CAST(COALESCE(SUM(CASE WHEN NOT mixed AND cyc THEN 1 END), 0)
+                 AS BIGINT) AS n_cyclic,
+            CAST(COALESCE(SUM(CASE WHEN NOT mixed AND NOT cyc THEN 1 END), 0)
+                 AS BIGINT) AS n_transitive,
+            CAST(COALESCE(SUM(CASE WHEN mixed THEN 1 END), 0)
+                 AS BIGINT) AS n_mixed
+        FROM c
+    """
+    # hash_split twin: the walks-module integer mix on doc_id, seed 7 —
+    # bucket = ((doc_id*2654435761 + (7*69069+40503)) % 2147483647) % 10
+    o["hash_split_docs"] = """
+        SELECT doc_id,
+               CASE WHEN ((doc_id * 2654435761 + 523986) % 2147483647) % 10
+                         < 8 THEN 'train'
+                    WHEN ((doc_id * 2654435761 + 523986) % 2147483647) % 10
+                         < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+    # stratified_topk twin: rank within lang by (hash(doc_id, seed 3),
+    # doc_id) — seed term (3*69069+40503) = 247710
+    o["stratified_top2_lang"] = """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761 + 247710)
+                                % 2147483647, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 2
     """
 
     # ARI + NMI between sweep-1 Louvain and the vtx%8 blocking: exact

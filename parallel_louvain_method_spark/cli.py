@@ -118,6 +118,38 @@ def main(argv: list[str] | None = None) -> int:
         "--coefficients",
         help="also write per-vertex local clustering coefficients here",
     )
+    tr.add_argument(
+        "--census", action="store_true",
+        help="treat the edges as DIRECTED and print the triad census "
+        "(cyclic / transitive / mixed triangle counts) instead",
+    )
+
+    cu = sub.add_parser(
+        "curate",
+        help="deterministic dataset curation: hash train/val/test split "
+        "and per-stratum caps over any parquet table",
+    )
+    cu.add_argument("--input", required=True, help="parquet table")
+    cu.add_argument("--out", required=True)
+    cu.add_argument(
+        "--id-col", default="doc_id",
+        help="stable non-negative integer id column the hash keys on",
+    )
+    cu.add_argument(
+        "--split", default=None,
+        help="comma-separated integer weights, e.g. 98,1,1 — adds a "
+        "'split' column",
+    )
+    cu.add_argument(
+        "--labels", default="train,val,test",
+        help="split labels aligned with --split weights",
+    )
+    cu.add_argument(
+        "--stratify-col", default=None,
+        help="with --topk: keep at most K rows per value of this column",
+    )
+    cu.add_argument("--topk", type=int, default=None)
+    cu.add_argument("--seed", type=int, default=0)
 
     lp2 = sub.add_parser(
         "linkpred",
@@ -345,6 +377,23 @@ def main(argv: list[str] | None = None) -> int:
         "--max-iter", type=int, default=None,
         help="optional bound on peel rounds (raises if exhausted before "
         "the fixpoint)",
+    )
+
+    wl = sub.add_parser(
+        "wl",
+        help="Weisfeiler-Lehman color refinement: structural vertex "
+        "roles (vtx, color) and the graph's 1-WL fingerprint",
+    )
+    wl.add_argument("--edges", required=True)
+    wl.add_argument("--out", required=True)
+    wl.add_argument(
+        "--rounds", type=int, default=None,
+        help="fixed refinement rounds; omit to refine to the stable "
+        "partition",
+    )
+    wl.add_argument(
+        "--max-iter", type=int, default=50,
+        help="stability-mode bound on rounds (raises if exhausted)",
     )
 
     mt = sub.add_parser(
@@ -587,7 +636,22 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         tr_edges = read_edge_parquet(spark, args.edges)
-        if args.coefficients:
+        if args.census:
+            from parallel_louvain_method_spark.operators.triangles import (
+                triad_census,
+            )
+
+            row = triad_census(tr_edges).first()
+            print(
+                json.dumps(
+                    {
+                        "n_cyclic": row["n_cyclic"],
+                        "n_transitive": row["n_transitive"],
+                        "n_mixed": row["n_mixed"],
+                    }
+                )
+            )
+        elif args.coefficients:
             # one enumeration serves both outputs: the coefficient path's
             # per-vertex triangle counts sum to 3x the global count (each
             # triangle contributes one to each of its three vertices)
@@ -604,6 +668,41 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"triangles": n_tri}))
         else:
             print(json.dumps({"triangles": triangle_count(tr_edges)}))
+    elif args.cmd == "curate":
+        from parallel_louvain_method_spark.operators.sampling import (
+            hash_split,
+            stratified_topk,
+        )
+
+        if not args.split and not (args.stratify_col and args.topk):
+            raise SystemExit(
+                "curate: pass --split W,W,... and/or "
+                "--stratify-col COL --topk K"
+            )
+        tbl = spark.read.parquet(args.input)
+        info: dict = {}
+        if args.stratify_col and args.topk:
+            before = tbl.count()
+            tbl = stratified_topk(
+                tbl, args.stratify_col, args.id_col, args.topk, seed=args.seed
+            )
+            info["kept"] = tbl.count()
+            info["dropped"] = before - info["kept"]
+        if args.split:
+            weights = tuple(int(x) for x in args.split.split(","))
+            labels = tuple(args.labels.split(","))
+            tbl = hash_split(
+                tbl, args.id_col, weights=weights, labels=labels,
+                seed=args.seed,
+            )
+        tbl.write.mode("overwrite").parquet(args.out)
+        if args.split:
+            out = spark.read.parquet(args.out)
+            info["splits"] = {
+                r["split"]: r["count"]
+                for r in out.groupBy("split").count().collect()
+            }
+        print(json.dumps(info))
     elif args.cmd == "linkpred":
         from parallel_louvain_method_spark.operators.linkpred import (
             adamic_adar,
@@ -651,6 +750,24 @@ def main(argv: list[str] | None = None) -> int:
                     "max_coreness": int(
                         cores.agg(F.max("coreness")).first()[0] or 0
                     ),
+                }
+            )
+        )
+    elif args.cmd == "wl":
+        from parallel_louvain_method_spark.operators.wl import wl_colors
+
+        res = wl_colors(
+            read_edge_parquet(spark, args.edges),
+            rounds=args.rounds,
+            max_iter=args.max_iter,
+        )
+        res.colors.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "rounds_run": res.rounds_run,
+                    "n_colors": res.n_colors,
+                    "converged": res.converged,
                 }
             )
         )

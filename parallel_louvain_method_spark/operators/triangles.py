@@ -213,3 +213,93 @@ def four_cycle_count(
     simple.unpersist()
     s = row["s"] or 0
     return int(s) // 4, dropped
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Directed triangle census: classify every triangle of the
+    UNDERLYING undirected graph by its arc pattern — one row
+    ``DataFrame[n_cyclic, n_transitive, n_mixed]``.
+
+    * cyclic — all three sides one-way, arcs forming a directed cycle
+      (a→b→c→a): feedback loops / circular dependencies;
+    * transitive — all three sides one-way, one vertex pointing at both
+      others whose arc agrees (a→b, a→c, b→c): hierarchy-consistent;
+    * mixed — at least one side reciprocated (both arcs present).
+
+    Cyclic vs transitive is THE local signature of hierarchy in a
+    directed link graph (dependency / citation / precedence edges): a
+    pure hierarchy has zero cyclic triads, and the cyclic fraction
+    measures how far the graph is from a partial order.
+
+    Plan: pair flags (one row per underlying edge: forward/backward arc
+    present) via one canonical-key aggregation; triangles enumerated
+    once with the same degree-ordered two-join as
+    :func:`triangle_count`; three equi-joins re-attach the side flags
+    (no fan-out — each join key is one triangle side); classification
+    and the final count are pure expressions.  All JVM-side.
+    """
+    darc = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pf = (
+        darc.groupBy(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .agg(
+            F.max((F.col("src") < F.col("dst")).cast("int")).alias("fwd"),
+            F.max((F.col("src") > F.col("dst")).cast("int")).alias("rev"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    simple = pf.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        pf.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    tri = _closed_wedges(_orient(simple, _degrees(simple)))
+
+    def _side(t: DataFrame, x: str, y: str, tag: str) -> DataFrame:
+        side = pf.select(
+            F.col("lo").alias(f"lo_{tag}"),
+            F.col("hi").alias(f"hi_{tag}"),
+            F.col("fwd").alias(f"fwd_{tag}"),
+            F.col("rev").alias(f"rev_{tag}"),
+        )
+        t = t.withColumn(f"lo_{tag}", F.least(x, y)).withColumn(
+            f"hi_{tag}", F.greatest(x, y)
+        )
+        return t.join(side, [f"lo_{tag}", f"hi_{tag}"])
+
+    flagged = _side(_side(_side(tri, "a", "b", "ab"), "b", "c", "bc"), "a", "c", "ac")
+
+    def _arc(x: str, y: str, tag: str):
+        """1 iff the arc x→y exists (flags are stored on the canonical
+        lo→hi orientation)."""
+        return F.when(
+            F.col(x) < F.col(y), F.col(f"fwd_{tag}")
+        ).otherwise(F.col(f"rev_{tag}"))
+
+    f_ab, f_ba = _arc("a", "b", "ab"), _arc("b", "a", "ab")
+    f_bc, f_cb = _arc("b", "c", "bc"), _arc("c", "b", "bc")
+    f_ac, f_ca = _arc("a", "c", "ac"), _arc("c", "a", "ac")
+    mixed = (
+        ((f_ab == 1) & (f_ba == 1))
+        | ((f_bc == 1) & (f_cb == 1))
+        | ((f_ac == 1) & (f_ca == 1))
+    )
+    cyclic = ((f_ab == 1) & (f_bc == 1) & (f_ca == 1)) | (
+        (f_ba == 1) & (f_cb == 1) & (f_ac == 1)
+    )
+    out = flagged.agg(
+        F.coalesce(
+            F.sum((~mixed & cyclic).cast("long")), F.lit(0)
+        ).alias("n_cyclic"),
+        F.coalesce(
+            F.sum((~mixed & ~cyclic).cast("long")), F.lit(0)
+        ).alias("n_transitive"),
+        F.coalesce(F.sum(mixed.cast("long")), F.lit(0)).alias("n_mixed"),
+    )
+    rows = out.localCheckpoint(eager=True)
+    pf.unpersist()
+    return rows

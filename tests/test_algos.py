@@ -2626,3 +2626,246 @@ def test_node2vec_bias_semantics(spark):
         node2vec_walks(tri, walk_length=1, w_return=0, w_stay=0, w_explore=0)
     with pytest.raises(ValueError):
         node2vec_walks(tri, walk_length=0)
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement (operators/wl.py)
+# ---------------------------------------------------------------------------
+
+
+def _wl_replay(edges, rounds):
+    """Independent python replay of the exact-rank 1-WL spec."""
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    color = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(rounds):
+        sig = {
+            v: f"{color[v]}:"
+            + ",".join(str(c) for c in sorted(color[u] for u in adj[v]))
+            for v in adj
+        }
+        ranks = {s: i for i, s in enumerate(sorted(set(sig.values())))}
+        color = {v: ranks[sig[v]] for v in adj}
+    return color
+
+
+def test_wl_golden16_replay(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.wl import wl_colors
+
+    for rounds in (0, 1, 2, 3):
+        got = {
+            r["vtx"]: r["color"]
+            for r in wl_colors(golden16_df, rounds=rounds).colors.collect()
+        }
+        assert got == _wl_replay(GOLDEN16_EDGES, rounds), rounds
+
+
+def test_wl_refines_partition(spark, golden16_df):
+    """Round r+1 classes refine round r classes: same color at r+1
+    implies same color at r (signatures embed the previous color)."""
+    from parallel_louvain_method_spark.operators.wl import wl_colors
+
+    c1 = {
+        r["vtx"]: r["color"]
+        for r in wl_colors(golden16_df, rounds=1).colors.collect()
+    }
+    c2 = {
+        r["vtx"]: r["color"]
+        for r in wl_colors(golden16_df, rounds=2).colors.collect()
+    }
+    for a in c1:
+        for b in c1:
+            if c2[a] == c2[b]:
+                assert c1[a] == c1[b], (a, b)
+
+
+def test_wl_isomorphism_invariant_fingerprint(spark):
+    """A relabeled copy of golden16 produces the identical stable color
+    histogram (1-WL fingerprints are isomorphism invariants)."""
+    from parallel_louvain_method_spark.operators.wl import wl_fingerprint
+
+    perm = {v: (v * 7 + 3) % 97 for v in range(16)}
+    orig = _edges_df(spark, GOLDEN16_EDGES)
+    relab = _edges_df(
+        spark, [(perm[a], perm[b]) for a, b in GOLDEN16_EDGES]
+    )
+    fa = sorted(
+        (r["color"], r["n"]) for r in wl_fingerprint(orig).collect()
+    )
+    fb = sorted(
+        (r["color"], r["n"]) for r in wl_fingerprint(relab).collect()
+    )
+    assert fa == fb and len(fa) > 1
+
+
+def test_wl_convergence(spark, golden16_df):
+    from parallel_louvain_method_spark.operators.wl import wl_colors
+
+    # 6-cycle: every vertex is structurally identical -> one stable color
+    cyc = _edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
+    res = wl_colors(cyc)
+    assert res.converged and res.n_colors == 1
+    assert {r["color"] for r in res.colors.collect()} == {0}
+
+    # golden16: converged partition == fixed-k partition at rounds_run
+    res = wl_colors(golden16_df)
+    assert res.converged
+    fixed = {
+        r["vtx"]: r["color"]
+        for r in wl_colors(golden16_df, rounds=res.rounds_run).colors.collect()
+    }
+    conv = {r["vtx"]: r["color"] for r in res.colors.collect()}
+    assert conv == fixed
+    assert res.n_colors == len(set(conv.values()))
+
+    with pytest.raises(ValueError):
+        wl_colors(golden16_df, rounds=-1)
+    with pytest.raises(ValueError):
+        wl_colors(golden16_df, max_iter=0)
+    with pytest.raises(RuntimeError):
+        wl_colors(golden16_df, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# Directed triad census (operators/triangles.py)
+# ---------------------------------------------------------------------------
+
+
+def _triad_replay(arcs):
+    """Independent python replay: classify each underlying triangle."""
+    import itertools
+
+    arcset = {(a, b) for a, b in arcs if a != b}
+    und = {}
+    for a, b in arcset:
+        und.setdefault(frozenset((a, b)), set()).add((a, b))
+    verts = sorted({v for e in und for v in e})
+    adj = {v: set() for v in verts}
+    for e in und:
+        x, y = tuple(e)
+        adj[x].add(y)
+        adj[y].add(x)
+    ncyc = ntrans = nmix = 0
+    for a, b, c in itertools.combinations(verts, 3):
+        if b in adj[a] and c in adj[b] and c in adj[a]:
+            sides = [(a, b), (b, c), (a, c)]
+            if any((x, y) in arcset and (y, x) in arcset for x, y in sides):
+                nmix += 1
+            elif ((a, b) in arcset and (b, c) in arcset and (c, a) in arcset) or (
+                (b, a) in arcset and (c, b) in arcset and (a, c) in arcset
+            ):
+                ncyc += 1
+            else:
+                ntrans += 1
+    return ncyc, ntrans, nmix
+
+
+def test_triad_census_known(spark):
+    from parallel_louvain_method_spark.operators.triangles import triad_census
+
+    def census(arcs):
+        df = _edges_df(spark, arcs)
+        r = triad_census(df).first()
+        return (r["n_cyclic"], r["n_transitive"], r["n_mixed"])
+
+    assert census([(0, 1), (1, 2), (2, 0)]) == (1, 0, 0)
+    assert census([(0, 1), (0, 2), (1, 2)]) == (0, 1, 0)
+    assert census([(0, 1), (1, 0), (1, 2), (0, 2)]) == (0, 0, 1)
+    # triangle-free graph and empty census
+    assert census([(0, 1), (1, 2), (2, 3)]) == (0, 0, 0)
+
+
+def test_triad_census_replay(spark):
+    from parallel_louvain_method_spark.operators.triangles import triad_census
+
+    # deterministic pseudo-random directed graph with all three classes:
+    # each unordered pair hashed to absent / one-way / mutual
+    arcs = []
+    for a in range(10):
+        for b in range(a + 1, 10):
+            h = (a * 31 + b * 17) % 5
+            if h == 0:
+                continue
+            if h == 1:
+                arcs.append((a, b))
+            elif h == 2:
+                arcs.append((b, a))
+            elif h == 3:
+                arcs.append((a, b))
+                arcs.append((b, a))
+            else:
+                arcs.append((b, a))
+    want = _triad_replay(arcs)
+    r = triad_census(_edges_df(spark, arcs)).first()
+    assert (r["n_cyclic"], r["n_transitive"], r["n_mixed"]) == want
+    assert all(w > 0 for w in want)  # the fixture exercises all classes
+
+
+# ---------------------------------------------------------------------------
+# Deterministic curation sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_semantics(spark):
+    from parallel_louvain_method_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", weights=(8, 1, 1), seed=7)
+    counts = {
+        r["split"]: r["count"]
+        for r in out.groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # total function: every row split
+    # rates land near 80/10/10 (hash uniformity, not exactness)
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # pure function of (id, seed): stable under re-evaluation and subset
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", weights=(8, 1, 1), seed=7).collect()
+    }
+    sub = hash_split(
+        df.filter(F.col("doc_id") < 100), "doc_id", weights=(8, 1, 1), seed=7
+    )
+    for r in sub.collect():
+        assert again[r["doc_id"]] == r["split"]
+    # different seed reshuffles
+    other = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", weights=(8, 1, 1), seed=8).collect()
+    }
+    assert any(other[k] != again[k] for k in again)
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights=(1,), labels=("x",))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights=(1, 0), labels=("a", "b"))
+
+
+def test_stratified_topk(spark):
+    from parallel_louvain_method_spark.operators.sampling import (
+        stratified_topk,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("lang")
+    )
+    out = stratified_topk(df, "lang", "doc_id", k=10, seed=3)
+    counts = {
+        r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()
+    }
+    assert counts == {i: 10 for i in range(5)}
+    # deterministic: same kept set on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_topk(df, "lang", "doc_id", k=10, seed=3).collect()
+    )
+    assert a == b
+    # k larger than a stratum keeps the whole stratum
+    tiny = df.filter(F.col("doc_id") < 7)
+    assert stratified_topk(tiny, "lang", "doc_id", k=100, seed=3).count() == 7
+    with pytest.raises(ValueError):
+        stratified_topk(df, "lang", "doc_id", k=0)
