@@ -48,7 +48,11 @@ from parallel_louvain_method_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
 )
-from parallel_louvain_method_spark.operators.kcore import coreness_peel, kcore_peel
+from parallel_louvain_method_spark.operators.kcore import (
+    coreness_peel,
+    kcore_peel,
+    s_core_peel,
+)
 from parallel_louvain_method_spark.operators.msf import (
     msf_rounds,
     single_linkage,
@@ -1594,6 +1598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k=80 on the part-pair graph cascades 2000 -> 1903 -> 1878 -> 1865 at
     # sf0.01, so both oracled rounds do real work
     q["kcore80_peel2"] = lambda s, d: kcore_peel(_part_pairs(s, d), k=80, rounds=2)
+    # s-core (weighted k-core) fixed-round twin on the WEIGHTED bipartite
+    # graph (weight = lineitem count, integer-valued -> exact sums):
+    # s=30 cascades hard at sf0.01 (2216 -> 889 survivors across the two
+    # rounds), so both peel rounds do real work
+    q["s_core30_peel2"] = lambda s, d: s_core_peel(_edges(s, d), s=30, rounds=2)
     # fixed-round Boruvka twin of minimum_spanning_forest() (A32): forest
     # edges picked in rounds 1+2 on the weighted customer—part subgraph;
     # weights ride MIN only (no arithmetic), so the hashes are bit-exact
@@ -1721,6 +1730,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planes="axis",
     ).select("query_id", "neighbor_id", "rank")
 
+    # --- embedding statistics (vector-curation family) ---
+    # AVG/SUM accumulation order differs across engines, so the float
+    # moments/covariances are rounded to 6 dp on BOTH sides (the sum
+    # error over 500 rows is ~1e-12 — far inside the slack) and then
+    # ``+ 0.0``-normalized on BOTH sides (IEEE -0.0 + 0.0 = +0.0;
+    # DuckDB's ROUND emitted one literal -0.0 where Spark emitted 0.0,
+    # which str-hashes differently); the
+    # quantize gate needs NO slack (MAX / division / half-away ROUND are
+    # order-insensitive, bit-identical in both engines)
+    from parallel_louvain_method_spark.operators import embstats as EB
+
+    q["emb_moments"] = lambda s, d: EB.embedding_moments(
+        _t(s, d, "embeddings")
+    ).select(
+        "pos",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("var", 6) + F.lit(0.0)).alias("var"),
+    )
+    # gates the Arrow-batched per-batch X.T@X partial-aggregation path
+    q["emb_cov_tri"] = lambda s, d: EB.embedding_covariance(
+        _t(s, d, "embeddings"), dim=64
+    ).select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+    q["quantize_emb"] = lambda s, d: EB.quantize_embeddings(
+        _t(s, d, "embeddings")
+    )[0]
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: T.token_counts(_docs(s, d))
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d)).select(
@@ -1823,6 +1859,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_events",
         F.round("total_value", 6).alias("total_value"),
     )
+
+    # temporal graph (operators/temporal.py): contact-graph build + 3
+    # rounds of time-respecting earliest-arrival relaxation from the
+    # user_id<10 seed set (reach grows 10 -> 137 -> 150 at sf0.01, so the
+    # rounds do real work); bucket times are exact longs -> no slack
+    from parallel_louvain_method_spark.operators.temporal import (
+        contact_edges,
+        temporal_reach_rounds,
+    )
+
+    q["contact_edges_10m"] = lambda s, d: contact_edges(
+        _t(s, d, "events"), bucket_seconds=600
+    )[0]
+
+    def _temporal_reach_r3(s, d):
+        contacts, _ = contact_edges(_t(s, d, "events"), bucket_seconds=600)
+        seeds = (
+            _t(s, d, "events")
+            .select("user_id")
+            .filter(F.col("user_id") < 10)
+            .distinct()
+        )
+        return temporal_reach_rounds(contacts, seeds, rounds=3)
+
+    q["temporal_reach_r3"] = _temporal_reach_r3
 
     # whole-graph / partition diagnostics (operators/metrics.py)
     q["degree_assortativity"] = lambda s, d: degree_assortativity(
@@ -2265,6 +2326,23 @@ def oracle_sql() -> dict[str, str]:
         k2 AS (SELECT v FROM d1 WHERE d >= 80)
         SELECT CAST(v AS BIGINT) AS vtx FROM k2
     """
+    o["s_core30_peel2"] = f"""
+        WITH base AS ({_EDGES_SQL}),
+        sym AS (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base
+                UNION ALL SELECT dst AS src, src AS dst, weight FROM base
+            ) WHERE src <> dst
+        ),
+        w AS (SELECT src, dst, SUM(weight) AS weight FROM sym GROUP BY 1, 2),
+        k1 AS (SELECT src AS v FROM w GROUP BY src HAVING SUM(weight) >= 30),
+        e1 AS (
+            SELECT w.src, w.dst, w.weight FROM w
+            JOIN k1 a ON w.src = a.v JOIN k1 b ON w.dst = b.v
+        ),
+        k2 AS (SELECT src AS v FROM e1 GROUP BY src HAVING SUM(weight) >= 30)
+        SELECT CAST(v AS BIGINT) AS vtx FROM k2
+    """
     o["clustering_coeff"] = f"""
         WITH p AS ({_PART_PAIRS_SQL}),
         t AS (
@@ -2384,6 +2462,52 @@ def oracle_sql() -> dict[str, str]:
     o["coreness_k3_peel3"] = _coreness_peel_oracle_sql(max_k=3, rounds=3)
     o["wl_colors_r2"] = _wl_oracle_sql(rounds=2)
     o["user_sessions"] = _user_sessions_oracle_sql(gap_seconds=1800)
+    _CONTACT_SQL = """
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.t
+        FROM (SELECT DISTINCT user_id, event_type,
+                     CAST(floor(epoch(ts) / 600) AS BIGINT) AS t
+              FROM events) a
+        JOIN (SELECT DISTINCT user_id, event_type,
+                     CAST(floor(epoch(ts) / 600) AS BIGINT) AS t
+              FROM events) b
+          ON a.event_type = b.event_type AND a.t = b.t
+         AND a.user_id <> b.user_id
+    """
+    o["contact_edges_10m"] = f"SELECT src, dst, t FROM ({_CONTACT_SQL})"
+
+    def _temporal_reach_oracle_sql(rounds: int) -> str:
+        """Unrolled time-respecting relaxation: each round is one
+        state⋈contacts join (t >= t_arr) + a MIN merge — the literal
+        algebra of operators/temporal.py:_reach_round."""
+        prev = "s0"
+        ctes = [
+            f"c AS ({_CONTACT_SQL})",
+            """s0 AS (
+                SELECT DISTINCT user_id AS vtx,
+                       (SELECT MIN(t) FROM c) AS t_arr
+                FROM events WHERE user_id < 10
+            )""",
+        ]
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""r{r} AS (
+                SELECT vtx, MIN(t_arr) AS t_arr FROM (
+                    SELECT vtx, t_arr FROM {prev}
+                    UNION ALL
+                    SELECT c.dst AS vtx, MIN(c.t) AS t_arr
+                    FROM {prev} JOIN c
+                      ON {prev}.vtx = c.src AND c.t >= {prev}.t_arr
+                    GROUP BY c.dst
+                ) GROUP BY vtx
+            )"""
+            )
+            prev = f"r{r}"
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(vtx AS BIGINT) AS vtx, t_arr FROM {prev}"
+        )
+
+    o["temporal_reach_r3"] = _temporal_reach_oracle_sql(3)
     o["sssp_r3"] = _sssp_rounds_oracle_sql([1, 7, 13], rounds=3)
     # FULL-fixpoint check: scc(v) = min mutual-reachability class via the
     # recursive-CTE closure (same convention as connected_components)
@@ -2813,6 +2937,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+    _EMB_X_SQL = """
+        SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+               CAST(embedding[g.i] AS DOUBLE) AS val
+        FROM embeddings, generate_series(1, 64) g(i)
+    """
+    o["emb_moments"] = f"""
+        WITH x AS ({_EMB_X_SQL})
+        SELECT pos, COUNT(*) AS n, ROUND(AVG(val), 6) + 0.0 AS mean,
+               ROUND(AVG(val*val) - AVG(val)*AVG(val), 6) + 0.0 AS var
+        FROM x GROUP BY pos
+    """
+    o["emb_cov_tri"] = f"""
+        WITH x AS ({_EMB_X_SQL}),
+        m AS (SELECT pos, AVG(val) AS mean, COUNT(*) AS n FROM x GROUP BY pos),
+        gr AS (
+            SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS s
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+            GROUP BY 1, 2
+        )
+        SELECT gr.i, gr.j,
+               ROUND(gr.s / mi.n - mi.mean * mj.mean, 6) + 0.0 AS cov
+        FROM gr JOIN m mi ON gr.i = mi.pos JOIN m mj ON gr.j = mj.pos
+    """
+    o["quantize_emb"] = f"""
+        WITH x AS ({_EMB_X_SQL}),
+        sc AS (SELECT pos, MAX(ABS(val)) / 127.0 AS scale FROM x GROUP BY pos)
+        SELECT x.vec_id AS id, x.pos,
+               CAST(GREATEST(-127.0, LEAST(127.0,
+                   CASE WHEN sc.scale = 0 THEN 0
+                        ELSE ROUND(x.val / sc.scale, 0) END)) AS INT) AS q
+        FROM x JOIN sc USING (pos)
     """
     o["token_counts"] = f"""
         SELECT doc_id,

@@ -129,6 +129,91 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     return keep.select(F.col("vtx").cast("long").alias("vtx"))
 
 
+def _weighted_sym(edges: DataFrame) -> DataFrame:
+    """Undirected weighted simple graph: symmetric set-semantics edges,
+    self-loops dropped, distinct-weight parallels collapsed by SUM — the
+    strength relation of the s-core."""
+    return (
+        symmetric_edges(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def _round_s(live: DataFrame, s: float) -> tuple[DataFrame, DataFrame]:
+    """One s-core peel round: survivors with strength (weighted degree)
+    >= s, and the live edges restricted to them."""
+    strength = live.groupBy(F.col("src").alias("vtx")).agg(
+        F.sum("weight").alias("w")
+    )
+    keep = strength.filter(F.col("w") >= s).select("vtx")
+    nxt = live.join(
+        keep.withColumnRenamed("vtx", "src"), "src", "left_semi"
+    ).join(keep.withColumnRenamed("vtx", "dst"), "dst", "left_semi")
+    return keep, nxt
+
+
+def s_core(
+    edges: DataFrame, s: float, max_iter: int | None = None
+) -> DataFrame:
+    """Vertices of the s-core (Eidsaa & Almaas strength core — the
+    weighted generalization of :func:`kcore`): the maximal subgraph in
+    which every vertex's STRENGTH (sum of incident simple-edge weights,
+    self-loops dropped, distinct-weight parallels weight-summed) is
+    >= ``s``.  ``DataFrame[vtx: long]``.
+
+    Requires non-negative weights (checked up front, one action): the
+    peel's correctness rests on strengths SHRINKING as edges are removed,
+    which makes keep sets nested round-over-round — the same
+    count-convergence proof as :func:`kcore`, which this reduces to at
+    ``s = k`` on unit weights (pinned in pytest).  Same scale posture:
+    shrink-only semi-joins, per-round stats-free checkpoints, one COUNT
+    action per round, RAISE on ``max_iter`` exhaustion (never a silent
+    superset — rounds-to-fixpoint is O(|V|) worst case).
+    """
+    if not s > 0:
+        raise ValueError("s_core requires s > 0")
+    live = fresh_checkpoint(_weighted_sym(edges))
+    wmin = live.agg(F.min("weight")).first()[0]
+    if wmin is not None and wmin < 0:
+        raise ValueError(
+            "s_core requires non-negative weights (peel monotonicity); "
+            f"found min weight {wmin}"
+        )
+    spark = live.sparkSession
+    n_prev = -1
+    rounds = range(max_iter) if max_iter is not None else itertools.count()
+    for _ in rounds:
+        keep, nxt = _round_s(live, s)
+        n = keep.count()
+        if n == 0:
+            return spark.createDataFrame([], "vtx long")
+        if n == n_prev:
+            return keep.select(F.col("vtx").cast("long").alias("vtx"))
+        n_prev = n
+        live = fresh_checkpoint(nxt)
+    raise RuntimeError(
+        f"s-core peel (s={s}) did not reach a fixpoint within "
+        f"{max_iter} rounds; raise max_iter or pass max_iter=None"
+    )
+
+
+def s_core_peel(edges: DataFrame, s: float, rounds: int) -> DataFrame:
+    """Survivors of exactly ``rounds`` s-core peel iterations — the
+    SQL-unrollable oracle twin of :func:`s_core` (the ``kcore_peel``
+    pattern with SUM(weight) in place of COUNT(*))."""
+    if not s > 0 or rounds < 1:
+        raise ValueError("s_core_peel requires s > 0 and rounds >= 1")
+    live = _weighted_sym(edges)
+    keep = None
+    for i in range(rounds):
+        keep, nxt = _round_s(live, s)
+        if i < rounds - 1:
+            live = fresh_checkpoint(nxt)
+    return keep.select(F.col("vtx").cast("long").alias("vtx"))
+
+
 def coreness(
     edges: DataFrame, max_k: int | None = None, max_iter: int | None = None
 ) -> DataFrame:

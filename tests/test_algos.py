@@ -351,6 +351,118 @@ def test_kcore_max_iter_raises_not_superset(spark):
     assert kcore(df, k=2).count() == 0
 
 
+def _np_s_core(edges: list[tuple[int, int, float]], s: float) -> set[int]:
+    """Independent s-core peel (pure Python): strength = sum of incident
+    simple-edge weights over the pair-summed symmetric graph."""
+    acc: dict[tuple[int, int], float] = {}
+    for a, b, w in edges:
+        if a != b:
+            key = (min(a, b), max(a, b))
+            acc[key] = acc.get(key, 0.0) + w
+    E = dict(acc)
+    while True:
+        st: dict[int, float] = {}
+        for (a, b), w in E.items():
+            st[a] = st.get(a, 0.0) + w
+            st[b] = st.get(b, 0.0) + w
+        bad = {v for v, w in st.items() if w < s}
+        if not bad:
+            return set(st)
+        E = {e: w for e, w in E.items() if e[0] not in bad and e[1] not in bad}
+        if not E:
+            return set()
+
+
+def test_s_core_weighted_cascade(spark):
+    """Weighted cascade the unit-weight k-core cannot see: a triangle with
+    weight-2 edges (strength 4 each) plus a strength-3 pendant chain —
+    at s=4 the pendant falls round 1, its anchor's strength drops below 4
+    only AFTER that removal (round 2), pinning the weighted fixpoint."""
+    from parallel_louvain_method_spark.operators.kcore import s_core, s_core_peel
+
+    rows = [
+        (0, 1, 2.0), (1, 2, 2.0), (0, 2, 2.0),  # triangle, strength 4
+        (2, 3, 3.0),  # 3's strength 3 < 4 -> falls; 2 drops to 4... stays
+        (3, 4, 1.0),  # 4: strength 1
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    # round 1 drops 4 (1.0) ; 3 then has strength 3 < 4 -> round 2 drops 3;
+    # 2 keeps strength 4 (triangle only) -> triangle survives
+    assert {r["vtx"] for r in s_core(df, s=4.0).collect()} == {0, 1, 2}
+    # fixed-round twin replays the cascade prefix
+    assert {r["vtx"] for r in s_core_peel(df, s=4.0, rounds=1).collect()} == {
+        0, 1, 2, 3,
+    }
+    assert {r["vtx"] for r in s_core_peel(df, s=4.0, rounds=2).collect()} == {
+        0, 1, 2,
+    }
+    # above every strength: empty core
+    assert s_core(df, s=10.0).count() == 0
+
+
+def test_s_core_unit_weights_equals_kcore(spark):
+    """On unit weights strength == degree, so s_core(s=k) must equal
+    kcore(k) exactly — the reduction that pins the shared peel algebra."""
+    from parallel_louvain_method_spark.operators.kcore import kcore, s_core
+
+    rng = np.random.default_rng(7)
+    n = 30
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, (120, 2))
+        if a != b
+    }
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    for k in (2, 4, 7):
+        want = {r["vtx"] for r in kcore(df, k=k).collect()}
+        got = {r["vtx"] for r in s_core(df, s=float(k)).collect()}
+        assert got == want, k
+
+
+def test_s_core_matches_independent_peel_random(spark):
+    """Property on random INTEGER-weighted graphs (exact sums): s_core()
+    equals a from-scratch weighted peel for several thresholds."""
+    from parallel_louvain_method_spark.operators.kcore import s_core
+
+    rng = np.random.default_rng(41)
+    for trial in range(2):
+        n = 35
+        pairs = {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (150 + 40 * trial, 2))
+            if a != b
+        }
+        edges = [
+            (a, b, float(rng.integers(1, 5))) for a, b in sorted(pairs)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long, weight double")
+        for s in (3.0, 8.0, 15.0):
+            want = _np_s_core(edges, s)
+            got = {r["vtx"] for r in s_core(df, s=s).collect()}
+            assert got == want, (trial, s)
+
+
+def test_s_core_guards(spark):
+    """Negative weights break peel monotonicity -> ValueError up front;
+    max_iter exhaustion RAISES (kcore contract); s must be positive."""
+    from parallel_louvain_method_spark.operators.kcore import s_core
+
+    neg = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, -0.5)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        s_core(neg, s=1.0)
+    path = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, weight double"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        s_core(path, s=2.0, max_iter=1)
+    with pytest.raises(ValueError, match="s > 0"):
+        s_core(path, s=0.0)
+
+
 def _np_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Independent core-number reference straight from the definition:
     coreness(v) = max k such that v is in the k-core (via _np_kcore)."""
@@ -2869,3 +2981,134 @@ def test_stratified_topk(spark):
     assert stratified_topk(tiny, "lang", "doc_id", k=100, seed=3).count() == 7
     with pytest.raises(ValueError):
         stratified_topk(df, "lang", "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# temporal graph (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_contact_edges_build_and_cap(spark):
+    """Co-occurrence in the same (key, bucket) emits both directions;
+    different keys / buckets never pair; oversized groups drop OBSERVABLY."""
+    from parallel_louvain_method_spark.operators.temporal import contact_edges
+
+    rows = [
+        # bucket 0 (ts < 600), key "x": users 1,2,3 -> 6 directed rows
+        (1, "x", 10.0), (2, "x", 20.0), (3, "x", 599.0),
+        # same bucket, different key: no pairing with the above
+        (4, "y", 30.0),
+        # bucket 1, key "x": users 1,5
+        (1, "x", 700.0), (5, "x", 650.0),
+    ]
+    ev = spark.createDataFrame(
+        [(u, k, float(t)) for u, k, t in rows], "user_id long, event_type string, sec double"
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    contacts, dropped = contact_edges(ev, bucket_seconds=600)
+    got = {(r["src"], r["dst"], r["t"]) for r in contacts.collect()}
+    want = {
+        (1, 2, 0), (2, 1, 0), (1, 3, 0), (3, 1, 0), (2, 3, 0), (3, 2, 0),
+        (1, 5, 1), (5, 1, 1),
+    }
+    assert got == want
+    assert dropped.count() == 0
+    # cap: the 3-user group exceeds max_group=2 and is dropped, reported
+    capped, dropped2 = contact_edges(ev, bucket_seconds=600, max_group=2)
+    assert {(r["src"], r["dst"], r["t"]) for r in capped.collect()} == {
+        (1, 5, 1), (5, 1, 1),
+    }
+    assert [(r["key"], r["t"], r["n_users"]) for r in dropped2.collect()] == [
+        ("x", 0, 3)
+    ]
+
+
+def test_temporal_reachability_respects_time(spark):
+    """The defining semantics: a->b at t=5 then b->c at t=3 does NOT
+    reach c (the static union graph would); a forward chain does."""
+    from parallel_louvain_method_spark.operators.temporal import (
+        temporal_reachability,
+    )
+
+    c = spark.createDataFrame(
+        [(10, 20, 5), (20, 30, 3)], "src long, dst long, t long"
+    )
+    got = {r["vtx"]: r["t_arr"] for r in
+           temporal_reachability(c, [10], start_t=0).collect()}
+    assert got == {10: 0, 20: 5}
+    # forward chain reaches c with the correct arrival
+    c2 = spark.createDataFrame(
+        [(10, 20, 1), (20, 30, 2)], "src long, dst long, t long"
+    )
+    got2 = {r["vtx"]: r["t_arr"] for r in
+            temporal_reachability(c2, [10], start_t=0).collect()}
+    assert got2 == {10: 0, 20: 1, 30: 2}
+    # equal-time hop IS usable (t >= arrival)
+    c3 = spark.createDataFrame(
+        [(10, 20, 1), (20, 30, 1)], "src long, dst long, t long"
+    )
+    got3 = {r["vtx"]: r["t_arr"] for r in
+            temporal_reachability(c3, [10], start_t=0).collect()}
+    assert got3 == {10: 0, 20: 1, 30: 1}
+
+
+def _np_temporal_reach(
+    contacts: list[tuple[int, int, int]], seeds: list[int], start: int
+) -> dict[int, int]:
+    """Independent earliest-arrival replay (Dijkstra-free: bucket times
+    are small ints, iterate to fixpoint)."""
+    arr = {s: start for s in seeds}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in contacts:
+            if s in arr and t >= arr[s] and (d not in arr or t < arr[d]):
+                arr[d] = t
+                changed = True
+    return arr
+
+
+def test_temporal_reachability_random_replay(spark):
+    """Property on random temporal graphs: fixpoint arrivals equal an
+    independent python replay; the fixed-round twin at a large round
+    count equals the fixpoint."""
+    from parallel_louvain_method_spark.operators.temporal import (
+        temporal_reach_rounds,
+        temporal_reachability,
+    )
+
+    rng = np.random.default_rng(13)
+    n, m = 25, 120
+    contacts = [
+        (int(a), int(b), int(t))
+        for a, b, t in zip(
+            rng.integers(0, n, m), rng.integers(0, n, m), rng.integers(0, 8, m)
+        )
+        if a != b
+    ]
+    df = spark.createDataFrame(contacts, "src long, dst long, t long")
+    seeds = [0, 1]
+    want = _np_temporal_reach(contacts, seeds, 0)
+    got = {r["vtx"]: r["t_arr"] for r in
+           temporal_reachability(df, seeds, start_t=0).collect()}
+    assert got == want
+    got_fixed = {r["vtx"]: r["t_arr"] for r in
+                 temporal_reach_rounds(df, seeds, rounds=30, start_t=0).collect()}
+    assert got_fixed == want
+
+
+def test_temporal_reachability_guards(spark):
+    from parallel_louvain_method_spark.operators.temporal import (
+        temporal_reachability,
+    )
+
+    # a 4-hop forward chain cannot fixpoint in 1 round -> RAISE
+    chain = spark.createDataFrame(
+        [(i, i + 1, i + 1) for i in range(4)], "src long, dst long, t long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        temporal_reachability(chain, [0], start_t=0, max_iter=1)
+    empty = spark.createDataFrame([], "src long, dst long, t long")
+    with pytest.raises(ValueError, match="empty"):
+        temporal_reachability(empty, [0])

@@ -692,3 +692,107 @@ def test_pyhash_whitespace_parity(spark):
     }
     py_sh = {(i, h) for i, t in texts for h in hashed_shingles(t, 2)}
     assert spark_sh == py_sh
+
+
+# ---------------------------------------------------------------------------
+# embedding statistics (operators/embstats.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb_matrix(embeddings) -> tuple[np.ndarray, np.ndarray]:
+    rows = embeddings.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_embedding_moments_vs_numpy(spark, embeddings):
+    from parallel_louvain_method_spark.operators.embstats import (
+        embedding_moments,
+    )
+
+    _, X = _emb_matrix(embeddings)
+    got = {r["pos"]: r for r in embedding_moments(embeddings).collect()}
+    assert set(got) == set(range(X.shape[1]))
+    for p in range(X.shape[1]):
+        assert got[p]["n"] == X.shape[0]
+        assert abs(got[p]["mean"] - X[:, p].mean()) < 1e-9
+        assert abs(got[p]["var"] - X[:, p].var()) < 1e-9
+
+
+def test_embedding_covariance_vs_numpy(spark, embeddings):
+    """The Arrow-batched X.T@X partial path must reproduce numpy's
+    population covariance on the driver fixture."""
+    from parallel_louvain_method_spark.operators.embstats import (
+        embedding_covariance,
+    )
+
+    _, X = _emb_matrix(embeddings)
+    want = np.cov(X, rowvar=False, bias=True)
+    rows = embedding_covariance(embeddings, dim=X.shape[1]).collect()
+    assert len(rows) == X.shape[1] * (X.shape[1] + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert abs(r["cov"] - want[r["i"], r["j"]]) < 1e-9, (r["i"], r["j"])
+
+
+def test_pca_project_vs_numpy(spark, embeddings):
+    """pca_project == centered @ top-k eigh components (sign-canonical),
+    and the k-dim projection preserves descending component variance."""
+    from parallel_louvain_method_spark.operators.embstats import pca_project
+
+    ids, X = _emb_matrix(embeddings)
+    k = 4
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    comps = V[:, ::-1][:, :k]
+    for c in range(k):
+        lead = int(np.argmax(np.abs(comps[:, c])))
+        if comps[lead, c] < 0:
+            comps[:, c] = -comps[:, c]
+    want = (X - X.mean(axis=0)) @ comps
+    got_rows = pca_project(embeddings, k=k).collect()
+    got = {r["id"]: np.array(r["proj"]) for r in got_rows}
+    got_mat = np.array([got[i] for i in ids])
+    assert got_mat.shape == want.shape
+    assert np.allclose(got_mat, want, atol=1e-6)
+    # projected variance is descending (top components first)
+    pv = got_mat.var(axis=0)
+    assert all(pv[i] >= pv[i + 1] - 1e-12 for i in range(k - 1))
+
+
+def test_quantize_embeddings_roundtrip(spark, embeddings):
+    """q in [-127,127]; the max-|x| element of every dimension hits
+    exactly +-127; dequantized values are within scale/2 of the input;
+    an all-zero dimension quantizes to 0 (try_divide NULL path)."""
+    from parallel_louvain_method_spark.operators.embstats import (
+        quantize_embeddings,
+    )
+
+    ids, X = _emb_matrix(embeddings)
+    quantized, scales = quantize_embeddings(embeddings)
+    sc = {r["pos"]: r["scale"] for r in scales.collect()}
+    for p in range(X.shape[1]):
+        assert abs(sc[p] - np.abs(X[:, p]).max() / 127.0) < 1e-12
+    qrows = quantized.collect()
+    assert len(qrows) == X.size
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    for r in qrows[:2000]:
+        x = X[id_to_row[r["id"]], r["pos"]]
+        s = sc[r["pos"]]
+        assert -127 <= r["q"] <= 127
+        assert abs(r["q"] * s - x) <= s / 2 + 1e-12
+    # every dimension's extreme maps to +-127
+    by_pos: dict[int, int] = {}
+    for r in qrows:
+        by_pos[r["pos"]] = max(by_pos.get(r["pos"], 0), abs(r["q"]))
+    assert all(v == 127 for v in by_pos.values())
+    # all-zero dimension -> scale 0, q 0
+    z = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    zq, zs = quantize_embeddings(z)
+    assert {r["scale"] for r in zs.collect() if r["pos"] == 0} == {0.0}
+    assert all(r["q"] == 0 for r in zq.collect() if r["pos"] == 0)
