@@ -99,6 +99,7 @@ from parallel_louvain_method_spark.operators.walks import (
     random_walks,
 )
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
+from parallel_louvain_method_spark.sources import kronecker as _KR
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
 # ---------------------------------------------------------------------------
@@ -1536,6 +1537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- edge-table operators (SURVEY.md §2.2/§2.4) ---
     q["edge_build"] = lambda s, d: _edges(s, d)
+    # S3: the reference's declared-but-never-built Graph500 RMAT source
+    # (main_distributed_bfs.cpp:74-80), realized as a shuffle-free
+    # integer-hash generator; sf_dir unused by construction (synthetic).
+    # Gate shape: raw stream + canonical cleanup so the hash pins both
+    # the generator algebra AND the P1-P4 pipeline over it.
+    q["rmat_s10"] = lambda s, d: _KR.kronecker_edges(
+        s, scale=10, edgefactor=8, seed=42, permute=True
+    )
     q["symmetrize_dedup"] = lambda s, d: G.symmetric_edges(_edges(s, d))
     q["canonical_edges"] = lambda s, d: G.canonical_edges(
         G.symmetric_edges(_edges(s, d))
@@ -2207,6 +2216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["edge_build"] = _EDGES_SQL
+    # same integer algebra replayed from the same Python coefficient
+    # stream — bit-exact, no rounding slack anywhere
+    o["rmat_s10"] = _KR.kronecker_oracle_sql(
+        scale=10, edgefactor=8, seed=42, permute=True
+    )
     o["symmetrize_dedup"] = _SYM_SQL
     o["canonical_edges"] = f"SELECT * FROM ({_SYM_SQL}) WHERE src <= dst"
     o["weighted_degree"] = (

@@ -169,6 +169,26 @@ def main(argv: list[str] | None = None) -> int:
         help="also score pairs that are already edges (embeddedness)",
     )
 
+    km = sub.add_parser(
+        "rmat",
+        help="deterministic Graph500 RMAT synthetic edge stream "
+        "(SURVEY S3: the reference's declared-but-unbuilt from_kronecker)",
+    )
+    km.add_argument("--out", required=True)
+    km.add_argument("--scale", type=int, required=True,
+                    help="2^scale vertices, edgefactor*2^scale edges")
+    km.add_argument("--edgefactor", type=int, default=16)
+    km.add_argument("--seed", type=int, default=0)
+    km.add_argument(
+        "--permute", action="store_true",
+        help="bijectively relabel vertices so degree skew is not "
+        "aligned with id order",
+    )
+    km.add_argument(
+        "--num-partitions", type=int, default=None,
+        help="range-source partitions (default: spark default parallelism)",
+    )
+
     kc = sub.add_parser("kcore", help="k-core membership by peeling")
     kc.add_argument("--edges", required=True)
     kc.add_argument("--out", required=True)
@@ -720,6 +740,24 @@ def main(argv: list[str] | None = None) -> int:
                 {"pairs": pairs.count(), "dropped_centers": dropped}
             )
         )
+    elif args.cmd == "rmat":
+        from parallel_louvain_method_spark.sources.kronecker import (
+            kronecker_edges,
+        )
+
+        stream = kronecker_edges(
+            spark,
+            scale=args.scale,
+            edgefactor=args.edgefactor,
+            seed=args.seed,
+            permute=args.permute,
+            num_partitions=args.num_partitions,
+        )
+        stream.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "edges": args.edgefactor << args.scale,
+            "vertices": 1 << args.scale,
+        }))
     elif args.cmd == "kcore":
         from parallel_louvain_method_spark.operators.kcore import kcore
 

@@ -357,3 +357,81 @@ def test_cli_paths_scc_betweenness_subcommands(spark, tmp_path, golden16_df, cap
     btw = {r["vtx"]: r["btw"] for r in spark.read.parquet(out4).collect()}
     # vertex 10 is golden16's top broker (also the eigenvector leader)
     assert max(btw, key=btw.get) == 10
+
+
+def test_kronecker_rmat_source(spark):
+    """S3: deterministic RMAT stream — exact size, vertex range, seed
+    sensitivity, permutation bijectivity, and skew (the whole point of
+    RMAT: quadrant A concentrates degree)."""
+    import duckdb
+
+    from parallel_louvain_method_spark.sources.kronecker import (
+        kronecker_edges,
+        kronecker_oracle_sql,
+    )
+
+    df = kronecker_edges(spark, scale=7, edgefactor=8, seed=3)
+    rows = df.collect()
+    assert len(rows) == 8 << 7
+    assert all(0 <= r["src"] < 128 and 0 <= r["dst"] < 128 for r in rows)
+    # deterministic: same seed twice is identical, different seed is not
+    again = kronecker_edges(spark, scale=7, edgefactor=8, seed=3).collect()
+    assert [(r["src"], r["dst"]) for r in rows] == [
+        (r["src"], r["dst"]) for r in again
+    ]
+    other = kronecker_edges(spark, scale=7, edgefactor=8, seed=4).collect()
+    assert [(r["src"], r["dst"]) for r in rows] != [
+        (r["src"], r["dst"]) for r in other
+    ]
+    # RMAT skew: the hottest vertex owns >> the uniform 2/|V| share
+    from collections import Counter
+
+    deg = Counter()
+    for r in rows:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    assert deg.most_common(1)[0][1] > 8 * (2 * len(rows) / 128)
+    # permute=True relabels (bijection: multiset of degrees preserved)
+    pdf = kronecker_edges(spark, scale=7, edgefactor=8, seed=3, permute=True)
+    pdeg = Counter()
+    for r in pdf.collect():
+        pdeg[r["src"]] += 1
+        pdeg[r["dst"]] += 1
+    assert sorted(deg.values()) == sorted(pdeg.values())
+    assert deg != pdeg  # actually relabeled
+    # SQL replay is bit-exact
+    o = duckdb.connect().execute(
+        kronecker_oracle_sql(scale=7, edgefactor=8, seed=3, permute=True)
+    ).df()
+    got = sorted((r["src"], r["dst"]) for r in pdf.collect())
+    assert got == sorted(zip(o["src"].tolist(), o["dst"].tolist()))
+
+
+def test_kronecker_feeds_louvain_pipeline(spark):
+    """The generated stream is a first-class edge source: P1-P4 cleanup +
+    community detection run on it unchanged."""
+    from parallel_louvain_method_spark.operators.louvain import louvain
+    from parallel_louvain_method_spark.sources.kronecker import kronecker_edges
+
+    g = kronecker_edges(spark, scale=6, edgefactor=6, seed=11)
+    r = louvain(spark, g)
+    assert r.modularity > 0.0
+    assert r.assignment.count() > 0
+
+
+def test_cli_rmat_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    out = str(tmp_path / "rmat")
+    assert main([
+        "rmat", "--out", out, "--scale", "6", "--edgefactor", "4",
+        "--seed", "5", "--permute",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"edges": 256, "vertices": 64}
+    df = spark.read.parquet(out)
+    assert df.count() == 256
+    assert df.columns == ["src", "dst", "weight"]
+    assert df.agg(F.max(F.greatest("src", "dst"))).first()[0] < 64
