@@ -2112,6 +2112,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hash_split_docs"] = _hash_split
 
+    # sequence packing (concat-and-chunk, operators/packing.py): pure
+    # prefix-sum algebra -> bit-exact integer gate; budget 256 whitespace
+    # tokens, 4 shards, so plenty of boundary splits at sf0.01
+    def _pack(s, d):
+        from parallel_louvain_method_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        return pack_sequences(_docs(s, d), budget=256, n_shards=4, seed=9)
+
+    q["pack_seqs_b256"] = _pack
+
+    def _pack_stats(s, d):
+        from parallel_louvain_method_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        # fill_ratio = exact-int sum / (exact-int count * 256.0): the same
+        # two integers divide on both engines -> identical doubles, no slack
+        return packing_stats(
+            pack_sequences(_docs(s, d), budget=256, n_shards=4, seed=9),
+            budget=256,
+        )
+
+    q["packing_fill_b256"] = _pack_stats
+
     # balanced-mixture cap: 2 deterministically-chosen docs per language
     def _stratified_top2(s, d):
         from parallel_louvain_method_spark.operators.sampling import (
@@ -3365,6 +3392,50 @@ def oracle_sql() -> dict[str, str]:
     """
     # hash_split twin: the walks-module integer mix on doc_id, seed 7 —
     # bucket = ((doc_id*2654435761 + (7*69069+40503)) % 2147483647) % 10
+    # concat-and-chunk packing replay: same Mersenne-31 shard hash
+    # (coefficients from the seed-9 SplitMix stream, embedded as
+    # literals), same in-shard doc_id order, same prefix-sum slicing
+    _PACK_BASE_SQL = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(((1234188725 * (doc_id % 2147483647) + 723250568)
+                         % 2147483647) % 4 AS INT) AS shard,
+                   CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS t
+            FROM documents
+        ),
+        f AS (SELECT * FROM base WHERE t > 0),
+        offs AS (
+            SELECT doc_id, shard, t,
+                   CAST(SUM(t) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - t
+                        AS BIGINT) AS s
+            FROM f
+        ),
+        sp AS (
+            SELECT doc_id, shard, s, t,
+                   CAST(unnest(range(s // 256, (s + t - 1) // 256 + 1))
+                        AS BIGINT) AS seq_id
+            FROM offs
+        )
+        SELECT shard, seq_id, doc_id,
+               GREATEST(seq_id * 256 - s, 0) AS doc_from,
+               LEAST(seq_id * 256 + 256 - s, t) AS doc_to,
+               GREATEST(s - seq_id * 256, 0) AS seq_from
+        FROM sp
+    """
+    o["pack_seqs_b256"] = _PACK_BASE_SQL
+    o["packing_fill_b256"] = f"""
+        WITH packed AS ({_PACK_BASE_SQL}),
+        per_seq AS (
+            SELECT shard, seq_id, SUM(doc_to - doc_from) AS fill
+            FROM packed GROUP BY 1, 2
+        )
+        SELECT shard, COUNT(*) AS n_sequences,
+               CAST(SUM(fill) AS BIGINT) AS tokens,
+               CAST(SUM(fill) AS DOUBLE) / (COUNT(*) * 256.0) AS fill_ratio
+        FROM per_seq GROUP BY shard
+    """
     o["hash_split_docs"] = """
         SELECT doc_id,
                CASE WHEN ((doc_id * 2654435761 + 523986) % 2147483647) % 10

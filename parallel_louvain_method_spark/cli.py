@@ -543,6 +543,25 @@ def main(argv: list[str] | None = None) -> int:
     kn.add_argument("--method", choices=["brute", "lsh", "ivf"], default="lsh")
     kn.add_argument("--dim", type=int, help="embedding dimensionality (skips infer job)")
 
+    pk = sub.add_parser(
+        "pack",
+        help="concat-and-chunk sequence packing over a documents table "
+        "(one row per document x sequence incidence)",
+    )
+    pk.add_argument("--docs", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--budget", type=int, required=True,
+                    help="tokens per packed sequence")
+    pk.add_argument("--shards", type=int, default=1)
+    pk.add_argument("--seed", type=int, default=0)
+    pk.add_argument(
+        "--tokens-col", default=None,
+        help="precomputed token-count column (default: whitespace count "
+        "of --text-col)",
+    )
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1229,6 +1248,32 @@ def main(argv: list[str] | None = None) -> int:
             out = ivf_knn(emb, k=args.k)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"method": args.method, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "pack":
+        from parallel_louvain_method_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        packed = pack_sequences(
+            spark.read.parquet(args.docs),
+            budget=args.budget,
+            n_shards=args.shards,
+            id_col=args.id_col,
+            tokens_col=args.tokens_col,
+            text_col=args.text_col,
+            seed=args.seed,
+        )
+        packed.write.mode("overwrite").parquet(args.out)
+        stats = packing_stats(
+            spark.read.parquet(args.out), budget=args.budget
+        ).agg(
+            F.sum("n_sequences").alias("n"),
+            F.sum("tokens").alias("tok"),
+        ).first()
+        print(json.dumps({
+            "sequences": int(stats["n"] or 0),
+            "tokens": int(stats["tok"] or 0),
+        }))
     elif args.cmd == "text":
         from parallel_louvain_method_spark.operators import text as T
 
