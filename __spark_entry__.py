@@ -1559,6 +1559,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_count"] = lambda s, d: s.createDataFrame(
         [(triangle_count(_part_pairs(s, d)),)], "n_triangles long"
     )
+    # K4 motif count over the same graph (operators/triangles.py
+    # clique4_count_df): Spark counts via degree-ordered orientation, the
+    # oracle via id-ordered 6-edge closure — a hash match cross-validates
+    # the orientation argument (each K4 counted exactly once) end-to-end
+    def _clique4(s, d):
+        from parallel_louvain_method_spark.operators.triangles import (
+            clique4_count_df,
+        )
+
+        return clique4_count_df(_part_pairs(s, d))
+
+    q["clique4_count"] = _clique4
     q["pagerank_k3"] = lambda s, d: pagerank(
         G.symmetric_edges(_edges(s, d)), damping=0.85, max_iter=3, tol=None
     ).select("vtx", F.round("rank", 8).alias("rank"))
@@ -2270,6 +2282,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src
                   JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    # staged (triangles -> extend -> EXISTS) rather than one flat 6-way
+    # join: the flat form gets a catastrophic join order in DuckDB on
+    # this dense graph (>240s); staged runs in <1s for the same algebra
+    o["clique4_count"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL}),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM p e1 JOIN p e2 ON e1.dst = e2.src
+            JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        ext AS (
+            SELECT tri.a, tri.b, e4.dst AS d
+            FROM tri JOIN p e4 ON e4.src = tri.c
+        )
+        SELECT COUNT(*) AS n_clique4 FROM ext
+        WHERE EXISTS (SELECT 1 FROM p
+                      WHERE p.src = ext.a AND p.dst = ext.d)
+          AND EXISTS (SELECT 1 FROM p
+                      WHERE p.src = ext.b AND p.dst = ext.d)
     """
     # Boruvka rounds 1+2: round 1 needs no labels (every vertex is its own
     # component); the contraction closure is the connected_components

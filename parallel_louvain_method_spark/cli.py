@@ -119,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         help="also write per-vertex local clustering coefficients here",
     )
     tr.add_argument(
+        "--clique4", action="store_true",
+        help="also count 4-cliques (K4 motifs)",
+    )
+    tr.add_argument(
         "--census", action="store_true",
         help="treat the edges as DIRECTED and print the triad census "
         "(cyclic / transitive / mixed triangle counts) instead",
@@ -706,7 +710,14 @@ def main(argv: list[str] | None = None) -> int:
             coeffs.unpersist()
             print(json.dumps({"triangles": n_tri}))
         else:
-            print(json.dumps({"triangles": triangle_count(tr_edges)}))
+            report = {"triangles": triangle_count(tr_edges)}
+            if args.clique4:
+                from parallel_louvain_method_spark.operators.triangles import (
+                    clique4_count,
+                )
+
+                report["clique4"] = clique4_count(tr_edges)
+            print(json.dumps(report))
     elif args.cmd == "curate":
         from parallel_louvain_method_spark.operators.sampling import (
             hash_split,

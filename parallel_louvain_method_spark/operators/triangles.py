@@ -303,3 +303,65 @@ def triad_census(edges: DataFrame) -> DataFrame:
     rows = out.localCheckpoint(eager=True)
     pf.unpersist()
     return rows
+
+
+def clique4_count(edges: DataFrame) -> int:
+    """Exact number of 4-cliques (K4 subgraphs) — the next motif up from
+    :func:`triangle_count`, same degree-ordered discipline.
+
+    Every K4 {a,b,c,d} has exactly one labeling with a < b < c < d in the
+    orientation's total (degree, id) order, so it is counted once: as the
+    triangle (a, b, c) extended by the common oriented out-neighbor d of
+    all three.  The extension joins each triangle against the SHORT
+    oriented out-list of its highest-ordered vertex c (O(sqrt m) even at
+    hubs), then keeps d only when (a, d) and (b, d) are also oriented
+    edges — two semi-joins.  Four shuffle joins total beyond the triangle
+    enumeration; all JVM-side, skew-bounded by the same orientation
+    argument as the triangle pass.
+    """
+    oriented = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    tri = _closed_wedges(oriented)  # (a, b, c) with a<b<c in orient order
+    cand = tri.join(
+        oriented.select(F.col("src").alias("c"), F.col("dst").alias("d")),
+        "c",
+    )
+    n = (
+        cand.join(
+            oriented.select(F.col("src").alias("a"), F.col("dst").alias("d")),
+            ["a", "d"],
+            "left_semi",
+        )
+        .join(
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("d")),
+            ["b", "d"],
+            "left_semi",
+        )
+        .count()
+    )
+    oriented.unpersist()
+    return n
+
+
+def clique4_count_df(edges: DataFrame) -> DataFrame:
+    """One-row DataFrame twin of :func:`clique4_count` (driver-gate
+    shape: the count as a column, no driver-side action)."""
+    oriented = _oriented(edges)
+    from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
+
+    # referenced on four join sides -> materialize once (house rule)
+    oriented = fresh_checkpoint(oriented)
+    tri = _closed_wedges(oriented)
+    cand = tri.join(
+        oriented.select(F.col("src").alias("c"), F.col("dst").alias("d")),
+        "c",
+    )
+    kept = cand.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("d")),
+        ["a", "d"],
+        "left_semi",
+    ).join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("d")),
+        ["b", "d"],
+        "left_semi",
+    )
+    return kept.agg(F.count("*").cast("long").alias("n_clique4"))

@@ -3112,3 +3112,58 @@ def test_temporal_reachability_guards(spark):
     empty = spark.createDataFrame([], "src long, dst long, t long")
     with pytest.raises(ValueError, match="empty"):
         temporal_reachability(empty, [0])
+
+
+def test_clique4_count(spark):
+    """K4 motif: one planted K4 + one K4 sharing a triangle with it +
+    noise edges; counts pinned by hand and by an independent brute force."""
+    from itertools import combinations
+
+    from parallel_louvain_method_spark.operators.triangles import (
+        clique4_count,
+        clique4_count_df,
+    )
+
+    edges = [
+        # K4 on {0,1,2,3}
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        # {1,2,3,4}: needs (1,4),(2,4),(3,4) to become a second K4
+        (1, 4), (2, 4), (3, 4),
+        # noise: a pendant and a square without diagonals (no K4)
+        (4, 5), (6, 7), (7, 8), (8, 9), (9, 6),
+    ]
+    adj = set()
+    for a, b in edges:
+        adj.add((a, b)); adj.add((b, a))
+    brute = sum(
+        1
+        for quad in combinations(range(10), 4)
+        if all((x, y) in adj for x, y in combinations(quad, 2))
+    )
+    assert brute == 2
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    assert clique4_count(df) == 2
+    assert clique4_count_df(df).first()["n_clique4"] == 2
+    # duplicate + reversed edges must not change the count (simple-graph
+    # semantics are enforced inside)
+    noisy = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] + [(b, a, 2.0) for a, b in edges],
+        "src long, dst long, weight double",
+    )
+    assert clique4_count(noisy) == 2
+
+
+def test_clique4_complete_graph(spark):
+    """K6 has C(6,4)=15 4-cliques — a dense stress of the ordering
+    argument (every quad counted exactly once)."""
+    from itertools import combinations
+
+    from parallel_louvain_method_spark.operators.triangles import clique4_count
+
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in combinations(range(6), 2)],
+        "src long, dst long, weight double",
+    )
+    assert clique4_count(df) == 15
