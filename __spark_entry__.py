@@ -1778,6 +1778,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings")
     )[0]
 
+    # fixed-basis projection: pins pca_project's distributed half (the
+    # codegen centered dot products) with literal components — the
+    # driver-side eigh is numpy-tested in pytest, not SQL-expressible.
+    # Left-fold vs SUM accumulation order differs -> 6 dp + (-0.0) guard
+    def _emb_project(s, d):
+        comps = [
+            [((-1.0) ** i) * (i + 1) / 64.0 for i in range(64)],
+            [1.0 / (1 + (i * 7) % 13) for i in range(64)],
+        ]
+        mean = [0.25] * 64
+        return (
+            EB.project_embeddings(_t(s, d, "embeddings"), comps, mean)
+            .select("id", F.posexplode("proj").alias("c", "val"))
+            .select("id", "c", (F.round("val", 6) + F.lit(0.0)).alias("val"))
+        )
+
+    q["emb_project2"] = _emb_project
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: T.token_counts(_docs(s, d))
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d)).select(
@@ -3033,6 +3051,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT gr.i, gr.j,
                ROUND(gr.s / mi.n - mi.mean * mj.mean, 6) + 0.0 AS cov
         FROM gr JOIN m mi ON gr.i = mi.pos JOIN m mj ON gr.j = mj.pos
+    """
+    _COMP1 = ", ".join(
+        repr(((-1.0) ** i) * (i + 1) / 64.0) for i in range(64)
+    )
+    _COMP2 = ", ".join(repr(1.0 / (1 + (i * 7) % 13)) for i in range(64))
+    o["emb_project2"] = f"""
+        WITH x AS ({_EMB_X_SQL}),
+        c AS (
+            SELECT CAST(u.i - 1 AS INT) AS pos, 0 AS comp,
+                   u.v AS coef
+            FROM (SELECT unnest([{_COMP1}]) AS v,
+                         generate_subscripts([{_COMP1}], 1) AS i) u
+            UNION ALL
+            SELECT CAST(u.i - 1 AS INT) AS pos, 1 AS comp, u.v AS coef
+            FROM (SELECT unnest([{_COMP2}]) AS v,
+                         generate_subscripts([{_COMP2}], 1) AS i) u
+        )
+        SELECT x.vec_id AS id, c.comp AS c,
+               ROUND(SUM((x.val - 0.25) * c.coef), 6) + 0.0 AS val
+        FROM x JOIN c ON x.pos = c.pos
+        GROUP BY 1, 2
     """
     o["quantize_emb"] = f"""
         WITH x AS ({_EMB_X_SQL}),

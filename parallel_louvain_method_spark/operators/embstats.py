@@ -173,22 +173,50 @@ def pca_project(
     mean = np.zeros(d)
     for r in embedding_moments(df, vec_col).collect():
         mean[r["pos"]] = r["mean"]
-    centered = F.zip_with(
-        F.col(vec_col),
-        F.array(*[F.lit(float(m)) for m in mean]),
-        lambda x, m: x.cast("double") - m,
+    return project_embeddings(
+        df,
+        [list(map(float, comps[:, c])) for c in range(k)],
+        list(map(float, mean)),
+        id_col=id_col,
+        vec_col=vec_col,
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The distributed half of :func:`pca_project`, public so any fixed
+    basis can be applied (and so the gate can pin the projection algebra
+    with literal components independent of the driver-side eigh):
+    center by ``mean`` (default none) and dot with each component via
+    codegen ``aggregate(zip_with(...))`` left folds — per-row pure JVM,
+    components ship as broadcast literals.
+    ``DataFrame[id, proj: array<double>]``."""
+    if not components:
+        raise ValueError("project_embeddings: components must be non-empty")
+    if mean is not None:
+        centered = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(m)) for m in mean]),
+            lambda x, m: x.cast("double") - m,
+        )
+    else:
+        centered = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     projs = [
         F.aggregate(
             F.zip_with(
                 centered,
-                F.array(*[F.lit(float(v)) for v in comps[:, c]]),
+                F.array(*[F.lit(float(v)) for v in comp]),
                 lambda x, p: x * p,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        for c in range(k)
+        for comp in components
     ]
     return df.select(F.col(id_col).alias("id"), F.array(*projs).alias("proj"))
 

@@ -892,3 +892,37 @@ def test_cli_pack_subcommand(spark, tmp_path, capsys):
     assert df.columns == [
         "shard", "seq_id", "doc_id", "doc_from", "doc_to", "seq_from"
     ]
+
+
+def test_project_embeddings_fixed_basis(spark):
+    """project_embeddings == centered @ components for literal bases,
+    and pca_project composes through it unchanged (refactor guard)."""
+    import numpy as np
+
+    from parallel_louvain_method_spark.operators.embstats import (
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    comps = [[1.0, 0, 0, 0, 0, 0, 0, 0], [0.5] * 8]
+    mean = [0.1] * 8
+    got = {
+        r["id"]: r["proj"]
+        for r in project_embeddings(df, comps, mean).collect()
+    }
+    C = np.array(comps).T
+    want = (X.astype(np.float64) - 0.1) @ C
+    for i in range(20):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+    # no mean -> uncentered
+    got2 = {
+        r["id"]: r["proj"] for r in project_embeddings(df, comps).collect()
+    }
+    want2 = X.astype(np.float64) @ C
+    for i in range(20):
+        assert np.allclose(got2[i], want2[i], atol=1e-9)
