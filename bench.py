@@ -506,6 +506,51 @@ def main() -> None:
         ).count(),
     )
 
+    # r5 rows: synthetic-graph generation throughput (shuffle-free RMAT
+    # codegen — the scaling-bench fuel), sequence packing (one window
+    # shuffle over the documents table), and the K4 motif count on the
+    # dense part-pair graph (1.6M cliques at sf0.1 — the heaviest motif
+    # join in the suite)
+    from parallel_louvain_method_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from parallel_louvain_method_spark.operators.triangles import clique4_count
+    from parallel_louvain_method_spark.sources.kronecker import kronecker_edges
+
+    timed(
+        "rmat_s20_gen",
+        lambda: kronecker_edges(
+            spark, scale=20, edgefactor=16, seed=1, permute=True
+        ).count(),
+    )
+    bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "pack_docs_b512",
+        lambda: packing_stats(
+            pack_sequences(bench_docs, budget=512, n_shards=32, seed=1),
+            budget=512,
+        ).count(),
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part_pairs_g = (
+        lineitem.withColumnsRenamed({"l_partkey": "src"})
+        .select("l_orderkey", "src")
+        .join(
+            lineitem.withColumnsRenamed({"l_partkey": "dst"}).select(
+                "l_orderkey", "dst"
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    timed("clique4_partpairs", lambda: clique4_count(part_pairs_g))
+
     host["end"] = _host_snapshot()
     print(
         json.dumps(
