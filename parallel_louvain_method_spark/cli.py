@@ -566,6 +566,41 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--text-col", default="text")
     pk.add_argument("--id-col", default="doc_id")
 
+    tp = sub.add_parser(
+        "temporal",
+        help="contact-graph build + time-respecting earliest-arrival "
+        "reachability over an event log",
+    )
+    tp.add_argument("--events", required=True)
+    tp.add_argument("--out", required=True)
+    tp.add_argument("--bucket-seconds", type=int, default=600)
+    tp.add_argument("--max-group", type=int, default=1000)
+    tp.add_argument(
+        "--seeds",
+        help="comma-separated seed vertex ids; when given, --out receives "
+        "the (vtx, t_arr) reachability instead of the contact edges",
+    )
+    tp.add_argument("--max-iter", type=int, default=None)
+    tp.add_argument("--user-col", default="user_id")
+    tp.add_argument("--key-col", default="event_type")
+    tp.add_argument("--ts-col", default="ts")
+
+    eb = sub.add_parser(
+        "embstats",
+        help="embedding-column statistics: per-dimension moments, "
+        "covariance, PCA projection, int8 quantization",
+    )
+    eb.add_argument("--embeddings", required=True)
+    eb.add_argument("--out", required=True)
+    eb.add_argument(
+        "--op",
+        choices=["moments", "covariance", "pca", "quantize"],
+        default="moments",
+    )
+    eb.add_argument("--k", type=int, default=2, help="PCA components")
+    eb.add_argument("--id-col", default="vec_id")
+    eb.add_argument("--vec-col", default="embedding")
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1285,6 +1320,55 @@ def main(argv: list[str] | None = None) -> int:
             "sequences": int(stats["n"] or 0),
             "tokens": int(stats["tok"] or 0),
         }))
+    elif args.cmd == "temporal":
+        from parallel_louvain_method_spark.operators.temporal import (
+            contact_edges,
+            temporal_reachability,
+        )
+
+        contacts, dropped = contact_edges(
+            spark.read.parquet(args.events),
+            bucket_seconds=args.bucket_seconds,
+            user_col=args.user_col,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            max_group=args.max_group,
+        )
+        if args.seeds:
+            reach = temporal_reachability(
+                contacts,
+                [int(v) for v in args.seeds.split(",")],
+                max_iter=args.max_iter,
+            )
+            reach.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({
+                "reached": reach.count(),
+                "dropped_groups": dropped.count(),
+            }))
+        else:
+            contacts.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({
+                "contacts": contacts.count(),
+                "dropped_groups": dropped.count(),
+            }))
+    elif args.cmd == "embstats":
+        from parallel_louvain_method_spark.operators import embstats as EB
+
+        emb = spark.read.parquet(args.embeddings)
+        if args.op == "moments":
+            out_df = EB.embedding_moments(emb, args.vec_col)
+        elif args.op == "covariance":
+            out_df = EB.embedding_covariance(emb, args.vec_col)
+        elif args.op == "pca":
+            out_df = EB.pca_project(
+                emb, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+            )
+        else:
+            out_df = EB.quantize_embeddings(
+                emb, id_col=args.id_col, vec_col=args.vec_col
+            )[0]
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": out_df.count()}))
     elif args.cmd == "text":
         from parallel_louvain_method_spark.operators import text as T
 

@@ -926,3 +926,55 @@ def test_project_embeddings_fixed_basis(spark):
     want2 = X.astype(np.float64) @ C
     for i in range(20):
         assert np.allclose(got2[i], want2[i], atol=1e-9)
+
+
+def test_cli_temporal_and_embstats(spark, tmp_path, capsys):
+    import datetime
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    ev = str(tmp_path / "events")
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        # users 1,2 co-occur in bucket 0; 2,3 in bucket 1 (time-respecting
+        # chain 1 -> 2 -> 3); 3,1 co-occur in bucket 0 is absent so the
+        # backwards path 3 -> ... -> 1 does not exist
+        (1, "a", base),
+        (2, "a", base),
+        (2, "a", base + datetime.timedelta(seconds=700)),
+        (3, "a", base + datetime.timedelta(seconds=700)),
+        (9, "b", base),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(ev)
+    out = str(tmp_path / "contacts")
+    assert main(["temporal", "--events", ev, "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"contacts": 4, "dropped_groups": 0}
+    out2 = str(tmp_path / "reach")
+    assert main([
+        "temporal", "--events", ev, "--out", out2, "--seeds", "1",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["reached"] == 3  # 1 (seed), 2 (bucket 0), 3 (bucket 1)
+    got = {
+        r["vtx"]: r["t_arr"] for r in spark.read.parquet(out2).collect()
+    }
+    assert set(got) == {1, 2, 3} and got[2] <= got[3]
+
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    for op, want_rows in (
+        ("moments", 3), ("covariance", 6), ("pca", 10), ("quantize", 30)
+    ):
+        out3 = str(tmp_path / f"emb_{op}")
+        assert main([
+            "embstats", "--embeddings", emb, "--out", out3, "--op", op,
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep == {"op": op, "rows": want_rows}
