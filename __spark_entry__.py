@@ -98,6 +98,10 @@ from parallel_louvain_method_spark.operators.walks import (
     neighbor_sample,
     random_walks,
 )
+from parallel_louvain_method_spark.functions.bloom import (
+    bloom_oracle_sql,
+    bloom_semi_join,
+)
 from parallel_louvain_method_spark.sources.corpus import shared_content_edges
 from parallel_louvain_method_spark.sources import kronecker as _KR
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
@@ -1677,6 +1681,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
     )
 
+    # deterministic bloom semi-join prefilter: orders probed against the
+    # nation<5 customer keep-list; kept set (incl. false positives) is
+    # bit-exact vs the DuckDB twin (functions/bloom.py)
+    q["bloom_prefilter"] = lambda s, d: bloom_semi_join(
+        _t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        _t(s, d, "customer").filter("c_nationkey < 5").select("c_custkey"),
+        "c_custkey",
+        m_bits=1024,
+        probes=3,
+        seed=42,
+    )
+
     # --- dedup family ---
     q["exact_dup_groups"] = lambda s, d: D.exact_duplicates(
         _docs(s, d)
@@ -2497,6 +2514,14 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     o["sha256_invariant"] = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+    o["bloom_prefilter"] = bloom_oracle_sql(
+        "SELECT c_custkey AS k FROM customer WHERE c_nationkey < 5",
+        "SELECT o_orderkey, o_custkey FROM orders",
+        "o_custkey",
+        m_bits=1024,
+        probes=3,
+        seed=42,
+    )
     o["exact_dup_groups"] = """
         SELECT sha256(text) AS content_sha, COUNT(*) AS n
         FROM documents GROUP BY 1 HAVING COUNT(*) > 1

@@ -978,3 +978,89 @@ def test_cli_temporal_and_embstats(spark, tmp_path, capsys):
         ]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep == {"op": op, "rows": want_rows}
+
+
+def test_bloom_semi_join_planted(spark):
+    from parallel_louvain_method_spark.functions.bloom import (
+        _M31,
+        _WORD,
+        bloom_build,
+        bloom_probe_constants,
+        bloom_semi_join,
+    )
+
+    members = [2, 5, 9, 77]
+    build = spark.createDataFrame([(k,) for k in members], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    m_bits, probes, seed = 256, 3, 7
+
+    kept = {
+        r.key
+        for r in bloom_semi_join(
+            probe, "key", build, "k", m_bits=m_bits, probes=probes, seed=seed
+        ).collect()
+    }
+    # no false negatives, ever
+    assert set(members) <= kept
+
+    # words agree with an independent pure-Python bloom
+    consts = bloom_probe_constants(probes, seed)
+    words: dict[int, int] = {}
+    for k in members:
+        for a, b in consts:
+            pos = ((k % _M31) * a + b) % _M31 % m_bits
+            words[pos // _WORD] = words.get(pos // _WORD, 0) | (
+                1 << (pos % _WORD)
+            )
+    got = {
+        r.word_idx: r.word
+        for r in bloom_build(
+            build, "k", m_bits=m_bits, probes=probes, seed=seed
+        ).collect()
+    }
+    assert got == words
+
+    # kept set == exactly the keys whose every probe bit is set
+    expect = set()
+    for key in range(200):
+        if all(
+            words.get((((key % _M31) * a + b) % _M31 % m_bits) // _WORD, 0)
+            >> ((((key % _M31) * a + b) % _M31 % m_bits) % _WORD)
+            & 1
+            for a, b in consts
+        ):
+            expect.add(key)
+    assert kept == expect
+
+
+def test_bloom_oracle_sql_duckdb_twin(spark, tmp_path):
+    import duckdb
+
+    from parallel_louvain_method_spark.functions.bloom import (
+        bloom_oracle_sql,
+        bloom_semi_join,
+    )
+
+    build = spark.createDataFrame([(k,) for k in (3, 8, 60, 61)], "k long")
+    probe = spark.createDataFrame(
+        [(i, i * 11) for i in range(150)], "key long, payload long"
+    )
+    kept = sorted(
+        (r.key, r.payload)
+        for r in bloom_semi_join(
+            probe, "key", build, "k", m_bits=128, probes=2, seed=3
+        ).collect()
+    )
+    bp, pp = str(tmp_path / "b.parquet"), str(tmp_path / "p.parquet")
+    build.toPandas().to_parquet(bp)
+    probe.toPandas().to_parquet(pp)
+    sql = bloom_oracle_sql(
+        f"SELECT k FROM read_parquet('{bp}')",
+        f"SELECT key, payload FROM read_parquet('{pp}')",
+        "key",
+        m_bits=128,
+        probes=2,
+        seed=3,
+    )
+    oracle = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert kept == oracle
