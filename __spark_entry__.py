@@ -348,6 +348,39 @@ _DOC_KEY_SQL = f"""
 """
 
 
+def _incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental edge maintenance gate: build edges from 3/4 of the
+    documents, merge the remaining 1/4 as a batch via
+    incremental_shared_content_edges, and let the oracle check the result
+    against a FULL rebuild over all documents — certifying that the delta
+    path (touched-hash scoping, signed contributions, cap transitions)
+    reproduces the from-scratch build exactly."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        incremental_shared_content_edges,
+        shared_content_postings,
+    )
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(words, 1, 3)).alias("content_key"),
+    )
+    old = keyed.filter("doc_id % 4 != 0")
+    batch = keyed.filter("doc_id % 4 = 0")
+    old_edges, _ = shared_content_edges(
+        old, node_col="source", content_col="content_key"
+    )
+    edges, _post, _dropped = incremental_shared_content_edges(
+        shared_content_postings(old, "source", "content_key"),
+        old_edges,
+        batch,
+        node_col="source",
+        content_col="content_key",
+    )
+    return edges.select("node_a", "node_b", "weight")
+
+
 _GATE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
 _ORACLE_ARTIFACT_DIR = "/tmp/plm_oracle"
 
@@ -1656,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shared_content_edges"] = lambda s, d: shared_content_edges(
         _doc_key_corpus(s, d), node_col="source", content_col="content_key"
     )[0].select("node_a", "node_b", "weight")
+    # delta maintenance == full rebuild (oracle is the full-rebuild SQL)
+    q["incremental_edges"] = _incremental_edges
     q["cocommit_users"] = lambda s, d: (
         lambda fc: (
             fc.alias("a")
@@ -2494,6 +2529,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT v AS vtx, MIN(label) AS component FROM cc GROUP BY v
     """
     o["shared_content_edges"] = f"""
+        WITH k AS ({_DOC_KEY_SQL}),
+        h AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM k)
+        SELECT a.source AS node_a, b.source AS node_b,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    # the incremental build must equal the from-scratch build over ALL
+    # documents — so its oracle IS the full-rebuild query
+    o["incremental_edges"] = f"""
         WITH k AS ({_DOC_KEY_SQL}),
         h AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM k)
         SELECT a.source AS node_a, b.source AS node_b,

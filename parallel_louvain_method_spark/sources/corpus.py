@@ -304,5 +304,103 @@ def build_file_graph(
     return edges, mapping, dropped
 
 
+def shared_content_postings(
+    corpus: DataFrame,
+    node_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """The maintained state for incremental edge builds: distinct
+    ``(node, h)`` postings, h = sha256(content).  This is the minimal
+    sufficient statistic for :func:`shared_content_edges` — group sizes,
+    caps, and pair weights are all functions of it."""
+    return corpus.select(
+        F.col(node_col).alias("node"),
+        F.sha2(F.col(content_col), 256).alias("h"),
+    ).distinct()
+
+
+def _pair_contrib(posts: DataFrame, max_group: int, sign: int) -> DataFrame:
+    """Signed pair counts of a postings snapshot under the skew cap —
+    hashes whose group exceeds ``max_group`` contribute nothing (the same
+    cap rule as :func:`shared_content_edges`)."""
+    sizes = posts.groupBy("h").agg(F.count("*").alias("n"))
+    capped = sizes.filter(F.col("n") > max_group).select("h")
+    ok = posts.join(F.broadcast(capped), "h", "left_anti")
+    a = ok.select("h", F.col("node").alias("node_a"))
+    b = ok.select("h", F.col("node").alias("node_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg((F.count("*") * sign).cast("double").alias("dw"))
+    )
+
+
+def incremental_shared_content_edges(
+    old_postings: DataFrame,
+    old_edges: DataFrame,
+    new_corpus: DataFrame,
+    node_col: str = "repo",
+    max_group: int = 1000,
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Merge a batch of new corpus rows into an existing shared-content
+    edge table WITHOUT a full rebuild.
+
+    Returns ``(edges, postings, dropped)`` where ``edges`` equals
+    ``shared_content_edges(old_corpus UNION new_corpus)`` exactly
+    (cap transitions included: a hash pushed over ``max_group`` by the
+    batch has its previously-emitted pairs retracted), ``postings`` is the
+    updated state to carry to the next batch, and ``dropped`` lists the
+    touched hashes now over the cap.
+
+    Scale shape: every join and aggregation is scoped to the TOUCHED
+    hashes (hashes with at least one genuinely new posting), so a batch
+    touching b hashes costs O(batch + postings-of-those-b-hashes)
+    regardless of corpus size — the daily-ingest path for a 10^12-file
+    corpus where full rebuilds are off the table.  The signed-contribution
+    trick (new snapshot pairs at +1, old snapshot pairs at -1, summed into
+    a weight delta) keeps cap-crossing retractions in the same two
+    aggregations as additions instead of a special case.
+    """
+    new_post = (
+        shared_content_postings(new_corpus, node_col, content_col)
+        .join(old_postings, ["node", "h"], "left_anti")
+        .select("node", "h")  # unions below are positional — pin the order
+        .localCheckpoint(eager=True)  # reused 3x: touched, union, state-out
+    )
+    touched = new_post.select("h").distinct()
+    old_t = (
+        old_postings.join(touched, "h", "left_semi")
+        .select("node", "h")
+        .localCheckpoint(eager=True)
+    )
+    all_t = old_t.union(new_post)
+    delta = (
+        _pair_contrib(all_t, max_group, 1)
+        .union(_pair_contrib(old_t, max_group, -1))
+        .groupBy("node_a", "node_b")
+        .agg(F.sum("dw").alias("dw"))
+    )
+    edges = (
+        old_edges.join(delta, ["node_a", "node_b"], "full")
+        .select(
+            "node_a",
+            "node_b",
+            (
+                F.coalesce(F.col("weight"), F.lit(0.0))
+                + F.coalesce(F.col("dw"), F.lit(0.0))
+            ).alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+    dropped = (
+        all_t.groupBy("h")
+        .agg(F.count("*").alias("n_nodes"))
+        .filter(F.col("n_nodes") > max_group)
+    )
+    return edges, old_postings.union(new_post), dropped
+
+
 # retained alias for older call sites; densify is the public name
 _densify = densify

@@ -114,3 +114,61 @@ def test_int_builders_match_string_pipeline(spark, corpus):
         assert sorted(map(tuple, mapping.collect())) == sorted(
             map(tuple, mapping_str.collect())
         )
+
+
+def test_incremental_shared_content_edges(spark):
+    """Incremental merge == full rebuild, including a cap transition: the
+    batch pushes hash-group 'boiler' from 3 nodes (3 pairs) over the
+    max_group=3 cap, so its previously-emitted pairs must be RETRACTED."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        incremental_shared_content_edges,
+        shared_content_edges,
+        shared_content_postings,
+    )
+
+    def corpus_df(rows):
+        return spark.createDataFrame(
+            [(n, "p", "c0", "py", body) for n, body in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    old = corpus_df(
+        [("r1", "boiler"), ("r2", "boiler"), ("r3", "boiler"),
+         ("r1", "x"), ("r2", "x"), ("r5", "z")]
+    )
+    batch = corpus_df(
+        [("r4", "boiler"),          # cap crossing: 4 > max_group=3
+         ("r3", "x"),               # weight increment path (new pairs on x)
+         ("r5", "w"), ("r6", "w"),  # brand-new hash, brand-new node
+         ("r1", "x")]               # pure duplicate posting — must be a no-op
+    )
+
+    old_edges, _ = shared_content_edges(old, max_group=3)
+    inc_edges, postings, dropped = incremental_shared_content_edges(
+        shared_content_postings(old),
+        old_edges,
+        batch,
+        max_group=3,
+    )
+    full_edges, _ = shared_content_edges(old.union(batch), max_group=3)
+    assert sorted(map(tuple, inc_edges.collect())) == sorted(
+        map(tuple, full_edges.collect())
+    )
+    # the capped hash is observable, and the boiler pairs are gone
+    assert dropped.count() == 1 and dropped.first().n_nodes == 4
+    kept = {(r.node_a, r.node_b) for r in inc_edges.collect()}
+    assert ("r1", "r2") in kept  # via x
+    assert ("r5", "r6") in kept  # via w
+    # state carries forward: a second batch over the updated postings
+    # still equals its full rebuild
+    batch2 = corpus_df([("r6", "z"), ("r7", "z")])
+    inc2, _, _ = incremental_shared_content_edges(
+        postings, inc_edges, batch2, max_group=3
+    )
+    full2, _ = shared_content_edges(
+        old.union(batch).union(batch2), max_group=3
+    )
+    assert sorted(map(tuple, inc2.collect())) == sorted(
+        map(tuple, full2.collect())
+    )
