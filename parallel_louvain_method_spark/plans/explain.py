@@ -42,7 +42,13 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
-    return plan_text(df).count("Exchange hashpartitioning")
+    """Hash-partitioning Exchange operators in the plan.  Formatted mode
+    puts the operator name and its ``Arguments: hashpartitioning(...)`` on
+    separate lines (simple mode inlines them), so match both shapes."""
+    text = plan_text(df)
+    return text.count("Exchange hashpartitioning") + text.count(
+        "Arguments: hashpartitioning"
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -79,3 +79,35 @@ def community_membership(assign: DataFrame, member_cap: int = 1000) -> DataFrame
             F.count("*").alias("size"),
         )
     )
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    bucket_col: str = "src",
+) -> None:
+    """Bucketed edge sink: hash-bucket + sort the edge table by ``src`` at
+    write time so every downstream src-keyed join/aggregation reads
+    pre-shuffled data.
+
+    Iterative graph algorithms re-join the edge table against per-vertex
+    state every superstep; on an unbucketed table each superstep pays the
+    full E-sized exchange.  Persisting the edges bucketed (the DataFrame
+    analog of the reference's one-time owner-routing shuffle,
+    src/graph.cpp:141-215) moves that exchange to write time ONCE: two
+    tables bucketed on the same key with the same bucket count sort-merge
+    join with ZERO Exchange on either side (pinned by
+    tests/test_sources_sinks.py::test_bucketed_join_has_no_shuffle).
+    At 100 TB this is the difference between E bytes shuffled per
+    iteration and zero.
+    """
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

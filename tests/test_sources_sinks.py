@@ -435,3 +435,41 @@ def test_cli_rmat_subcommand(spark, tmp_path, capsys):
     assert df.count() == 256
     assert df.columns == ["src", "dst", "weight"]
     assert df.agg(F.max(F.greatest("src", "dst"))).first()[0] < 64
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, golden16_df):
+    """Two tables bucketed on src with equal bucket counts sort-merge join
+    with zero Exchange on either side — the write-once/join-free-forever
+    co-location contract of write_bucketed_edges."""
+    from parallel_louvain_method_spark.plans.explain import (
+        plan_text,
+        shuffle_exchange_count,
+    )
+    from parallel_louvain_method_spark.sources.edges import (
+        write_bucketed_edges,
+    )
+
+    deg = golden16_df.groupBy("src").agg(F.sum("weight").alias("k"))
+    try:
+        write_bucketed_edges(
+            golden16_df, "e_b", str(tmp_path / "e"), n_buckets=4
+        )
+        write_bucketed_edges(deg, "d_b", str(tmp_path / "d"), n_buckets=4)
+        joined = (
+            spark.table("e_b")
+            .hint("merge")
+            .join(spark.table("d_b"), "src")
+            .select("src", "dst", "k")
+        )
+        assert joined.count() == golden16_df.count()
+        assert shuffle_exchange_count(joined) == 0, plan_text(joined)
+        # the unbucketed control pays at least one exchange
+        control = (
+            golden16_df.hint("merge")
+            .join(deg, "src")
+            .select("src", "dst", "k")
+        )
+        assert shuffle_exchange_count(control) >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS e_b")
+        spark.sql("DROP TABLE IF EXISTS d_b")
