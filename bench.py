@@ -551,6 +551,48 @@ def main() -> None:
     )
     timed("clique4_partpairs", lambda: clique4_count(part_pairs_g))
 
+    # r5: incremental edge maintenance — merge a 1/4 corpus batch into
+    # prebuilt 3/4 state; compare against edge_build_sha256 (the full
+    # rebuild) to see the delta-vs-rebuild ratio the daily-ingest path buys
+    from parallel_louvain_method_spark.functions.bloom import bloom_semi_join
+    from parallel_louvain_method_spark.sources.corpus import (
+        incremental_shared_content_edges,
+        shared_content_edges,
+        shared_content_postings,
+    )
+
+    slice_key = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4))
+    corpus_old = corpus.filter(slice_key != 0)
+    corpus_batch = corpus.filter(slice_key == 0).persist()
+    corpus_batch.count()
+    # state build happens OUTSIDE the timed window — the row measures the
+    # merge alone, which is the recurring cost of the ingest path
+    inc_old_edges = shared_content_edges(corpus_old)[0].persist()
+    inc_old_post = shared_content_postings(corpus_old).persist()
+    inc_old_edges.count()
+    inc_old_post.count()
+    timed(
+        "incremental_edge_merge",
+        lambda: incremental_shared_content_edges(
+            inc_old_post, inc_old_edges, corpus_batch
+        )[0].count(),
+    )
+    for df in (corpus_batch, inc_old_edges, inc_old_post):
+        df.unpersist()
+
+    # r5: deterministic bloom prefilter — probe the co-commit edge table's
+    # dst against a keep-list of the first n/10 vertices; measures the
+    # broadcast-bits probe-side filter (zero probe shuffle)
+    keep = spark.range(max(1, int(nv_file) // 10)).select(
+        F.col("id").alias("k")
+    )
+    timed(
+        "bloom_prefilter_edges",
+        lambda: bloom_semi_join(
+            file_edges, "dst", keep, "k", m_bits=1 << 20, probes=4
+        ).count(),
+    )
+
     host["end"] = _host_snapshot()
     print(
         json.dumps(
