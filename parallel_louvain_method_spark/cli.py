@@ -601,6 +601,38 @@ def main(argv: list[str] | None = None) -> int:
     eb.add_argument("--id-col", default="vec_id")
     eb.add_argument("--vec-col", default="embedding")
 
+    bl = sub.add_parser(
+        "bloom",
+        help="deterministic bloom semi-join prefilter: keep probe rows "
+        "whose key may be in the build set (no false negatives)",
+    )
+    bl.add_argument("--probe", required=True, help="probe-side parquet")
+    bl.add_argument("--build", required=True, help="build-side parquet")
+    bl.add_argument("--out", required=True)
+    bl.add_argument("--probe-key", required=True)
+    bl.add_argument("--build-key", required=True)
+    bl.add_argument("--m-bits", type=int, default=1 << 20)
+    bl.add_argument("--probes", type=int, default=4)
+    bl.add_argument("--seed", type=int, default=9001)
+
+    ig = sub.add_parser(
+        "ingest",
+        help="incremental edge maintenance: merge a corpus batch into "
+        "existing shared-content edges (delta == full rebuild)",
+    )
+    ig.add_argument("--batch", required=True, help="new corpus rows parquet")
+    ig.add_argument("--out-edges", required=True)
+    ig.add_argument("--out-postings", required=True)
+    ig.add_argument(
+        "--old-edges", help="existing edge table (omit to bootstrap)"
+    )
+    ig.add_argument(
+        "--old-postings", help="existing postings state (omit to bootstrap)"
+    )
+    ig.add_argument("--node", default="repo")
+    ig.add_argument("--content-col", default="content")
+    ig.add_argument("--max-group", type=int, default=1000)
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1369,6 +1401,60 @@ def main(argv: list[str] | None = None) -> int:
             )[0]
         out_df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": args.op, "rows": out_df.count()}))
+    elif args.cmd == "bloom":
+        from parallel_louvain_method_spark.functions.bloom import (
+            bloom_semi_join,
+        )
+
+        kept = bloom_semi_join(
+            spark.read.parquet(args.probe),
+            args.probe_key,
+            spark.read.parquet(args.build),
+            args.build_key,
+            m_bits=args.m_bits,
+            probes=args.probes,
+            seed=args.seed,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"kept": kept.count()}))
+    elif args.cmd == "ingest":
+        from parallel_louvain_method_spark.sources.corpus import (
+            incremental_shared_content_edges,
+            shared_content_edges,
+            shared_content_postings,
+        )
+
+        batch = spark.read.parquet(args.batch)
+        if args.old_edges and args.old_postings:
+            edges, postings, dropped = incremental_shared_content_edges(
+                spark.read.parquet(args.old_postings),
+                spark.read.parquet(args.old_edges),
+                batch,
+                node_col=args.node,
+                max_group=args.max_group,
+                content_col=args.content_col,
+            )
+        elif args.old_edges or args.old_postings:
+            raise SystemExit(
+                "--old-edges and --old-postings must be given together"
+            )
+        else:
+            edges, dropped = shared_content_edges(
+                batch,
+                node_col=args.node,
+                max_group=args.max_group,
+                content_col=args.content_col,
+            )
+            postings = shared_content_postings(
+                batch, args.node, args.content_col
+            )
+        edges.write.mode("overwrite").parquet(args.out_edges)
+        postings.write.mode("overwrite").parquet(args.out_postings)
+        print(json.dumps({
+            "edges": edges.count(),
+            "postings": postings.count(),
+            "dropped_groups": dropped.count(),
+        }))
     elif args.cmd == "text":
         from parallel_louvain_method_spark.operators import text as T
 

@@ -1064,3 +1064,56 @@ def test_bloom_oracle_sql_duckdb_twin(spark, tmp_path):
     )
     oracle = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert kept == oracle
+
+
+def test_cli_bloom_and_ingest(spark, tmp_path, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    # bloom: probe 0..99 against a 3-key build set
+    bpath, ppath = str(tmp_path / "build"), str(tmp_path / "probe")
+    spark.createDataFrame([(5,), (9,), (40,)], "k long").write.parquet(bpath)
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "key long"
+    ).write.parquet(ppath)
+    out = str(tmp_path / "kept")
+    assert main([
+        "bloom", "--probe", ppath, "--build", bpath, "--out", out,
+        "--probe-key", "key", "--build-key", "k", "--m-bits", "4096",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r.key for r in spark.read.parquet(out).collect()}
+    assert {5, 9, 40} <= kept and rep["kept"] == len(kept)
+
+    # ingest: bootstrap then incremental; final edges == full rebuild
+    from parallel_louvain_method_spark.sources.corpus import (
+        shared_content_edges,
+    )
+
+    def corpus(rows, path):
+        spark.createDataFrame(
+            [(n, "p", "c", "py", b) for n, b in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        ).write.parquet(path)
+
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    corpus([("r1", "x"), ("r2", "x"), ("r3", "y")], c1)
+    corpus([("r3", "x"), ("r4", "y")], c2)
+    e1, p1 = str(tmp_path / "e1"), str(tmp_path / "p1")
+    assert main([
+        "ingest", "--batch", c1, "--out-edges", e1, "--out-postings", p1,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"edges": 1, "postings": 3, "dropped_groups": 0}
+    e2, p2 = str(tmp_path / "e2"), str(tmp_path / "p2")
+    assert main([
+        "ingest", "--batch", c2, "--out-edges", e2, "--out-postings", p2,
+        "--old-edges", e1, "--old-postings", p1,
+    ]) == 0
+    got = sorted(map(tuple, spark.read.parquet(e2).collect()))
+    both = spark.read.parquet(c1).union(spark.read.parquet(c2))
+    want = sorted(map(tuple, shared_content_edges(both)[0].collect()))
+    # x: {r1,r2,r3} -> 3 pairs; y: {r3,r4} -> 1 pair
+    assert got == want and len(got) == 4
