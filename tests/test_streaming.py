@@ -186,3 +186,63 @@ def test_user_sessions_stream_matches_batch(spark, tmp_path):
         for r in user_sessions_batch(static, gap_seconds=1800).collect()
     }
     assert got <= all_batch, (got - all_batch,)
+
+
+def test_incremental_edge_ingest_stream(spark, tmp_path):
+    """Two micro-batches of corpus rows through the foreachBatch ingest
+    == one full rebuild over their union; replaying an epoch is a no-op
+    (version-marker idempotence)."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        shared_content_edges,
+    )
+    from parallel_louvain_method_spark.streaming.ingest import (
+        edges_from_state,
+        ingest_batch,
+        latest_version,
+        read_corpus_stream,
+        start_incremental_edge_ingest,
+    )
+
+    def corpus_df(rows):
+        return spark.createDataFrame(
+            [(n, "p", c, "py", b) for n, c, b in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    part1 = corpus_df(
+        [("r1", "c0", "x"), ("r2", "c0", "x"), ("r3", "c0", "y")]
+    )
+    part2 = corpus_df(
+        [("r3", "c1", "x"), ("r4", "c1", "y"), ("r5", "c1", "z")]
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    part1.write.mode("append").parquet(src)
+    stream = read_corpus_stream(spark, src)
+    q = start_incremental_edge_ingest(stream, state, ck)
+    try:
+        q.processAllAvailable()
+        v1 = latest_version(spark, state)
+        assert v1 is not None
+        part2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    v2 = latest_version(spark, state)
+    assert v2 is not None and v2 > v1
+    got = sorted(map(tuple, edges_from_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, shared_content_edges(part1.union(part2))[0].collect())
+    )
+    assert got == want and len(got) >= 2
+    # epoch replay (e.g. a foreachBatch retry) must be a skip, not a
+    # double-apply
+    rep = ingest_batch(spark, part2, state, v2)
+    assert rep.get("skipped") is True
+    assert sorted(
+        map(tuple, edges_from_state(spark, state).collect())
+    ) == want
