@@ -172,3 +172,53 @@ def test_incremental_shared_content_edges(spark):
     assert sorted(map(tuple, inc2.collect())) == sorted(
         map(tuple, full2.collect())
     )
+
+
+def test_incremental_matches_full_rebuild_randomized(spark):
+    """Property: for ANY corpus and ANY batch split, chained incremental
+    merges equal the full rebuild — seeded random draws with small caps so
+    cap transitions fire in both directions."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n_nodes, n_contents = 8, 5
+        rows = [
+            (
+                f"r{rng.randrange(n_nodes)}",
+                f"p{rng.randrange(3)}",
+                f"c{rng.randrange(3)}",
+                "py",
+                f"body-{rng.randrange(n_contents)}",
+            )
+            for _ in range(40)
+        ]
+        cut1, cut2 = sorted(rng.sample(range(1, 39), 2))
+        parts = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        schema = (
+            "repo string, path string, commit string, lang string, "
+            "content string"
+        )
+        from parallel_louvain_method_spark.sources.corpus import (
+            incremental_shared_content_edges,
+            shared_content_edges,
+            shared_content_postings,
+        )
+
+        cap = rng.choice([2, 3])
+        first = spark.createDataFrame(parts[0], schema)
+        edges, _ = shared_content_edges(first, max_group=cap)
+        postings = shared_content_postings(first)
+        for part in parts[1:]:
+            edges, postings, _ = incremental_shared_content_edges(
+                postings,
+                edges,
+                spark.createDataFrame(part, schema),
+                max_group=cap,
+            )
+        full = spark.createDataFrame(rows, schema)
+        want = sorted(
+            map(tuple, shared_content_edges(full, max_group=cap)[0].collect())
+        )
+        got = sorted(map(tuple, edges.collect()))
+        assert got == want, (seed, cap, got, want)

@@ -163,3 +163,53 @@ def test_new_graph_ops_stay_jvm_side(spark, golden16_df):
     # the 1-row vol(G) total rides as a broadcast (nested-loop cross
     # build, not a hash join, so check the plan text directly)
     assert "BroadcastNestedLoopJoin" in plan_text(pq)
+
+
+def test_incremental_edges_plan_quality(spark):
+    """The incremental merge must never drag `content` past the hash and
+    never fall into row-Python: postings carry (node, sha256) only."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        incremental_shared_content_edges,
+        shared_content_edges,
+        shared_content_postings,
+        synth_corpus,
+    )
+    from parallel_louvain_method_spark.plans.explain import plan_text
+
+    corpus = synth_corpus(spark, n_repos=20)
+    old = corpus.filter(F.pmod(F.xxhash64("repo", "commit"), F.lit(3)) != 0)
+    batch = corpus.filter(F.pmod(F.xxhash64("repo", "commit"), F.lit(3)) == 0)
+    edges, _, _ = incremental_shared_content_edges(
+        shared_content_postings(old),
+        shared_content_edges(old)[0],
+        batch,
+    )
+    text = plan_text(edges)
+    assert "BatchEvalPython" not in text
+    # content never appears as a join/aggregate attribute — only inside
+    # the sha2 projection (localCheckpointed inputs hide upstream scans;
+    # assert on the live plan's attributes)
+    assert "sha2" not in text.split("Exchange")[-1]
+
+
+def test_bloom_semi_join_plan_quality(spark):
+    """Probe side of the bloom prefilter must see only broadcast joins —
+    zero hash-partitioning Exchange anywhere in the filter plan."""
+    from parallel_louvain_method_spark.functions.bloom import bloom_semi_join
+    from parallel_louvain_method_spark.plans.explain import (
+        broadcast_join_count,
+        plan_text,
+        shuffle_exchange_count,
+    )
+
+    probe = spark.range(10_000).select(F.col("id").alias("key"))
+    build = spark.range(100).select(F.col("id").alias("k"))
+    kept = bloom_semi_join(probe, "key", build, "k", m_bits=1024, probes=3)
+    text = plan_text(kept)
+    assert shuffle_exchange_count(kept) == 0, text
+    # formatted mode prints each operator in the tree AND the detail
+    # section, so count detail headers: one per probe
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", text)) == 3, text
+    assert "BatchEvalPython" not in text
