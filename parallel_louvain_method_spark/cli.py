@@ -633,6 +633,24 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--content-col", default="content")
     ig.add_argument("--max-group", type=int, default=1000)
 
+    igs = sub.add_parser(
+        "ingest-stream",
+        help="continuous edge maintenance: watch a corpus directory and "
+        "merge each micro-batch into versioned edge state",
+    )
+    igs.add_argument("--src", required=True, help="corpus parquet dir to watch")
+    igs.add_argument("--state-dir", required=True)
+    igs.add_argument("--checkpoint", required=True)
+    igs.add_argument(
+        "--once",
+        action="store_true",
+        help="process the files currently present, then exit (default: "
+        "run until interrupted)",
+    )
+    igs.add_argument("--node", default="repo")
+    igs.add_argument("--content-col", default="content")
+    igs.add_argument("--max-group", type=int, default=1000)
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1455,6 +1473,34 @@ def main(argv: list[str] | None = None) -> int:
             "postings": postings.count(),
             "dropped_groups": dropped.count(),
         }))
+    elif args.cmd == "ingest-stream":
+        from parallel_louvain_method_spark.streaming.ingest import (
+            edges_from_state,
+            latest_version,
+            read_corpus_stream,
+            start_incremental_edge_ingest,
+        )
+
+        q = start_incremental_edge_ingest(
+            read_corpus_stream(spark, args.src),
+            args.state_dir,
+            args.checkpoint,
+            node_col=args.node,
+            max_group=args.max_group,
+            content_col=args.content_col,
+        )
+        if args.once:
+            q.processAllAvailable()
+            q.stop()
+            v = latest_version(spark, args.state_dir)
+            edges = (
+                edges_from_state(spark, args.state_dir, v).count()
+                if v is not None
+                else 0
+            )
+            print(json.dumps({"version": v, "edges": edges}))
+        else:
+            q.awaitTermination()
     elif args.cmd == "text":
         from parallel_louvain_method_spark.operators import text as T
 

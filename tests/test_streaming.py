@@ -246,3 +246,29 @@ def test_incremental_edge_ingest_stream(spark, tmp_path):
     assert sorted(
         map(tuple, edges_from_state(spark, state).collect())
     ) == want
+
+
+def test_cli_ingest_stream_once(spark, tmp_path, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+    from parallel_louvain_method_spark.sources.corpus import (
+        shared_content_edges,
+    )
+
+    corpus = spark.createDataFrame(
+        [("r1", "p", "c", "py", "x"), ("r2", "p", "c", "py", "x"),
+         ("r3", "p", "c", "py", "y")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    assert main([
+        "ingest-stream", "--src", src,
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ck"), "--once",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = shared_content_edges(corpus)[0].count()
+    assert rep["edges"] == want == 1 and rep["version"] is not None
