@@ -348,6 +348,43 @@ _DOC_KEY_SQL = f"""
 """
 
 
+def _incremental_cocommit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-core incremental gate on the CO-COMMIT family: user
+    co-occurrence postings from the events table, 3/4 bootstrapped THROUGH
+    the incremental machinery from empty state, the last 1/4 merged as a
+    batch; the oracle is the cocommit_users full-rebuild SQL, so a hash
+    match certifies both the bootstrap-from-empty and the delta path of
+    incremental_pair_edges on long-typed nodes."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        incremental_pair_edges,
+    )
+
+    posts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("node"),
+        F.concat(
+            F.col("event_type"), F.lit("@"), F.date_trunc("hour", "ts")
+        ).alias("h"),
+    )
+    old_p = posts.filter("event_id % 4 != 0").select("node", "h").distinct()
+    new_p = posts.filter("event_id % 4 = 0").select("node", "h").distinct()
+    empty_post = spark.createDataFrame([], "node long, h string")
+    empty_edges = spark.createDataFrame(
+        [], "node_a long, node_b long, weight double"
+    )
+    base_edges, base_post, _ = incremental_pair_edges(
+        empty_post, empty_edges, old_p
+    )
+    edges, _post, _dropped = incremental_pair_edges(
+        base_post, base_edges, new_p
+    )
+    return edges.select(
+        F.col("node_a").alias("user_a"),
+        F.col("node_b").alias("user_b"),
+        "weight",
+    )
+
+
 def _incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental edge maintenance gate: build edges from 3/4 of the
     documents, merge the remaining 1/4 as a batch via
@@ -1691,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )[0].select("node_a", "node_b", "weight")
     # delta maintenance == full rebuild (oracle is the full-rebuild SQL)
     q["incremental_edges"] = _incremental_edges
+    q["incremental_cocommit_users"] = _incremental_cocommit_users
     q["cocommit_users"] = lambda s, d: (
         lambda fc: (
             fc.alias("a")
@@ -2544,6 +2582,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.source AS node_a, b.source AS node_b,
                CAST(COUNT(*) AS DOUBLE) AS weight
         FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    # same full-rebuild oracle as cocommit_users — the incremental path
+    # must land on the identical pair table
+    o["incremental_cocommit_users"] = """
+        WITH fc AS (
+            SELECT DISTINCT user_id,
+                   event_type || '@' || CAST(date_trunc('hour', ts) AS VARCHAR)
+                       AS bucket
+            FROM events
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM fc a JOIN fc b ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2
     """
     o["cocommit_users"] = """

@@ -336,27 +336,29 @@ def _pair_contrib(posts: DataFrame, max_group: int, sign: int) -> DataFrame:
     )
 
 
-def incremental_shared_content_edges(
+def incremental_pair_edges(
     old_postings: DataFrame,
     old_edges: DataFrame,
-    new_corpus: DataFrame,
-    node_col: str = "repo",
+    new_postings: DataFrame,
     max_group: int = 1000,
-    content_col: str = "content",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Merge a batch of new corpus rows into an existing shared-content
-    edge table WITHOUT a full rebuild.
+    """Merge new ``(node, h)`` postings into an existing co-occurrence
+    edge table WITHOUT a full rebuild — the generic core under BOTH link
+    families (shared-content: h = sha256(content); co-commit: h = the
+    commit/bucket key).  ``weight`` = number of buckets shared by the
+    pair, the semantics of :func:`shared_content_edges` /
+    :func:`cocommit_edges`.
 
-    Returns ``(edges, postings, dropped)`` where ``edges`` equals
-    ``shared_content_edges(old_corpus UNION new_corpus)`` exactly
-    (cap transitions included: a hash pushed over ``max_group`` by the
-    batch has its previously-emitted pairs retracted), ``postings`` is the
+    Returns ``(edges, postings, dropped)`` where ``edges`` equals the
+    full rebuild over the union of old and new postings exactly (cap
+    transitions included: a bucket pushed over ``max_group`` by the batch
+    has its previously-emitted pairs retracted), ``postings`` is the
     updated state to carry to the next batch, and ``dropped`` lists the
-    touched hashes now over the cap.
+    touched buckets now over the cap.
 
     Scale shape: every join and aggregation is scoped to the TOUCHED
-    hashes (hashes with at least one genuinely new posting), so a batch
-    touching b hashes costs O(batch + postings-of-those-b-hashes)
+    buckets (buckets with at least one genuinely new posting), so a batch
+    touching b buckets costs O(batch + postings-of-those-b-buckets)
     regardless of corpus size — the daily-ingest path for a 10^12-file
     corpus where full rebuilds are off the table.  The signed-contribution
     trick (new snapshot pairs at +1, old snapshot pairs at -1, summed into
@@ -364,7 +366,8 @@ def incremental_shared_content_edges(
     aggregations as additions instead of a special case.
     """
     new_post = (
-        shared_content_postings(new_corpus, node_col, content_col)
+        new_postings.select("node", "h")
+        .distinct()
         .join(old_postings, ["node", "h"], "left_anti")
         .select("node", "h")  # unions below are positional — pin the order
         .localCheckpoint(eager=True)  # reused 3x: touched, union, state-out
@@ -400,6 +403,37 @@ def incremental_shared_content_edges(
         .filter(F.col("n_nodes") > max_group)
     )
     return edges, old_postings.union(new_post), dropped
+
+
+def incremental_shared_content_edges(
+    old_postings: DataFrame,
+    old_edges: DataFrame,
+    new_corpus: DataFrame,
+    node_col: str = "repo",
+    max_group: int = 1000,
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared-content instantiation of :func:`incremental_pair_edges`:
+    merge a batch of corpus ROWS (the postings are derived here via
+    sha256) into an existing shared-content edge table; result equals
+    ``shared_content_edges(old_corpus UNION new_corpus)`` exactly."""
+    return incremental_pair_edges(
+        old_postings,
+        old_edges,
+        shared_content_postings(new_corpus, node_col, content_col),
+        max_group=max_group,
+    )
+
+
+def cocommit_postings(corpus: DataFrame) -> DataFrame:
+    """Co-commit postings ``(node, h)`` — node = repo-qualified path,
+    h = the commit bucket key — matching :func:`cocommit_edges` exactly;
+    feed to :func:`incremental_pair_edges` to maintain the co-commit
+    graph incrementally."""
+    return corpus.select(
+        F.concat(F.col("repo"), F.lit("::"), F.col("path")).alias("node"),
+        F.concat(F.col("repo"), F.lit("@"), F.col("commit")).alias("h"),
+    ).distinct()
 
 
 # retained alias for older call sites; densify is the public name

@@ -222,3 +222,56 @@ def test_incremental_matches_full_rebuild_randomized(spark):
         )
         got = sorted(map(tuple, edges.collect()))
         assert got == want, (seed, cap, got, want)
+
+
+def test_incremental_cocommit_edges(spark):
+    """The generic incremental core maintains the CO-COMMIT graph too:
+    chained merges of cocommit postings == cocommit_edges full rebuild,
+    including a mega-commit cap transition."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        cocommit_edges,
+        cocommit_postings,
+        incremental_pair_edges,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+
+    def corpus_df(rows):
+        return spark.createDataFrame(
+            [(r, p, c, "py", "b") for r, p, c in rows], schema
+        )
+
+    old = corpus_df(
+        [("r", "a", "c1"), ("r", "b", "c1"), ("r", "c", "c1"),
+         ("r", "a", "c2"), ("r", "b", "c2")]
+    )
+    batch = corpus_df(
+        [("r", "d", "c1"),   # pushes commit c1 from 3 to 4 files: capped
+         ("r", "c", "c2"),   # grows c2 pairs
+         ("r", "a", "c3"), ("r", "e", "c3")]  # new commit
+    )
+    cap = 3
+    old_edges, _ = cocommit_edges(old, max_group=cap)
+    inc, postings, dropped = incremental_pair_edges(
+        cocommit_postings(old), old_edges, cocommit_postings(batch),
+        max_group=cap,
+    )
+    full, _ = cocommit_edges(old.union(batch), max_group=cap)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert dropped.count() == 1  # c1 now over cap, observable
+    # second batch continues from the returned state
+    batch2 = corpus_df([("r", "e", "c2")])
+    inc2, _, _ = incremental_pair_edges(
+        postings, inc, cocommit_postings(batch2), max_group=cap
+    )
+    full2, _ = cocommit_edges(
+        old.union(batch).union(batch2), max_group=cap
+    )
+    assert sorted(map(tuple, inc2.collect())) == sorted(
+        map(tuple, full2.collect())
+    )
