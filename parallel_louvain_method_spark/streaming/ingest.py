@@ -182,3 +182,47 @@ def start_incremental_edge_ingest(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def prune_state(
+    spark: SparkSession, base: str, keep: int = 2
+) -> list[int]:
+    """Delete all but the newest ``keep`` COMPLETE versions (and any
+    incomplete leftovers older than them).  Returns the versions removed.
+
+    The ingest loop writes one directory per micro-batch; without pruning
+    the state grows by one full edge-table copy per epoch.  Keeping >= 2
+    complete versions means a reader holding the previous latest never
+    has its files deleted mid-scan by the next prune.
+    """
+    if keep < 1:
+        raise ValueError("prune_state requires keep >= 1")
+    fs, jpath = _fs(spark, base)
+    if not fs.exists(jpath):
+        return []
+    complete, incomplete = [], []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        marker = _fs(spark, f"{_ver_dir(base, v)}/applied.json")[1]
+        (complete if fs.exists(marker) else incomplete).append(v)
+    complete.sort()
+    kept = set(complete[-keep:])
+    removed = []
+    for v in complete:
+        if v not in kept:
+            fs.delete(_fs(spark, _ver_dir(base, v))[1], True)
+            removed.append(v)
+    # incomplete dirs: remove only stale leftovers strictly older than the
+    # newest kept version — an in-flight write (newer, or the only state)
+    # is never touched
+    for v in incomplete:
+        if kept and v < max(kept):
+            fs.delete(_fs(spark, _ver_dir(base, v))[1], True)
+            removed.append(v)
+    return sorted(removed)

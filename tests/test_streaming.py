@@ -272,3 +272,59 @@ def test_cli_ingest_stream_once(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     want = shared_content_edges(corpus)[0].count()
     assert rep["edges"] == want == 1 and rep["version"] is not None
+
+
+def test_prune_state_and_louvain_over_state(spark, tmp_path):
+    """Three applied versions -> prune keeps the newest 2 and an older
+    incomplete leftover dies; the maintained edge table feeds Louvain
+    end-to-end (the full continuous-ingest story)."""
+    from parallel_louvain_method_spark.operators.louvain import louvain
+    from parallel_louvain_method_spark.sources.corpus import densify
+    from parallel_louvain_method_spark.streaming.ingest import (
+        edges_from_state,
+        ingest_batch,
+        latest_version,
+        prune_state,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    # two planted 3-repo communities sharing pool content, one weak link
+    def corpus_df(rows):
+        return spark.createDataFrame(
+            [(n, "p", "c", "py", b) for n, b in rows], schema
+        )
+
+    state = str(tmp_path / "state")
+    batches = [
+        corpus_df([("a1", "x"), ("a2", "x"), ("a3", "x")]),
+        corpus_df([("b1", "y"), ("b2", "y"), ("b3", "y")]),
+        corpus_df([("a1", "w"), ("a2", "w"), ("b1", "z"), ("b2", "z"),
+                   ("a3", "bridge"), ("b3", "bridge")]),
+    ]
+    for epoch, batch in enumerate(batches):
+        ingest_batch(spark, batch, state, epoch)
+    assert latest_version(spark, state) == 2
+    # stale incomplete leftover (no marker)
+    spark.createDataFrame([(0,)], "x long").write.parquet(
+        f"{state}/v=1000000/edges"
+    )
+    import os
+    os.rename(f"{state}/v=1000000", f"{state}/v=0.5".replace("0.5", "05"))
+    # v=05 parses as 5 -> incomplete and NEWER than kept: must survive;
+    # make an old incomplete too
+    spark.createDataFrame([(0,)], "x long").write.parquet(
+        f"{state}/v=-1/edges"
+    )
+    removed = prune_state(spark, state, keep=2)
+    assert removed == [-1, 0]
+    assert latest_version(spark, state) == 2
+    assert sorted(os.listdir(state)) == ["v=05", "v=1", "v=2"]
+
+    edges_str = edges_from_state(spark, state)
+    edges, mapping = densify(edges_str)
+    res = louvain(spark, edges, n_blocks=1)
+    assert res.modularity > 0.3
+    assert res.n_communities == 2
