@@ -102,7 +102,11 @@ from parallel_louvain_method_spark.functions.bloom import (
     bloom_oracle_sql,
     bloom_semi_join,
 )
-from parallel_louvain_method_spark.sources.corpus import shared_content_edges
+from parallel_louvain_method_spark.sources.corpus import (
+    association_edge_weights,
+    shared_content_edges,
+    shared_content_postings,
+)
 from parallel_louvain_method_spark.sources import kronecker as _KR
 from parallel_louvain_method_spark.streaming.events import user_sessions_batch
 
@@ -1729,6 +1733,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delta maintenance == full rebuild (oracle is the full-rebuild SQL)
     q["incremental_edges"] = _incremental_edges
     q["incremental_cocommit_users"] = _incremental_cocommit_users
+    # association re-weighting of the shared-content graph (jaccard /
+    # dice / cosine from the postings the builder maintains anyway)
+    q["edge_assoc_weights"] = lambda s, d: (
+        lambda corpus: association_edge_weights(
+            shared_content_edges(
+                corpus, node_col="source", content_col="content_key"
+            )[0],
+            shared_content_postings(corpus, "source", "content_key"),
+        )
+    )(_doc_key_corpus(s, d))
+    # degree-bounding sparsifier: per-vertex top-2 heaviest edges
+    q["topk2_sparsify"] = lambda s, d: G.topk_neighbors(_edges(s, d), k=2)
     q["cocommit_users"] = lambda s, d: (
         lambda fc: (
             fc.alias("a")
@@ -2573,6 +2589,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS DOUBLE) AS weight
         FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
         GROUP BY 1, 2
+    """
+    o["edge_assoc_weights"] = f"""
+        WITH k AS ({_DOC_KEY_SQL}),
+        h AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM k),
+        e AS (
+            SELECT a.source AS node_a, b.source AS node_b,
+                   CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        c AS (SELECT source, COUNT(*) AS n FROM h GROUP BY 1)
+        SELECT e.node_a, e.node_b, e.weight,
+               e.weight / (ca.n + cb.n - e.weight) AS jaccard,
+               2.0 * e.weight / (ca.n + cb.n) AS dice,
+               e.weight / SQRT(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+        FROM e
+        JOIN c ca ON ca.source = e.node_a
+        JOIN c cb ON cb.source = e.node_b
+    """
+    o["topk2_sparsify"] = f"""
+        WITH base AS ({_EDGES_SQL}),
+        sym AS (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT src, dst, weight FROM base WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM base
+                WHERE src <> dst
+            )
+        ),
+        ranked AS (
+            SELECT src, dst, weight,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY weight DESC, dst ASC
+                   ) AS rn
+            FROM sym
+        )
+        SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+               weight
+        FROM ranked WHERE rn <= 2
     """
     # the incremental build must equal the from-scratch build over ALL
     # documents — so its oracle IS the full-rebuild query

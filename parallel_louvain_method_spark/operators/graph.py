@@ -273,3 +273,37 @@ def ego_subgraph(
     ).join(reach.withColumnRenamed("v", "dst"), "dst", "left_semi").select(
         *edges.columns
     )
+
+
+def topk_neighbors(edges: DataFrame, k: int, weight_col: str = "weight") -> DataFrame:
+    """Degree-bounding sparsifier: keep each vertex's ``k`` heaviest
+    incident edges; an undirected edge survives if it makes EITHER
+    endpoint's top-k (union semantics — the standard kNN-graph rule, so
+    no vertex is orphaned by a hub neighbor's richer list).
+
+    Ties are pinned (weight DESC, neighbor id ASC) so the result is
+    deterministic and oracle-reproducible.  The window partitions by
+    vertex — per-partition work is bounded by degree, never by |V| or
+    |E|, and after this every downstream triangle/louvain/knn join sees
+    max degree k instead of the raw hub degree.  Input canonical
+    (``src < dst``) or symmetric both work; output is canonical distinct.
+    """
+    if k < 1:
+        raise ValueError("topk_neighbors requires k >= 1")
+    from pyspark.sql import Window
+
+    sym = symmetric_edges(exclude_self_loops(edges))
+    w = Window.partitionBy("src").orderBy(
+        F.col(weight_col).desc(), F.col("dst").asc()
+    )
+    kept = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col(weight_col).alias("weight"),
+        )
+        .distinct()
+    )
+    return kept

@@ -438,3 +438,43 @@ def cocommit_postings(corpus: DataFrame) -> DataFrame:
 
 # retained alias for older call sites; densify is the public name
 _densify = densify
+
+
+def association_edge_weights(
+    edges: DataFrame, postings: DataFrame
+) -> DataFrame:
+    """Normalize co-occurrence edge weights by the endpoints' bucket
+    counts: raw shared-bucket counts over-rank prolific nodes (a repo in
+    10k commits co-occurs with everything), so link-graph practice
+    re-weights by set overlap before thresholding or community detection.
+
+    Given ``edges(node_a, node_b, weight=|A∩B|)`` and the postings the
+    builder maintains anyway, emits jaccard ``|A∩B|/|A∪B|``, dice
+    ``2|A∩B|/(|A|+|B|)`` and cosine ``|A∩B|/sqrt(|A||B|)`` — one
+    aggregation over postings plus two broadcast-friendly joins; the
+    divisions are single IEEE ops on exact integer counts, so any engine
+    reproduces them bit-for-bit."""
+    counts = postings.groupBy("node").agg(F.count("*").alias("n"))
+    w = F.col("weight")
+    return (
+        edges.join(
+            counts.select(
+                F.col("node").alias("node_a"), F.col("n").alias("n_a")
+            ),
+            "node_a",
+        )
+        .join(
+            counts.select(
+                F.col("node").alias("node_b"), F.col("n").alias("n_b")
+            ),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "weight",
+            (w / (F.col("n_a") + F.col("n_b") - w)).alias("jaccard"),
+            (F.lit(2.0) * w / (F.col("n_a") + F.col("n_b"))).alias("dice"),
+            (w / F.sqrt(F.col("n_a") * F.col("n_b"))).alias("cosine"),
+        )
+    )

@@ -3167,3 +3167,57 @@ def test_clique4_complete_graph(spark):
         "src long, dst long, weight double",
     )
     assert clique4_count(df) == 15
+
+
+def test_topk_neighbors_sparsify(spark):
+    """Union top-k semantics with pinned ties: the hub keeps only its k
+    heaviest edges, but a leaf's single edge always survives via the
+    leaf's own list."""
+    from parallel_louvain_method_spark.operators.graph import topk_neighbors
+
+    # hub 0 with weights 5,4,3,2 to 1..4; leaf 9 attached to 0 at weight 1
+    edges = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0), (0, 4, 2.0), (0, 9, 1.0),
+         (0, 0, 99.0)],  # self-loop must be dropped
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in topk_neighbors(edges, k=2).collect()
+    }
+    # hub's top-2: (0,1),(0,2); every leaf keeps its only edge
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (0, 4), (0, 9)}
+    # tie pinning: equal weights resolve by neighbor id ascending
+    tied = spark.createDataFrame(
+        [(0, 3, 1.0), (0, 1, 1.0), (0, 2, 1.0), (7, 8, 1.0)],
+        "src long, dst long, weight double",
+    )
+    # k=2 from vertex 0's view -> neighbors 1,2 (id-ascending); 3 survives
+    # via its own list, as does (7,8)
+    got2 = {(r.src, r.dst) for r in topk_neighbors(tied, k=2).collect()}
+    assert got2 == {(0, 1), (0, 2), (0, 3), (7, 8)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        topk_neighbors(edges, k=0)
+
+
+def test_association_edge_weights(spark):
+    """jaccard/dice/cosine from postings match hand computation."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        association_edge_weights,
+    )
+
+    # A has buckets {1,2,3}, B has {2,3,4,5}: overlap 2
+    postings = spark.createDataFrame(
+        [("A", "1"), ("A", "2"), ("A", "3"),
+         ("B", "2"), ("B", "3"), ("B", "4"), ("B", "5")],
+        "node string, h string",
+    )
+    edges = spark.createDataFrame(
+        [("A", "B", 2.0)], "node_a string, node_b string, weight double"
+    )
+    r = association_edge_weights(edges, postings).first()
+    assert r.jaccard == 2.0 / 5.0
+    assert r.dice == 4.0 / 7.0
+    assert abs(r.cosine - 2.0 / (12.0 ** 0.5)) < 1e-15
