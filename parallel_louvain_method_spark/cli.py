@@ -651,6 +651,25 @@ def main(argv: list[str] | None = None) -> int:
     igs.add_argument("--content-col", default="content")
     igs.add_argument("--max-group", type=int, default=1000)
 
+    sf = sub.add_parser(
+        "sparsify",
+        help="degree-bounding sparsifier: keep each vertex's k heaviest "
+        "incident edges (union semantics)",
+    )
+    sf.add_argument("--edges", required=True)
+    sf.add_argument("--out", required=True)
+    sf.add_argument("--k", type=int, required=True)
+    sf.add_argument("--weight-col", default="weight")
+
+    ac = sub.add_parser(
+        "assoc",
+        help="re-weight co-occurrence edges by set overlap "
+        "(jaccard/dice/cosine) from the postings state",
+    )
+    ac.add_argument("--edges", required=True)
+    ac.add_argument("--postings", required=True)
+    ac.add_argument("--out", required=True)
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1473,6 +1492,28 @@ def main(argv: list[str] | None = None) -> int:
             "postings": postings.count(),
             "dropped_groups": dropped.count(),
         }))
+    elif args.cmd == "sparsify":
+        from parallel_louvain_method_spark.operators.graph import (
+            topk_neighbors,
+        )
+
+        kept = topk_neighbors(
+            spark.read.parquet(args.edges), args.k,
+            weight_col=args.weight_col,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"edges": kept.count(), "k": args.k}))
+    elif args.cmd == "assoc":
+        from parallel_louvain_method_spark.sources.corpus import (
+            association_edge_weights,
+        )
+
+        out_df = association_edge_weights(
+            spark.read.parquet(args.edges),
+            spark.read.parquet(args.postings),
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"edges": out_df.count()}))
     elif args.cmd == "ingest-stream":
         from parallel_louvain_method_spark.streaming.ingest import (
             edges_from_state,

@@ -1117,3 +1117,37 @@ def test_cli_bloom_and_ingest(spark, tmp_path, capsys):
     want = sorted(map(tuple, shared_content_edges(both)[0].collect()))
     # x: {r1,r2,r3} -> 3 pairs; y: {r3,r4} -> 1 pair
     assert got == want and len(got) == 4
+
+
+def test_cli_sparsify_and_assoc(spark, tmp_path, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    ep = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0)],
+        "src long, dst long, weight double",
+    ).write.parquet(ep)
+    out = str(tmp_path / "sparse")
+    assert main(["sparsify", "--edges", ep, "--out", out, "--k", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"edges": 3, "k": 2}  # (0,3) survives via vertex 3
+
+    aep = str(tmp_path / "aedges")
+    pp = str(tmp_path / "post")
+    spark.createDataFrame(
+        [("A", "B", 2.0)], "node_a string, node_b string, weight double"
+    ).write.parquet(aep)
+    spark.createDataFrame(
+        [("A", "1"), ("A", "2"), ("B", "2")], "node string, h string"
+    ).write.parquet(pp)
+    out2 = str(tmp_path / "assoc")
+    assert main([
+        "assoc", "--edges", aep, "--postings", pp, "--out", out2,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"edges": 1}
+    assert set(spark.read.parquet(out2).columns) == {
+        "node_a", "node_b", "weight", "jaccard", "dice", "cosine"
+    }
