@@ -159,7 +159,9 @@ def bloom_oracle_sql(
     """DuckDB twin of :func:`bloom_semi_join` — same constants, same
     Mersenne-31 positions, same word layout, so the kept set matches
     bit-for-bit including false positives.  ``build_sql`` must yield one
-    column ``k``; ``probe_sql`` yields the probe rows with ``key_col``."""
+    column ``k``; ``probe_sql`` yields the probe rows with ``key_col``.
+    Keys must be non-negative for cross-engine parity: Spark's ``pmod``
+    and DuckDB's signed ``%`` agree only there."""
     consts = bloom_probe_constants(probes, seed)
     pos_union = "\n            UNION ALL ".join(
         f"SELECT (((k % {_M31}) * {a} + {b}) % {_M31}) % {m_bits} AS pos "
