@@ -202,27 +202,31 @@ def prune_state(
         return []
     complete, incomplete = [], []
     for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
+        vpath = status.getPath()
+        name = vpath.getName()
         if not name.startswith("v="):
             continue
         try:
             v = int(name[2:])
         except ValueError:
             continue
-        marker = _fs(spark, f"{_ver_dir(base, v)}/applied.json")[1]
-        (complete if fs.exists(marker) else incomplete).append(v)
-    complete.sort()
-    kept = set(complete[-keep:])
+        # delete by the LISTED path, never a name rebuilt from the parsed
+        # int (a stray "v=05" parses to 5 but is not "v=5")
+        jvm = spark.sparkContext._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(vpath, "applied.json")
+        (complete if fs.exists(marker) else incomplete).append((v, vpath))
+    complete.sort(key=lambda t: t[0])
+    kept = {v for v, _ in complete[-keep:]}
     removed = []
-    for v in complete:
+    for v, vpath in complete:
         if v not in kept:
-            fs.delete(_fs(spark, _ver_dir(base, v))[1], True)
+            fs.delete(vpath, True)
             removed.append(v)
     # incomplete dirs: remove only stale leftovers strictly older than the
     # newest kept version — an in-flight write (newer, or the only state)
     # is never touched
-    for v in incomplete:
+    for v, vpath in incomplete:
         if kept and v < max(kept):
-            fs.delete(_fs(spark, _ver_dir(base, v))[1], True)
+            fs.delete(vpath, True)
             removed.append(v)
     return sorted(removed)
