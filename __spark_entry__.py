@@ -2052,6 +2052,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["neighborhood_h2"] = lambda s, d: neighborhood_function(
         s, _cc_edges(s, d), max_hops=2, method="exact"
     )
+    # effective diameter read off the ANF table — the DataFrame form of
+    # operators/metrics.py effective_diameter (same alpha=0.9 rule), so
+    # the truncated-h variant is gate-checked end to end
+    q["eff_diameter_h2"] = lambda s, d: (
+        lambda nf: nf.crossJoin(
+            nf.agg(F.max("n_pairs").alias("mx"))
+        )
+        .filter(F.col("n_pairs") >= F.lit(0.9) * F.col("mx"))
+        .agg(F.min("h").cast("long").alias("eff_diameter"))
+    )(neighborhood_function(s, _cc_edges(s, d), max_hops=2, method="exact"))
 
     # edge-level cohesion: per-edge triangle support, and the fixed-round
     # k-truss peel twin (full ktruss() fixpoint is pinned in pytest)
@@ -2902,6 +2912,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS h, COUNT(*) AS n_pairs FROM h1
             UNION ALL SELECT 2 AS h, COUNT(*) AS n_pairs FROM h2
         )"""
+    # effective diameter off the ANF table: smallest h with
+    # N(h) >= 0.9 * max N — composes the neighborhood_h2 oracle verbatim
+    o["eff_diameter_h2"] = f"""
+        WITH nf AS ({o["neighborhood_h2"]}),
+        t AS (SELECT MAX(n_pairs) AS mx FROM nf)
+        SELECT CAST(MIN(h) AS BIGINT) AS eff_diameter
+        FROM nf, t WHERE n_pairs >= 0.9 * mx
+    """
     # truncated harmonic: per-vertex ball-size differences over the same
     # h1/h2 composition — (c1-1)/1 + (c2-c1)/2, exact integer ratios
     o["harmonic_h2"] = f"""
