@@ -389,6 +389,27 @@ def _incremental_cocommit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_diff_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level diff between the 3/4-documents build and the full build
+    (operators/graph.py edge_diff — the audit companion to incremental
+    maintenance): statuses added/changed/same with both weights."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(words, 1, 3)).alias("content_key"),
+    )
+    old_e = shared_content_edges(
+        keyed.filter("doc_id % 4 != 0"),
+        node_col="source",
+        content_col="content_key",
+    )[0]
+    new_e = shared_content_edges(
+        keyed, node_col="source", content_col="content_key"
+    )[0]
+    return G.edge_diff(old_e, new_e)
+
+
 def _incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental edge maintenance gate: build edges from 3/4 of the
     documents, merge the remaining 1/4 as a batch via
@@ -1733,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delta maintenance == full rebuild (oracle is the full-rebuild SQL)
     q["incremental_edges"] = _incremental_edges
     q["incremental_cocommit_users"] = _incremental_cocommit_users
+    q["edge_diff_batch"] = _edge_diff_batch
     # association re-weighting of the shared-content graph (jaccard /
     # dice / cosine from the postings the builder maintains anyway)
     q["edge_assoc_weights"] = lambda s, d: (
@@ -2638,6 +2660,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
                weight
         FROM ranked WHERE rn <= 2
+    """
+    o["edge_diff_batch"] = f"""
+        WITH ko AS (
+            SELECT source,
+                   array_to_string(({_WORDS})[1:3], ' ') AS content_key
+            FROM documents WHERE doc_id % 4 <> 0
+        ),
+        kn AS ({_DOC_KEY_SQL}),
+        ho AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM ko),
+        hn AS (SELECT DISTINCT source, sha256(content_key) AS hh FROM kn),
+        eo AS (
+            SELECT a.source AS node_a, b.source AS node_b,
+                   CAST(COUNT(*) AS DOUBLE) AS old_weight
+            FROM ho a JOIN ho b ON a.hh = b.hh AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        en AS (
+            SELECT a.source AS node_a, b.source AS node_b,
+                   CAST(COUNT(*) AS DOUBLE) AS new_weight
+            FROM hn a JOIN hn b ON a.hh = b.hh AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT COALESCE(eo.node_a, en.node_a) AS node_a,
+               COALESCE(eo.node_b, en.node_b) AS node_b,
+               eo.old_weight, en.new_weight,
+               CASE WHEN eo.old_weight IS NULL THEN 'added'
+                    WHEN en.new_weight IS NULL THEN 'removed'
+                    WHEN eo.old_weight <> en.new_weight THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM eo FULL OUTER JOIN en
+          ON eo.node_a = en.node_a AND eo.node_b = en.node_b
     """
     # the incremental build must equal the from-scratch build over ALL
     # documents — so its oracle IS the full-rebuild query

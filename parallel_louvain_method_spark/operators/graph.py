@@ -307,3 +307,34 @@ def topk_neighbors(edges: DataFrame, k: int, weight_col: str = "weight") -> Data
         .distinct()
     )
     return kept
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """What changed between two edge tables: full-outer compare keyed on
+    the (src, dst) pair with status ``added`` / ``removed`` / ``changed``
+    / ``same`` and both weights (NULL on the missing side).
+
+    The audit companion to incremental maintenance (sources/corpus.py
+    incremental_pair_edges, streaming/ingest.py versioned state): one
+    pair-keyed shuffle regardless of how the tables were produced, output
+    size bounded by |old ∪ new|.  Works on any (src, dst, weight) or
+    (node_a, node_b, weight) pair table — column names are taken from the
+    OLD side and must match the new side.
+    """
+    ka, kb = old_edges.columns[0], old_edges.columns[1]
+    wcol = old_edges.columns[2]
+    o = old_edges.select(ka, kb, F.col(wcol).alias("old_weight"))
+    n = new_edges.select(
+        F.col(new_edges.columns[0]).alias(ka),
+        F.col(new_edges.columns[1]).alias(kb),
+        F.col(new_edges.columns[2]).alias("new_weight"),
+    )
+    status = (
+        F.when(F.col("old_weight").isNull(), F.lit("added"))
+        .when(F.col("new_weight").isNull(), F.lit("removed"))
+        .when(F.col("old_weight") != F.col("new_weight"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return o.join(n, [ka, kb], "full").select(
+        ka, kb, "old_weight", "new_weight", status.alias("status")
+    )

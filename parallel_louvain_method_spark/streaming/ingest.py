@@ -230,3 +230,16 @@ def prune_state(
             fs.delete(vpath, True)
             removed.append(v)
     return sorted(removed)
+
+
+def state_diff(
+    spark: SparkSession, base: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Edge-level diff between two applied state versions — what a
+    micro-batch (or a span of them) actually changed in the graph."""
+    from parallel_louvain_method_spark.operators.graph import edge_diff
+
+    return edge_diff(
+        edges_from_state(spark, base, v_old),
+        edges_from_state(spark, base, v_new),
+    )

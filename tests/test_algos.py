@@ -3221,3 +3221,26 @@ def test_association_edge_weights(spark):
     assert r.jaccard == 2.0 / 5.0
     assert r.dice == 4.0 / 7.0
     assert abs(r.cosine - 2.0 / (12.0 ** 0.5)) < 1e-15
+
+
+def test_edge_diff_statuses(spark):
+    from parallel_louvain_method_spark.operators.graph import edge_diff
+
+    old = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 5.0)],
+        "src long, dst long, weight double",
+    )
+    new = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 9.0), (4, 5, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r.src, r.dst): (r.old_weight, r.new_weight, r.status)
+        for r in edge_diff(old, new).collect()
+    }
+    assert got == {
+        (1, 2): (1.0, 1.0, "same"),
+        (1, 3): (2.0, 9.0, "changed"),
+        (2, 3): (5.0, None, "removed"),
+        (4, 5): (None, 1.0, "added"),
+    }

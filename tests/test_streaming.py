@@ -328,3 +328,35 @@ def test_prune_state_and_louvain_over_state(spark, tmp_path):
     res = louvain(spark, edges, n_blocks=1)
     assert res.modularity > 0.3
     assert res.n_communities == 2
+
+
+def test_state_diff_between_versions(spark, tmp_path):
+    from parallel_louvain_method_spark.streaming.ingest import (
+        ingest_batch,
+        state_diff,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    b0 = spark.createDataFrame(
+        [("r1", "p", "c", "py", "x"), ("r2", "p", "c", "py", "x")], schema
+    )
+    b1 = spark.createDataFrame(
+        [("r3", "p", "c", "py", "x"), ("r1", "p2", "c", "py", "y"),
+         ("r2", "p2", "c", "py", "y")], schema
+    )
+    state = str(tmp_path / "state")
+    ingest_batch(spark, b0, state, 0)
+    ingest_batch(spark, b1, state, 1)
+    got = {
+        (r.node_a, r.node_b): r.status
+        for r in state_diff(spark, state, 0, 1).collect()
+    }
+    # r1-r2 gains hash y (weight 1 -> 2: changed); r3 joins x pool (added)
+    assert got == {
+        ("r1", "r2"): "changed",
+        ("r1", "r3"): "added",
+        ("r2", "r3"): "added",
+    }
