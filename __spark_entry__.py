@@ -38,6 +38,7 @@ from parallel_louvain_method_spark.operators import dedup as D
 from parallel_louvain_method_spark.operators.components import (
     component_size_histogram,
     connected_components,
+    incremental_components,
     refine_communities,
 )
 from parallel_louvain_method_spark.operators.labelprop import label_propagation
@@ -1714,6 +1715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["connected_components"] = lambda s, d: connected_components(
         _cc_edges(s, d)
     ).select("vtx", "component")
+    # incremental CC: labels for a 2/3 edge slice maintained through a
+    # quotient-contraction merge of the remaining 1/3 batch; the oracle is
+    # the FULL-graph recursive CTE, so the hash match certifies
+    # incremental label maintenance == from-scratch components
+    q["incremental_cc"] = lambda s, d: (
+        lambda all_e: incremental_components(
+            connected_components(
+                all_e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) != 0)
+            ),
+            all_e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == 0),
+        ).select("vtx", "component")
+    )(_cc_edges(s, d))
     # fixed-round peel twin of kcore() (same pattern as pagerank_k3):
     # k=80 on the part-pair graph cascades 2000 -> 1903 -> 1878 -> 1865 at
     # sf0.01, so both oracled rounds do real work
@@ -2600,6 +2613,21 @@ def oracle_sql() -> dict[str, str]:
     o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
     o["ppr_k3_seed"] = _unrolled_ppr_sql(3, 0.85, seed_below=100)
     o["adamic_adar_cc"] = _adamic_adar_oracle_sql(max_degree=64, min_common=2)
+    # incremental CC must land on the identical full-graph labels
+    o["incremental_cc"] = f"""
+        WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
+        sym AS (
+            SELECT src, dst FROM base UNION SELECT dst, src FROM base
+        ),
+        cc(v, label) AS (
+            SELECT src, src FROM sym
+            UNION SELECT dst, dst FROM sym
+            UNION
+            SELECT s.src, c.label FROM cc c JOIN sym s ON c.v = s.dst
+            WHERE c.label < s.src
+        )
+        SELECT v AS vtx, MIN(label) AS component FROM cc GROUP BY v
+    """
     o["connected_components"] = f"""
         WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
         sym AS (

@@ -292,3 +292,68 @@ def refine_communities(
     return a.join(parts, "vtx", "left").select(
         "vtx", F.coalesce(F.col("component"), F.col("vtx")).alias("comm")
     )
+
+
+def incremental_components(
+    old_assign: DataFrame, new_edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Maintain ``(vtx, component)`` labels under a batch of ADDED edges
+    without re-running components over the full graph — the algorithmic
+    companion to the incremental edge-maintenance path (sources/corpus.py
+    incremental_pair_edges, streaming/ingest.py).
+
+    Edge additions only ever MERGE components, so the update reduces to
+    connected components over the QUOTIENT graph: relabel the batch's
+    endpoints by their current component (new vertices become singletons
+    labeled by their own id — consistent with the min-id convention),
+    contract, and run the fixpoint on a graph whose size is bounded by
+    the BATCH's touched components, not |V| or |E|.  Component labels
+    stay ``min vertex id`` (min of mins under merging), so chained calls
+    and a from-scratch rebuild agree exactly.  Edge REMOVALS can split
+    components and need the full recompute — out of scope by design.
+    """
+    pts = (
+        new_edges.select(F.col("src").alias("vtx"))
+        .union(new_edges.select(F.col("dst").alias("vtx")))
+        .distinct()
+    )
+    fresh = pts.join(old_assign, "vtx", "left_anti").select(
+        "vtx", F.col("vtx").alias("component")
+    )
+    assign0 = old_assign.select("vtx", "component").union(fresh)
+    amap = assign0.withColumnRenamed("vtx", "__v")
+    quotient = (
+        new_edges.join(
+            amap.select(
+                F.col("__v").alias("src"), F.col("component").alias("qsrc")
+            ),
+            "src",
+        )
+        .join(
+            amap.select(
+                F.col("__v").alias("dst"), F.col("component").alias("qdst")
+            ),
+            "dst",
+        )
+        .filter(F.col("qsrc") != F.col("qdst"))
+        .select(
+            F.col("qsrc").alias("src"),
+            F.col("qdst").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .distinct()
+    )
+    merged = connected_components(quotient, max_iter=max_iter)
+    return assign0.join(
+        merged.select(
+            F.col("vtx").alias("component"),
+            F.col("component").alias("new_component"),
+        ),
+        "component",
+        "left",
+    ).select(
+        "vtx",
+        F.coalesce(F.col("new_component"), F.col("component")).alias(
+            "component"
+        ),
+    )

@@ -3244,3 +3244,45 @@ def test_edge_diff_statuses(spark):
         (2, 3): (5.0, None, "removed"),
         (4, 5): (None, 1.0, "added"),
     }
+
+
+def test_incremental_components(spark):
+    """Batch edge additions via quotient contraction == full recompute:
+    merges across old components, brand-new vertices, chained batches."""
+    from parallel_louvain_method_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "src long, dst long, weight double",
+        )
+
+    old = edges([(0, 1), (2, 3), (5, 6)])
+    assign = connected_components(old)
+    # batch: bridges {0,1}-{2,3}, attaches new vertex 9 to {5,6},
+    # and a fully new pair {10,11}
+    batch = edges([(1, 2), (9, 5), (10, 11)])
+    got = {
+        r.vtx: r.component
+        for r in incremental_components(assign, batch).collect()
+    }
+    want = {
+        r.vtx: r.component
+        for r in connected_components(
+            edges([(0, 1), (2, 3), (5, 6), (1, 2), (9, 5), (10, 11)])
+        ).collect()
+    }
+    assert got == want
+    # chain a second batch merging everything
+    batch2 = edges([(3, 5), (11, 0)])
+    assign2 = incremental_components(
+        spark.createDataFrame(
+            list(got.items()), "vtx long, component long"
+        ),
+        batch2,
+    )
+    got2 = {r.vtx: r.component for r in assign2.collect()}
+    assert set(got2.values()) == {0}  # one component, min-id label
