@@ -78,6 +78,7 @@ from parallel_louvain_method_spark.operators.spectral import (
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
     four_cycle_count,
+    incremental_triangle_delta,
     triangle_count,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
@@ -1650,6 +1651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         G.symmetric_edges(_edges(s, d))
     )
     q["weighted_degree"] = lambda s, d: G.degrees(G.symmetric_edges(_edges(s, d)))
+    # maintained-aggregate twin: degrees of a 3/4 slice merged with the
+    # remaining 1/4 batch; oracle = full-table degrees
+    q["incremental_degrees"] = lambda s, d: (
+        lambda sym: G.incremental_degrees(
+            G.degrees(sym.filter(F.pmod(F.col("dst"), F.lit(4)) != 0)),
+            sym.filter(F.pmod(F.col("dst"), F.lit(4)) == 0),
+        )
+    )(G.symmetric_edges(_edges(s, d)))
     q["max_vertex_id"] = lambda s, d: _edges(s, d).agg(
         F.max(F.greatest("src", "dst")).alias("max_id")
     )
@@ -1659,6 +1668,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_count"] = lambda s, d: s.createDataFrame(
         [(triangle_count(_part_pairs(s, d)),)], "n_triangles long"
     )
+    # incremental twin: T(3/4 slice) + created-triangle delta of the 1/4
+    # batch (operators/triangles.py incremental_triangle_delta) must land
+    # on the same full-graph count the oracle computes from scratch
+    q["incremental_triangles"] = lambda s, d: (
+        lambda g: s.createDataFrame(
+            [(
+                triangle_count(
+                    g.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) != 0)
+                )
+                + incremental_triangle_delta(
+                    g.filter(
+                        F.pmod(F.col("src") + F.col("dst"), F.lit(4)) != 0
+                    ),
+                    g.filter(
+                        F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == 0
+                    ),
+                ),
+            )],
+            "n_triangles long",
+        )
+    )(_part_pairs(s, d))
     # K4 motif count over the same graph (operators/triangles.py
     # clique4_count_df): Spark counts via degree-ordered orientation, the
     # oracle via id-ordered 6-edge closure — a hash match cross-validates
@@ -2434,6 +2464,9 @@ def oracle_sql() -> dict[str, str]:
     o["weighted_degree"] = (
         f"SELECT src AS vtx, SUM(weight) AS degree FROM ({_SYM_SQL}) GROUP BY 1"
     )
+    o["incremental_degrees"] = (
+        f"SELECT src AS vtx, SUM(weight) AS degree FROM ({_SYM_SQL}) GROUP BY 1"
+    )
     o["max_vertex_id"] = (
         f"SELECT MAX(GREATEST(src, dst)) AS max_id FROM ({_EDGES_SQL})"
     )
@@ -2447,6 +2480,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS new_id FROM ids
     """
     o["triangle_count"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL})
+        SELECT COUNT(*) AS n_triangles
+        FROM p e1 JOIN p e2 ON e1.dst = e2.src
+                  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    # incremental twin lands on the identical full-graph count
+    o["incremental_triangles"] = f"""
         WITH p AS ({_PART_PAIRS_SQL})
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src

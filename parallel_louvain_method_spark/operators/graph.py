@@ -338,3 +338,24 @@ def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     return o.join(n, [ka, kb], "full").select(
         ka, kb, "old_weight", "new_weight", status.alias("status")
     )
+
+
+def incremental_degrees(old_deg: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Maintain the weighted-degree table under a batch of ADDED edges:
+    degree is a per-vertex sum, so the update is one full-outer merge of
+    the batch's own degree contribution — O(batch) work, |V|-free.
+    ``old_deg`` is `(vtx, degree)` (operators/graph.py degrees);
+    ``new_edges`` the canonical/symmetric additions in the SAME
+    convention the original degree table was built from."""
+    delta = degrees(new_edges)
+    return (
+        old_deg.select("vtx", F.col("degree").alias("__d0"))
+        .join(delta.select("vtx", F.col("degree").alias("__d1")), "vtx", "full")
+        .select(
+            "vtx",
+            (
+                F.coalesce(F.col("__d0"), F.lit(0.0))
+                + F.coalesce(F.col("__d1"), F.lit(0.0))
+            ).alias("degree"),
+        )
+    )

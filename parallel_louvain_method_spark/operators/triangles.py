@@ -365,3 +365,68 @@ def clique4_count_df(edges: DataFrame) -> DataFrame:
         "left_semi",
     )
     return kept.agg(F.count("*").cast("long").alias("n_clique4"))
+
+
+def incremental_triangle_delta(
+    old_edges: DataFrame, new_edges: DataFrame
+) -> int:
+    """Exact number of triangles CREATED by a batch of added edges —
+    T(old ∪ new) − T(old) — touching only the batch's neighborhood, never
+    re-enumerating the old graph's triangles.
+
+    Every created triangle contains ≥1 new edge; classify by how many:
+
+    - 1 new edge (u,v) + 2 old: common OLD neighbors of u and v — a join
+      of the batch against the old adjacency, O(|batch| · deg);
+    - 2 new edges meeting at w + 1 old closing edge (u,v): new-new wedges
+      at w semi-joined against the old edge set;
+    - 3 new edges: the ordinary oriented count on the (tiny) batch graph.
+
+    The three cases partition the created triangles (a triangle has one
+    fixed number of new edges), so the delta is their plain sum.  New
+    edges already present in the old graph are ignored (re-adding an edge
+    creates nothing); duplicates inside the batch are collapsed.
+    """
+    old_s = _simple_undirected(old_edges).persist(StorageLevel.MEMORY_AND_DISK)
+    old_canon = old_s.filter(F.col("src") < F.col("dst"))
+    new_s = (
+        _simple_undirected(new_edges)
+        .join(old_s, ["src", "dst"], "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_canon = new_s.filter(F.col("src") < F.col("dst"))
+    # case 1: new (u,v), old (u,w) and (v,w)
+    c1 = (
+        new_canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            old_s.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            "u",
+        )
+        .join(
+            old_s.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
+        .count()
+    )
+    # case 2: new (u,w) and (v,w) meeting at w, old closing edge (u,v)
+    c2 = (
+        new_s.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+        .join(
+            new_s.select(F.col("dst").alias("w"), F.col("src").alias("v")),
+            "w",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            old_canon.select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            ),
+            ["u", "v"],
+            "left_semi",
+        )
+        .count()
+    )
+    # case 3: triangles entirely inside the batch
+    c3 = _closed_wedges(_orient(new_s, _degrees(new_s))).count()
+    old_s.unpersist()
+    new_s.unpersist()
+    return c1 + c2 + c3

@@ -3286,3 +3286,43 @@ def test_incremental_components(spark):
     )
     got2 = {r.vtx: r.component for r in assign2.collect()}
     assert set(got2.values()) == {0}  # one component, min-id label
+
+
+def test_incremental_triangle_delta(spark):
+    """T(old ∪ new) − T(old) across all three new-edge multiplicities,
+    cross-checked against full recounts on random graphs."""
+    import itertools
+    import random
+
+    from parallel_louvain_method_spark.operators.triangles import (
+        incremental_triangle_delta,
+        triangle_count,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "src long, dst long, weight double",
+        )
+
+    # planted: K4 on {0..3} minus (2,3); batch adds (2,3) [k=1: 2 tris],
+    # plus new wedge (4,0),(4,1) closing old (0,1) [k=2: 1 tri],
+    # plus a fully new K3 {7,8,9} [k=3: 1 tri]; re-added (0,1) is a no-op
+    old = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    batch = [(2, 3), (4, 0), (4, 1), (7, 8), (8, 9), (7, 9), (0, 1)]
+    delta = incremental_triangle_delta(edges(old), edges(batch))
+    assert delta == 2 + 1 + 1
+    assert delta == triangle_count(edges(old + batch)) - triangle_count(
+        edges(old)
+    )
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        pool = list(itertools.combinations(range(12), 2))
+        rng.shuffle(pool)
+        old_p, batch_p = pool[:30], pool[30:45]
+        got = incremental_triangle_delta(edges(old_p), edges(batch_p))
+        want = triangle_count(edges(old_p + batch_p)) - triangle_count(
+            edges(old_p)
+        )
+        assert got == want, (seed, got, want)
