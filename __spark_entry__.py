@@ -445,7 +445,14 @@ def _incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("node_a", "node_b", "weight")
 
 
-_GATE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
+import os as _os
+
+# the driver's correctness-gate scale; override (env, read at import) only
+# for cross-SF sweeps so the seam artifacts follow the swept parquet —
+# the driver contract itself always runs the default
+_GATE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
+)
 _ORACLE_ARTIFACT_DIR = "/tmp/plm_oracle"
 
 
