@@ -360,3 +360,66 @@ def test_state_diff_between_versions(spark, tmp_path):
         ("r1", "r3"): "added",
         ("r2", "r3"): "added",
     }
+
+
+def test_ingest_stream_restart_resume(spark, tmp_path):
+    """Stop the ingest query and restart it with the SAME checkpoint and
+    state dir: source offsets resume, epoch ids continue past the applied
+    versions, and the final edge state equals the full rebuild — the
+    exactly-once-across-restarts contract."""
+    from parallel_louvain_method_spark.sources.corpus import (
+        shared_content_edges,
+    )
+    from parallel_louvain_method_spark.streaming.ingest import (
+        edges_from_state,
+        latest_version,
+        read_corpus_stream,
+        start_incremental_edge_ingest,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+
+    def corpus_df(rows):
+        return spark.createDataFrame(
+            [(n, "p", c, "py", b) for n, c, b in rows], schema
+        )
+
+    parts = [
+        corpus_df([("r1", "c0", "x"), ("r2", "c0", "x")]),
+        corpus_df([("r3", "c1", "x"), ("r4", "c1", "y")]),
+        corpus_df([("r5", "c2", "y"), ("r4", "c2", "z"), ("r6", "c2", "z")]),
+    ]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    # first life: two batches
+    parts[0].write.mode("append").parquet(src)
+    q = start_incremental_edge_ingest(read_corpus_stream(spark, src), state, ck)
+    try:
+        q.processAllAvailable()
+        parts[1].write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    v_before = latest_version(spark, state)
+
+    # second life: same checkpoint + state, one more batch
+    parts[2].write.mode("append").parquet(src)
+    q2 = start_incremental_edge_ingest(
+        read_corpus_stream(spark, src), state, ck
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    v_after = latest_version(spark, state)
+    assert v_after > v_before  # epoch counter continued, not reset
+
+    got = sorted(map(tuple, edges_from_state(spark, state).collect()))
+    full = parts[0].union(parts[1]).union(parts[2])
+    want = sorted(map(tuple, shared_content_edges(full)[0].collect()))
+    assert got == want and len(got) >= 3
