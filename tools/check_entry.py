@@ -4,6 +4,12 @@ Runs every ``queries()`` entry at sf0.01 and compares against the matching
 ``oracle_sql()`` via DuckDB: row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, floats
 rounded to 9 significant decimals before hashing).
+
+Cross-SF sweep: ``python tools/check_entry.py --sf-dir /root/testdata/sf0.1``
+re-runs the whole gate against another scale (the flag also points the
+seam-artifact generation there via SPARK_GRAFT_GATE_SF_DIR, so the
+MinHash/SimHash/LPA oracles follow).  Any remaining args filter by query
+name.
 """
 
 from __future__ import annotations
@@ -17,7 +23,6 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-import __spark_entry__ as entrymod
 from parallel_louvain_method_spark import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -40,6 +45,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main(only: list[str] | None = None) -> int:
+    # imported HERE so --sf-dir's env override (set in __main__) reaches
+    # the entry module's seam-artifact scale, which is read at import
+    import __spark_entry__ as entrymod
+
     spark = get_spark(app_name="check-entry", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -90,4 +99,13 @@ def main(only: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    import os
+
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        globals()["SF_DIR"] = SF_DIR
+        os.environ["SPARK_GRAFT_GATE_SF_DIR"] = SF_DIR
+        del args[i : i + 2]
+    sys.exit(main(args or None))
