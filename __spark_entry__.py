@@ -64,6 +64,8 @@ from parallel_louvain_method_spark.operators.metrics import (
     degree_histogram,
     graph_summary,
     harmonic_centrality,
+    label_assortativity,
+    map_equation,
     neighborhood_function,
     partition_compare,
     partition_quality,
@@ -1756,6 +1758,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quotient-contraction merge of the remaining 1/3 batch; the oracle is
     # the FULL-graph recursive CTE, so the hash match certifies
     # incremental label maintenance == from-scratch components
+    # information-theoretic partition quality: two-level map-equation
+    # codelength of the vtx%8 blocking (operators/metrics.py map_equation)
+    q["map_equation_mod8"] = lambda s, d: map_equation(
+        _edges(s, d),
+        G.vertex_ids(_edges(s, d)).select(
+            F.col("v").alias("vtx"), F.pmod(F.col("v"), F.lit(8)).alias("comm")
+        ),
+    )
+    # categorical mixing: Newman label assortativity under the vtx%5
+    # coloring of the part-pair graph
+    q["label_assort_mod5"] = lambda s, d: label_assortativity(
+        _part_pairs(s, d),
+        G.vertex_ids(_part_pairs(s, d)).select(
+            F.col("v").alias("vtx"),
+            F.pmod(F.col("v"), F.lit(5)).cast("string").alias("label"),
+        ),
+    )
     q["incremental_cc"] = lambda s, d: (
         lambda all_e: incremental_components(
             connected_components(
@@ -2660,6 +2679,78 @@ def oracle_sql() -> dict[str, str]:
     o["pagerank_k3"] = _unrolled_pagerank_sql(3, 0.85)
     o["ppr_k3_seed"] = _unrolled_ppr_sql(3, 0.85, seed_below=100)
     o["adamic_adar_cc"] = _adamic_adar_oracle_sql(max_degree=64, min_common=2)
+    # two-level map equation under the vtx%8 blocking: the four-term
+    # plogp expansion, term-for-term the Spark expression shapes
+    o["map_equation_mod8"] = f"""
+        WITH sym AS ({_SYM_SQL}),
+        deg AS (SELECT src AS vtx, SUM(weight) AS degree FROM sym GROUP BY 1),
+        vol AS (SELECT SUM(degree) AS vol FROM deg),
+        pmod AS (
+            SELECT vtx % 8 AS comm, SUM(degree) / (SELECT vol FROM vol)
+                       AS p_mod
+            FROM deg GROUP BY 1
+        ),
+        cuts AS (
+            SELECT src % 8 AS comm, SUM(weight) AS cut
+            FROM sym WHERE src % 8 <> dst % 8 GROUP BY 1
+        ),
+        mods AS (
+            SELECT p.comm, p.p_mod,
+                   COALESCE(c.cut, 0) / (SELECT vol FROM vol) AS q
+            FROM pmod p LEFT JOIN cuts c USING (comm)
+        ),
+        nodes AS (
+            SELECT SUM(CASE WHEN degree > 0
+                       THEN (degree / v.vol) * log2(degree / v.vol)
+                       ELSE 0 END) AS sum_plogp_p
+            FROM deg, vol v
+        ),
+        m AS (
+            SELECT SUM(q) AS q_tot,
+                   SUM(CASE WHEN q > 0 THEN q * log2(q) ELSE 0 END)
+                       AS sum_plogp_q,
+                   SUM(CASE WHEN q + p_mod > 0
+                       THEN (q + p_mod) * log2(q + p_mod) ELSE 0 END)
+                       AS sum_plogp_qp,
+                   COUNT(*) AS n_modules
+            FROM mods
+        )
+        SELECT (CASE WHEN q_tot > 0 THEN q_tot * log2(q_tot) ELSE 0 END)
+                   - 2 * sum_plogp_q - sum_plogp_p + sum_plogp_qp
+                   AS codelength,
+               n_modules,
+               (CASE WHEN q_tot > 0 THEN q_tot * log2(q_tot) ELSE 0 END)
+                   - sum_plogp_q AS index_len,
+               sum_plogp_qp - sum_plogp_q - sum_plogp_p AS module_len
+        FROM m, nodes
+    """
+    # Newman categorical assortativity under the vtx%5 coloring
+    o["label_assort_mod5"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL}),
+        sym AS (
+            SELECT src, dst, weight FROM p WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst, weight FROM p WHERE src <> dst
+        ),
+        both_l AS (
+            SELECT CAST(src % 5 AS VARCHAR) AS l_src,
+                   CAST(dst % 5 AS VARCHAR) AS l_dst, weight
+            FROM sym
+        ),
+        tot AS (SELECT SUM(weight) AS w_tot FROM both_l),
+        diag AS (
+            SELECT SUM(weight) AS w_diag FROM both_l WHERE l_src = l_dst
+        ),
+        marg AS (
+            SELECT SUM(ab) AS sum_ab FROM (
+                SELECT POWER(SUM(weight) / (SELECT w_tot FROM tot), 2) AS ab
+                FROM both_l GROUP BY l_src
+            )
+        )
+        SELECT (COALESCE(d.w_diag, 0) / t.w_tot - m.sum_ab)
+                   / NULLIF(1.0 - m.sum_ab, 0) AS assortativity
+        FROM diag d, tot t, marg m
+    """
     # incremental CC must land on the identical full-graph labels
     o["incremental_cc"] = f"""
         WITH RECURSIVE base AS ({_CC_EDGES_SQL}),

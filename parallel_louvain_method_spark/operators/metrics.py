@@ -706,3 +706,144 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     d.unpersist()
     return out
+
+
+def _plogp(x):
+    """x·log2(x) with plogp(0) = 0 — the map-equation term."""
+    return F.when(x > 0, x * F.log2(x)).otherwise(F.lit(0.0))
+
+
+def map_equation(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Two-level map-equation codelength L(M) of a partition (Rosvall &
+    Bergstrom 2008) — the information-theoretic partition quality that
+    complements modularity (partition_quality): expected bits per step of
+    a random walk under the two-level Huffman coding.
+
+    Undirected form, four-term expansion with plogp(x) = x·log2(x)::
+
+        L = plogp(Σ q_i) − 2·Σ plogp(q_i) − Σ_α plogp(p_α)
+            + Σ_i plogp(q_i + Σ_{α∈i} p_α)
+
+    where p_α = deg(α)/vol(G) and q_i = cut_i/vol(G) (cut_i = weight of
+    edges leaving module i; each inter-module edge contributes to BOTH
+    endpoints' modules, which the symmetric table provides for free).
+    One vertex-keyed join + two module aggregations — the same plan
+    shape as modularity.  A single module reduces L to the visit-rate
+    entropy (the one-level codelength), pinned in pytest.
+
+    Returns one row ``(codelength, n_modules, index_len, module_len)``
+    where L = index_len + module_len.
+    """
+    sym = symmetric_edges(edges)
+    a = assignment.select("vtx", "comm")
+    deg = sym.groupBy(F.col("src").alias("vtx")).agg(
+        F.sum("weight").alias("degree")
+    )
+    vol = deg.agg(F.sum("degree").alias("vol"))
+    vd = deg.join(a, "vtx").crossJoin(F.broadcast(vol))
+    # per-module visit mass and exit weight
+    mod_p = vd.groupBy("comm").agg(
+        (F.sum("degree") / F.first("vol")).alias("p_mod")
+    )
+    labeled = (
+        sym.join(
+            a.select(F.col("vtx").alias("src"), F.col("comm").alias("c_src")),
+            "src",
+        )
+        .join(
+            a.select(F.col("vtx").alias("dst"), F.col("comm").alias("c_dst")),
+            "dst",
+        )
+    )
+    cuts = (
+        labeled.filter(F.col("c_src") != F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("comm"))
+        .agg(F.sum("weight").alias("cut"))
+    )
+    mods = (
+        mod_p.join(cuts, "comm", "left")
+        .crossJoin(F.broadcast(vol))
+        .select(
+            "comm",
+            "p_mod",
+            (F.coalesce(F.col("cut"), F.lit(0.0)) / F.col("vol")).alias("q"),
+        )
+    )
+    node_term = vd.select(
+        _plogp(F.col("degree") / F.col("vol")).alias("t")
+    ).agg(F.sum("t").alias("sum_plogp_p"))
+    mod_terms = mods.agg(
+        F.sum("q").alias("q_tot"),
+        F.sum(_plogp(F.col("q"))).alias("sum_plogp_q"),
+        F.sum(_plogp(F.col("q") + F.col("p_mod"))).alias("sum_plogp_qp"),
+        F.count("*").alias("n_modules"),
+    )
+    return (
+        mod_terms.crossJoin(F.broadcast(node_term))
+        .select(
+            (
+                _plogp(F.col("q_tot"))
+                - 2.0 * F.col("sum_plogp_q")
+                - F.col("sum_plogp_p")
+                + F.col("sum_plogp_qp")
+            ).alias("codelength"),
+            F.col("n_modules"),
+            (
+                _plogp(F.col("q_tot")) - F.col("sum_plogp_q")
+            ).alias("index_len"),
+            (
+                F.col("sum_plogp_qp")
+                - F.col("sum_plogp_q")
+                - F.col("sum_plogp_p")
+            ).alias("module_len"),
+        )
+    )
+
+
+def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman's attribute (categorical) assortativity coefficient:
+    r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i) over the mixing
+    matrix e of label pairs at the two ends of each edge (symmetric
+    table ⇒ e is symmetric and a = b).  r = 1 when edges connect only
+    equal labels, 0 at random mixing, negative when disassortative;
+    NULL for the degenerate single-label graph (``try_divide``).
+
+    ``labels`` is ``(vtx, label)``; any label type with equality works.
+    One vertex-keyed join + two label aggregations.
+    """
+    sym = exclude_self_loops(symmetric_edges(edges))
+    lab = labels.select("vtx", "label")
+    both = (
+        sym.join(
+            lab.select(F.col("vtx").alias("src"), F.col("label").alias("l_src")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("vtx").alias("dst"), F.col("label").alias("l_dst")),
+            "dst",
+        )
+        .select("l_src", "l_dst", "weight")
+    )
+    tot = both.agg(F.sum("weight").alias("w_tot"))
+    diag = (
+        both.filter(F.col("l_src") == F.col("l_dst"))
+        .agg(F.sum("weight").alias("w_diag"))
+    )
+    marg = (
+        both.groupBy("l_src")
+        .agg(F.sum("weight").alias("w_row"))
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("w_row") / F.col("w_tot")) ** 2).alias("ab"))
+        .agg(F.sum("ab").alias("sum_ab"))
+    )
+    return (
+        diag.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.try_divide(
+                F.coalesce(F.col("w_diag"), F.lit(0.0)) / F.col("w_tot")
+                - F.col("sum_ab"),
+                F.lit(1.0) - F.col("sum_ab"),
+            ).alias("assortativity")
+        )
+    )

@@ -3326,3 +3326,97 @@ def test_incremental_triangle_delta(spark):
             edges(old_p)
         )
         assert got == want, (seed, got, want)
+
+
+def test_map_equation(spark):
+    """Four-term map-equation codelength vs an independent python replay;
+    single-module collapse == visit-rate entropy; a clean 2-clique
+    partition beats both the all-in-one and the crossed partition."""
+    import math
+
+    from parallel_louvain_method_spark.operators.metrics import map_equation
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "src long, dst long, weight double",
+        )
+
+    def assign(d):
+        return spark.createDataFrame(
+            list(d.items()), "vtx long, comm long"
+        )
+
+    def replay(pairs, comm):
+        deg, cut, pmod = {}, {}, {}
+        vol = 0.0
+        for a, b in pairs:
+            for u, v in ((a, b), (b, a)):
+                deg[u] = deg.get(u, 0.0) + 1.0
+                vol += 1.0
+                if comm[u] != comm[v]:
+                    cut[comm[u]] = cut.get(comm[u], 0.0) + 1.0
+        for v, d in deg.items():
+            pmod[comm[v]] = pmod.get(comm[v], 0.0) + d / vol
+        plogp = lambda x: x * math.log2(x) if x > 0 else 0.0
+        q = {c: cut.get(c, 0.0) / vol for c in pmod}
+        return (
+            plogp(sum(q.values()))
+            - 2 * sum(plogp(x) for x in q.values())
+            - sum(plogp(d / vol) for d in deg.values())
+            + sum(plogp(q[c] + pmod[c]) for c in pmod)
+        )
+
+    two_cliques = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    good = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    one = {v: 0 for v in range(6)}
+    crossed = {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+    e = edges(two_cliques)
+    vals = {}
+    for name, part in (("good", good), ("one", one), ("crossed", crossed)):
+        row = map_equation(e, assign(part)).first()
+        assert abs(row.codelength - replay(two_cliques, part)) < 1e-12
+        assert abs(row.codelength - (row.index_len + row.module_len)) < 1e-12
+        vals[name] = row.codelength
+    assert vals["good"] < vals["one"] < vals["crossed"]
+    # single module == plain visit-rate entropy
+    import math as m
+
+    deg = {0: 2, 1: 2, 2: 3, 3: 3, 4: 2, 5: 2}
+    vol = 14.0
+    ent = -sum((d / vol) * m.log2(d / vol) for d in deg.values())
+    assert abs(vals["one"] - ent) < 1e-12
+
+
+def test_label_assortativity(spark):
+    from parallel_louvain_method_spark.operators.metrics import (
+        label_assortativity,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs],
+            "src long, dst long, weight double",
+        )
+
+    def labels(d):
+        return spark.createDataFrame(
+            list(d.items()), "vtx long, label string"
+        )
+
+    # perfectly assortative: two monochrome cliques
+    r = label_assortativity(
+        edges([(0, 1), (2, 3)]), labels({0: "a", 1: "a", 2: "b", 3: "b"})
+    ).first().assortativity
+    assert r == 1.0
+    # complete bipartite with opposite labels -> r = -1
+    kb = [(u, v) for u in (0, 1) for v in (2, 3)]
+    r = label_assortativity(
+        edges(kb), labels({0: "a", 1: "a", 2: "b", 3: "b"})
+    ).first().assortativity
+    assert abs(r - (-1.0)) < 1e-12
+    # single label -> NULL (degenerate)
+    r = label_assortativity(
+        edges([(0, 1)]), labels({0: "a", 1: "a"})
+    ).first().assortativity
+    assert r is None
