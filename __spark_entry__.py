@@ -2801,7 +2801,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.node_a, e.node_b, e.weight,
                e.weight / (ca.n + cb.n - e.weight) AS jaccard,
                2.0 * e.weight / (ca.n + cb.n) AS dice,
-               e.weight / SQRT(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+               e.weight / SQRT(CAST(ca.n * cb.n AS DOUBLE)) AS cosine,
+               e.weight / LEAST(ca.n, cb.n) AS overlap,
+               LOG2(e.weight * (SELECT CAST(COUNT(DISTINCT hh) AS DOUBLE)
+                                FROM h)
+                    / (ca.n * cb.n)) AS pmi
         FROM e
         JOIN c ca ON ca.source = e.node_a
         JOIN c cb ON cb.source = e.node_b

@@ -455,6 +455,9 @@ def association_edge_weights(
     divisions are single IEEE ops on exact integer counts, so any engine
     reproduces them bit-for-bit."""
     counts = postings.groupBy("node").agg(F.count("*").alias("n"))
+    n_buckets = postings.select("h").distinct().agg(
+        F.count("*").cast("double").alias("n_buckets")
+    )
     w = F.col("weight")
     return (
         edges.join(
@@ -469,6 +472,7 @@ def association_edge_weights(
             ),
             "node_b",
         )
+        .crossJoin(F.broadcast(n_buckets))
         .select(
             "node_a",
             "node_b",
@@ -476,5 +480,12 @@ def association_edge_weights(
             (w / (F.col("n_a") + F.col("n_b") - w)).alias("jaccard"),
             (F.lit(2.0) * w / (F.col("n_a") + F.col("n_b"))).alias("dice"),
             (w / F.sqrt(F.col("n_a") * F.col("n_b"))).alias("cosine"),
+            (w / F.least("n_a", "n_b")).alias("overlap"),
+            # pointwise mutual information of the two bucket events under
+            # the empirical p = count / n_buckets; > 0 iff the pair
+            # co-occurs more than independence predicts
+            F.log2(
+                w * F.col("n_buckets") / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
         )
     )

@@ -3221,6 +3221,11 @@ def test_association_edge_weights(spark):
     assert r.jaccard == 2.0 / 5.0
     assert r.dice == 4.0 / 7.0
     assert abs(r.cosine - 2.0 / (12.0 ** 0.5)) < 1e-15
+    assert r.overlap == 2.0 / 3.0
+    import math
+
+    # N = 5 distinct buckets; pmi = log2(w*N / (na*nb)) = log2(10/12)
+    assert abs(r.pmi - math.log2(2.0 * 5.0 / 12.0)) < 1e-15
 
 
 def test_edge_diff_statuses(spark):

@@ -1149,5 +1149,6 @@ def test_cli_sparsify_and_assoc(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep == {"edges": 1}
     assert set(spark.read.parquet(out2).columns) == {
-        "node_a", "node_b", "weight", "jaccard", "dice", "cosine"
+        "node_a", "node_b", "weight", "jaccard", "dice", "cosine",
+        "overlap", "pmi",
     }
