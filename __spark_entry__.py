@@ -1857,6 +1857,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .distinct()
     )
+    # exact document-length deciles (Spark's percentile aggregate is the
+    # exact distributed form; at 100 TB swap for approx_percentile — the
+    # gate pins the exact twin both engines implement identically, R-7
+    # linear interpolation)
+    q["doc_len_deciles"] = lambda s, d: _docs(s, d).agg(
+        F.expr(
+            "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    ).select(F.posexplode("qs").alias("decile", "n_chars_q"))
     q["sha256_invariant"] = lambda s, d: _docs(s, d).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
     )
@@ -2897,6 +2906,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS DOUBLE) AS weight
         FROM fc a JOIN fc b ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2
+    """
+    o["doc_len_deciles"] = """
+        WITH q AS (
+            SELECT quantile_cont(
+                n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+            ) AS qs
+            FROM documents
+        )
+        SELECT CAST(i - 1 AS INT) AS decile,
+               qs[CAST(i AS INT)] AS n_chars_q
+        FROM q, generate_series(1, 9) AS t(i)
     """
     o["sha256_invariant"] = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
     o["bloom_prefilter"] = bloom_oracle_sql(
