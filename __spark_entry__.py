@@ -80,6 +80,7 @@ from parallel_louvain_method_spark.operators.spectral import (
 from parallel_louvain_method_spark.operators.triangles import (
     clustering_coefficient,
     four_cycle_count,
+    graphlet_counts,
     incremental_triangle_delta,
     triangle_count,
 )
@@ -1677,6 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_count"] = lambda s, d: s.createDataFrame(
         [(triangle_count(_part_pairs(s, d)),)], "n_triangles long"
     )
+    # path/star graphlet census (wedges, claws, 3-paths closed-form over
+    # degrees + the gated triangle join)
+    q["graphlet_census"] = lambda s, d: graphlet_counts(_part_pairs(s, d))
     # incremental twin: T(3/4 slice) + created-triangle delta of the 1/4
     # batch (operators/triangles.py incremental_triangle_delta) must land
     # on the same full-graph count the oracle computes from scratch
@@ -2519,6 +2523,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src
                   JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    o["graphlet_census"] = f"""
+        WITH p AS ({_PART_PAIRS_SQL}),
+        sym AS (
+            SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+        ),
+        deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+        t AS (
+            SELECT COUNT(*) AS n_tri
+            FROM p e1 JOIN p e2 ON e1.dst = e2.src
+                      JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        degsum AS (
+            SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+                   CAST(SUM(d * (d - 1) * (d - 2) / 6) AS BIGINT) AS n_claws
+            FROM deg
+        ),
+        ep AS (
+            SELECT SUM((da.d - 1) * (db.d - 1)) AS edge_prod
+            FROM p JOIN deg da ON da.v = p.src JOIN deg db ON db.v = p.dst
+        )
+        SELECT degsum.n_wedges, degsum.n_claws,
+               CAST(ep.edge_prod - 3 * t.n_tri AS BIGINT) AS n_paths3,
+               CAST(t.n_tri AS BIGINT) AS n_triangles
+        FROM degsum, ep, t
     """
     # incremental twin lands on the identical full-graph count
     o["incremental_triangles"] = f"""

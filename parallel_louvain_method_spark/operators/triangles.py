@@ -430,3 +430,49 @@ def incremental_triangle_delta(
     old_s.unpersist()
     new_s.unpersist()
     return c1 + c2 + c3
+
+
+def graphlet_counts(edges: DataFrame) -> DataFrame:
+    """Connected 3- and 4-vertex path/star graphlet census in ONE row:
+    ``(n_wedges, n_claws, n_paths3, n_triangles)``.
+
+    Everything except the triangle count is closed-form over degrees —
+    wedges Σ C(d,2), claws (3-stars) Σ C(d,3), and 3-edge paths
+    Σ_{(u,v)∈E} (d_u−1)(d_v−1) − 3·T (each triangle is counted three
+    times by the edge-product form and must be subtracted) — so the only
+    join is the degree lookup plus the skew-bounded oriented triangle
+    join already gated as A13.  Exact integers throughout; the standard
+    motif baseline against which triad/K4 enrichment is normalized.
+    """
+    simple = _simple_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _degrees(simple)
+    d = F.col("d").cast("double")
+    deg_aggs = deg.agg(
+        F.sum(d * (d - 1) / 2).cast("long").alias("n_wedges"),
+        F.sum(d * (d - 1) * (d - 2) / 6).cast("long").alias("n_claws"),
+    )
+    canon = simple.filter(F.col("src") < F.col("dst"))
+    pair_prod = (
+        canon.join(
+            deg.select(F.col("v").alias("src"), F.col("d").alias("du")), "src"
+        )
+        .join(
+            deg.select(F.col("v").alias("dst"), F.col("d").alias("dv")), "dst"
+        )
+        .agg(
+            F.sum(
+                (F.col("du") - 1).cast("long") * (F.col("dv") - 1).cast("long")
+            ).alias("edge_prod")
+        )
+    )
+    n_tri = _closed_wedges(_orient(simple, deg)).count()
+    simple.unpersist()
+    return (
+        deg_aggs.crossJoin(F.broadcast(pair_prod))
+        .select(
+            "n_wedges",
+            "n_claws",
+            (F.col("edge_prod") - 3 * n_tri).alias("n_paths3"),
+            F.lit(n_tri).cast("long").alias("n_triangles"),
+        )
+    )
