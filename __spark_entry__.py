@@ -2150,6 +2150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return partition_quality(edges, assign)
 
     q["partition_conductance"] = _partition_conductance
+    # the reference's headline metric as a standalone gate: global Q of an
+    # arbitrary partition = the sum of partition_quality's per-community
+    # modularity terms (src/community.cpp:49-60 algebra)
+    q["partition_modularity"] = lambda s, d: _partition_conductance(
+        s, d
+    ).agg(F.sum("modularity").alias("modularity"))
 
     # ANF at fixed hops, exact method (the oracle baseline; the HLL
     # HyperBall scale path is pinned to it in pytest)
@@ -3149,6 +3155,11 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes s
         LEFT JOIN per_c p USING (community)
         CROSS JOIN tot t"""
+    o["partition_modularity"] = (
+        "SELECT SUM(modularity) AS modularity FROM ("
+        + o["partition_conductance"]
+        + ")"
+    )
     # exact 2-hop ANF: ball(v,h) includes v; self-loops excluded from the
     # relation exactly like metrics.neighborhood_function(method="exact")
     o["neighborhood_h2"] = f"""
