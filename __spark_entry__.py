@@ -83,6 +83,7 @@ from parallel_louvain_method_spark.operators.triangles import (
     graphlet_counts,
     incremental_triangle_delta,
     triangle_count,
+    weighted_clustering_coefficient,
 )
 from parallel_louvain_method_spark.operators.truss import edge_support, ktruss_peel
 from parallel_louvain_method_spark.operators.mis import (
@@ -1681,6 +1682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path/star graphlet census (wedges, claws, 3-paths closed-form over
     # degrees + the gated triangle join)
     q["graphlet_census"] = lambda s, d: graphlet_counts(_part_pairs(s, d))
+    # Barrat weighted clustering over the weighted co-commit user graph
+    q["weighted_clustering_users"] = lambda s, d: (
+        weighted_clustering_coefficient(
+            q["cocommit_users"](s, d).select(
+                F.col("user_a").alias("src"),
+                F.col("user_b").alias("dst"),
+                "weight",
+            )
+        )
+    )
     # incremental twin: T(3/4 slice) + created-triangle delta of the 1/4
     # batch (operators/triangles.py incremental_triangle_delta) must land
     # on the same full-graph count the oracle computes from scratch
@@ -2529,6 +2540,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_triangles
         FROM p e1 JOIN p e2 ON e1.dst = e2.src
                   JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    # Barrat C_w over the weighted co-commit user graph: id-ordered
+    # triple enumeration (one row per triangle) carrying all three edge
+    # weights; per-vertex contributions summed, then the strength/degree
+    # normalization — term-for-term the Spark shapes
+    o["weighted_clustering_users"] = """
+        WITH fc AS (
+            SELECT DISTINCT user_id,
+                   event_type || '@' || CAST(date_trunc('hour', ts) AS VARCHAR)
+                       AS bucket
+            FROM events
+        ),
+        e AS (
+            SELECT a.user_id AS u, b.user_id AS v,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM fc a JOIN fc b ON a.bucket = b.bucket AND a.user_id < b.user_id
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst, w FROM e
+            UNION ALL SELECT v AS src, u AS dst, w FROM e
+        ),
+        deg AS (
+            SELECT src AS v, COUNT(*) AS k, SUM(w) AS s FROM sym GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+                   e1.w AS wab, e2.w AS wbc, e3.w AS wac
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        contrib AS (
+            SELECT v, SUM(t) AS tw FROM (
+                SELECT a AS v, wab + wac AS t FROM tri
+                UNION ALL SELECT b AS v, wab + wbc AS t FROM tri
+                UNION ALL SELECT c AS v, wbc + wac AS t FROM tri
+            ) GROUP BY 1
+        )
+        SELECT d.v AS vtx,
+               CASE WHEN d.k >= 2
+                    THEN COALESCE(c.tw, 0) / (d.s * (d.k - 1))
+                    ELSE 0.0 END AS coeff_w
+        FROM deg d LEFT JOIN contrib c ON c.v = d.v
     """
     o["graphlet_census"] = f"""
         WITH p AS ({_PART_PAIRS_SQL}),

@@ -476,3 +476,100 @@ def graphlet_counts(edges: DataFrame) -> DataFrame:
             F.lit(n_tri).cast("long").alias("n_triangles"),
         )
     )
+
+
+def weighted_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Barrat weighted clustering coefficient per vertex (Barrat,
+    Barthelemy, Pastor-Satorras & Vespignani 2004)::
+
+        C_w(v) = 1 / (s_v · (k_v − 1)) · Σ_{(u,h) ordered neighbor pairs}
+                 a_vu a_vh a_uh (w_vu + w_vh) / 2
+               = 1 / (s_v · (k_v − 1)) · Σ_{triangles (v,u,h)} (w_vu + w_vh)
+
+    (the paper's sum runs over ORDERED pairs, so each triangle at v
+    contributes its incident-weight average twice — dropping the ordered
+    double and the /2 together is the exact same number)
+
+    where s_v is the strength (weighted degree) and k_v the simple
+    degree.  Reduces exactly to the unweighted local coefficient on
+    unit weights (pinned in pytest).  Vertices with k < 2 are emitted
+    with coefficient 0 (the A15 convention).
+
+    Plan: the same degree-ordered oriented triangle join as A13/A15 but
+    carrying the three edge weights; each closed wedge (a,b,c) emits its
+    three per-vertex contributions in one select, then a vertex groupBy
+    and a strength/degree join — hub cost stays bounded by the
+    orientation argument, weights ride for free.
+    """
+    # weighted simple undirected: parallel (src,dst) duplicates collapse
+    # to their max weight so orientation and weights stay consistent
+    sym_w = (
+        symmetric_edges(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    simple = sym_w.select("src", "dst")
+    deg = _degrees(simple)
+    strength = sym_w.groupBy(F.col("src").alias("v")).agg(
+        F.sum("w").alias("s")
+    )
+    oriented = _orient(simple, deg).join(sym_w, ["src", "dst"])
+    tri = (
+        oriented.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"),
+            F.col("w").alias("wab"),
+        )
+        .join(
+            oriented.select(
+                F.col("src").alias("b"), F.col("dst").alias("c"),
+                F.col("w").alias("wbc"),
+            ),
+            "b",
+        )
+        .join(
+            oriented.select(
+                F.col("src").alias("a"), F.col("dst").alias("c"),
+                F.col("w").alias("wac"),
+            ),
+            ["a", "c"],
+        )
+    )
+    contrib = (
+        tri.select(
+            F.col("a").alias("v"),
+            (F.col("wab") + F.col("wac")).alias("t"),
+        )
+        .union(
+            tri.select(
+                F.col("b").alias("v"),
+                (F.col("wab") + F.col("wbc")).alias("t"),
+            )
+        )
+        .union(
+            tri.select(
+                F.col("c").alias("v"),
+                (F.col("wbc") + F.col("wac")).alias("t"),
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("t").alias("tw"))
+    )
+    out = (
+        deg.join(strength, "v")
+        .join(contrib, "v", "left")
+        .select(
+            F.col("v").alias("vtx"),
+            F.when(
+                F.col("d") >= 2,
+                F.coalesce(F.col("tw"), F.lit(0.0))
+                / (F.col("s") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff_w"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym_w.unpersist()
+    return out

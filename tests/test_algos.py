@@ -3502,3 +3502,63 @@ def test_graphlet_counts(spark):
         du = {v: len(n) for v, n in adj.items()}
         ep = sum((du[a] - 1) * (du[b] - 1) for a, b in es)
         assert r.n_paths3 == ep - 3 * tri
+
+
+def test_weighted_clustering_coefficient(spark):
+    """Barrat C_w vs an independent python replay; unit weights collapse
+    exactly to the unweighted local coefficient."""
+    import itertools
+    import random
+
+    from parallel_louvain_method_spark.operators.triangles import (
+        clustering_coefficient,
+        weighted_clustering_coefficient,
+    )
+
+    def edges(tris):
+        return spark.createDataFrame(
+            tris, "src long, dst long, weight double"
+        )
+
+    def replay(tris):
+        adj = {}
+        for a, b, w in tris:
+            adj.setdefault(a, {})[b] = w
+            adj.setdefault(b, {})[a] = w
+        out = {}
+        for v, nb in adj.items():
+            k, s = len(nb), sum(nb.values())
+            if k < 2:
+                out[v] = 0.0
+                continue
+            t = 0.0
+            for u, h in itertools.combinations(sorted(nb), 2):
+                if h in adj[u]:
+                    t += nb[u] + nb[h]
+            out[v] = t / (s * (k - 1))
+        return out
+
+    rng = random.Random(41)
+    pool = list(itertools.combinations(range(9), 2))
+    rng.shuffle(pool)
+    tris = [(a, b, float(rng.randint(1, 9))) for a, b in pool[:18]]
+    got = {
+        r.vtx: r.coeff_w
+        for r in weighted_clustering_coefficient(edges(tris)).collect()
+    }
+    want = replay(tris)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+    unit = [(a, b, 1.0) for a, b, _ in tris]
+    cw = {
+        r.vtx: r.coeff_w
+        for r in weighted_clustering_coefficient(edges(unit)).collect()
+    }
+    cu = {
+        r.vtx: r.coeff
+        for r in clustering_coefficient(edges(unit)).collect()
+    }
+    for v in cu:
+        assert abs(cw[v] - cu[v]) < 1e-12
