@@ -670,6 +670,18 @@ def main(argv: list[str] | None = None) -> int:
     ac.add_argument("--postings", required=True)
     ac.add_argument("--out", required=True)
 
+    df_p = sub.add_parser(
+        "diff",
+        help="edge-level diff of two edge tables, or of two applied "
+        "ingest-state versions",
+    )
+    df_p.add_argument("--out", required=True)
+    df_p.add_argument("--old")
+    df_p.add_argument("--new")
+    df_p.add_argument("--state-dir")
+    df_p.add_argument("--v-old", type=int)
+    df_p.add_argument("--v-new", type=int)
+
     tx = sub.add_parser("text", help="text analysis over a documents table")
     tx.add_argument("--docs", required=True)
     tx.add_argument("--out", required=True)
@@ -1514,6 +1526,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"edges": out_df.count()}))
+    elif args.cmd == "diff":
+        if args.state_dir is not None:
+            if args.v_old is None or args.v_new is None:
+                raise SystemExit("diff --state-dir needs --v-old and --v-new")
+            from parallel_louvain_method_spark.streaming.ingest import (
+                state_diff,
+            )
+
+            out_df = state_diff(spark, args.state_dir, args.v_old, args.v_new)
+        elif args.old and args.new:
+            from parallel_louvain_method_spark.operators.graph import edge_diff
+
+            out_df = edge_diff(
+                spark.read.parquet(args.old), spark.read.parquet(args.new)
+            )
+        else:
+            raise SystemExit(
+                "diff needs either --old/--new tables or "
+                "--state-dir/--v-old/--v-new"
+            )
+        out_df.write.mode("overwrite").parquet(args.out)
+        stats = {
+            r["status"]: r["n"]
+            for r in out_df.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        print(json.dumps({"rows": sum(stats.values()), "by_status": stats}))
     elif args.cmd == "ingest-stream":
         from parallel_louvain_method_spark.streaming.ingest import (
             edges_from_state,

@@ -1152,3 +1152,25 @@ def test_cli_sparsify_and_assoc(spark, tmp_path, capsys):
         "node_a", "node_b", "weight", "jaccard", "dice", "cosine",
         "overlap", "pmi",
     }
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import json
+
+    from parallel_louvain_method_spark.cli import main
+
+    op, np_ = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 4.0)], "src long, dst long, weight double"
+    ).write.parquet(op)
+    spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 9.0), (7, 8, 1.0)],
+        "src long, dst long, weight double",
+    ).write.parquet(np_)
+    out = str(tmp_path / "d")
+    assert main(["diff", "--old", op, "--new", np_, "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {
+        "rows": 3,
+        "by_status": {"same": 1, "changed": 1, "added": 1},
+    }
