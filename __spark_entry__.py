@@ -15,7 +15,12 @@ graph; ``louvain_coarsen_sweep``: sweep → coarsen → sweep, gating the
 coarsen algebra; ``coreness_k3_peel3``: the full k-core decomposition on
 a fixed peel schedule).  The full LPA run is oracled outright — at
 sf0.01 it executes exactly ``max_iter`` rounds, so it unrolls like
-``lpa_k2``.  Only the full multilevel Louvain run remains rows-only
+``lpa_k2``.  A third oracle strategy covers the INCREMENTAL family
+(``incremental_edges`` / ``incremental_cocommit_users`` /
+``incremental_cc`` / ``incremental_triangles`` / ``incremental_degrees``):
+the Spark query runs the delta-maintenance path over a split input while
+the oracle recomputes FROM SCRATCH over the whole input — a hash match is
+then a proof that the incremental algebra reproduces the full rebuild.  Only the full multilevel Louvain run remains rows-only
 (unbounded levels + coarsening), its correctness carried by the golden
 pytest suite (tests/ — reference values from
 /root/reference/tests/main_test.cpp) plus the sweep1/coarsen_sweep twins.
