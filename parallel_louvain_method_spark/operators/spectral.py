@@ -52,6 +52,7 @@ def eigenvector_centrality(
     edges: DataFrame,
     max_iter: int = 20,
     tol: float | None = 1e-6,
+    broadcast_vertex_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Power-iteration eigenvector centrality over the undirected graph.
 
@@ -82,10 +83,19 @@ def eigenvector_centrality(
     state = verts.select(
         F.col("v").alias("vtx"), F.lit(1.0 / n).alias("score")
     )
+    # the per-iteration state is checkpointed (stats-free leaves — see
+    # plans/lineage.py), so the planner would sort-merge-join it onto the
+    # big edge side every round; hint it broadcast while the vertex count
+    # says it fits (the pagerank/louvain posture, guide §3.1)
+    hint = (
+        (lambda df: F.broadcast(df))
+        if n <= broadcast_vertex_threshold
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     for _ in range(max_iter):
         raw = (
             sym.join(
-                state.select(F.col("vtx").alias("src"), "score"), "src"
+                hint(state.select(F.col("vtx").alias("src"), "score")), "src"
             )
             .groupBy(F.col("dst").alias("vtx"))
             .agg(F.sum(F.col("weight") * F.col("score")).alias("raw"))
@@ -119,6 +129,7 @@ def hits(
     edges: DataFrame,
     max_iter: int = 20,
     tol: float | None = 1e-6,
+    broadcast_vertex_threshold: int = 5_000_000,
 ) -> DataFrame:
     """HITS hub/authority scores over the DIRECTED edge table.
 
@@ -151,6 +162,16 @@ def hits(
         return spark.createDataFrame(
             [], "vtx long, hub double, authority double"
         )
+    verts = fresh_checkpoint(verts)
+    # scores are checkpointed stats-free leaves each round — hint the
+    # (small) state side of the propagation joins broadcast while the
+    # vertex count fits, shuffle-hash past that (never sort-merge the big
+    # edge side per half-step; guide §3.1)
+    hint = (
+        (lambda df: F.broadcast(df))
+        if n <= broadcast_vertex_threshold
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     state = verts.select(
         "vtx",
         F.lit(1.0 / n).alias("hub"),
@@ -162,10 +183,11 @@ def hits(
         the ``key_in`` to the ``key_out`` endpoint and L1-normalize.
         The result is SPARSE — only vertices with a ``key_out``-side edge
         appear; absent rows are exact zeros, contribute nothing to the
-        next propagation, and are zero-filled once per iteration in the
-        state rebuild (not with a full-vertex join per half-step)."""
+        next propagation (x + 0.0 == x for these non-negative scores),
+        and are zero-filled once at the end — not with a full-vertex
+        join per half-step."""
         raw = (
-            e.join(scores.withColumnRenamed("vtx", key_in), key_in)
+            e.join(hint(scores.withColumnRenamed("vtx", key_in)), key_in)
             .groupBy(F.col(key_out).alias("vtx"))
             .agg(F.sum(F.col("weight") * F.col("sc")).alias("raw"))
         )
@@ -177,15 +199,13 @@ def hits(
             .alias("sc"),
         )
 
-    for _ in range(max_iter):
-        auth = _half(
-            state.select("vtx", F.col("hub").alias("sc")), "src", "dst"
-        )
-        hub = _half(auth, "dst", "src")
-        new = fresh_checkpoint(
-            verts.join(hub.withColumnRenamed("sc", "hub"), "vtx", "left")
+    def _dense(hub: DataFrame, auth: DataFrame) -> DataFrame:
+        """Zero-fill the sparse half-step outputs over the full vertex
+        set (absent rows are exact zeros — see ``_half``)."""
+        return (
+            verts.join(hint(hub.withColumnRenamed("sc", "hub")), "vtx", "left")
             .join(
-                auth.withColumnRenamed("sc", "authority"), "vtx", "left"
+                hint(auth.withColumnRenamed("sc", "authority")), "vtx", "left"
             )
             .select(
                 "vtx",
@@ -193,31 +213,52 @@ def hits(
                 F.coalesce("authority", F.lit(0.0)).alias("authority"),
             )
         )
-        if tol is not None:
-            delta = (
-                new.join(
-                    state.select(
-                        "vtx",
-                        F.col("hub").alias("h_prev"),
-                        F.col("authority").alias("a_prev"),
-                    ),
+
+    if tol is None:
+        # fixed-k mode: no mid-loop action and no per-iteration dense
+        # rebuild — the hub state stays SPARSE across iterations (zeros
+        # contribute exactly nothing to the sums, so the values are
+        # bit-identical to the dense loop's); one checkpoint per
+        # iteration keeps lineage flat, and the full-vertex zero-fill
+        # runs ONCE at the end instead of max_iter times
+        hub_s = state.select("vtx", F.col("hub").alias("sc"))
+        auth_s = state.select("vtx", F.col("authority").alias("sc"))
+        for _ in range(max_iter):
+            # checkpoint each half once, in dependency order — the old
+            # dense loop evaluated the auth half TWICE per iteration (once
+            # under the hub half's plan, once in the state rebuild)
+            auth_s = fresh_checkpoint(_half(hub_s, "src", "dst"))
+            hub_s = fresh_checkpoint(_half(auth_s, "dst", "src"))
+        return _dense(hub_s, auth_s)
+
+    for _ in range(max_iter):
+        auth = _half(
+            state.select("vtx", F.col("hub").alias("sc")), "src", "dst"
+        )
+        hub = _half(auth, "dst", "src")
+        new = fresh_checkpoint(_dense(hub, auth))
+        delta = (
+            new.join(
+                state.select(
                     "vtx",
-                )
-                .agg(
-                    (
-                        F.max(F.abs(F.col("hub") - F.col("h_prev")))
-                        + F.max(
-                            F.abs(F.col("authority") - F.col("a_prev"))
-                        )
-                    ).alias("d")
-                )
-                .first()["d"]
+                    F.col("hub").alias("h_prev"),
+                    F.col("authority").alias("a_prev"),
+                ),
+                "vtx",
             )
-            state = new
-            if delta is not None and delta < tol:
-                break
-        else:
-            state = new
+            .agg(
+                (
+                    F.max(F.abs(F.col("hub") - F.col("h_prev")))
+                    + F.max(
+                        F.abs(F.col("authority") - F.col("a_prev"))
+                    )
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        state = new
+        if delta is not None and delta < tol:
+            break
     return state.select("vtx", "hub", "authority")
 
 
@@ -226,6 +267,7 @@ def katz_centrality(
     beta: float = 0.05,
     max_iter: int = 20,
     tol: float | None = 1e-9,
+    broadcast_vertex_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Katz centrality (Katz 1953) over the undirected graph.
 
@@ -259,20 +301,29 @@ def katz_centrality(
     sym = fresh_checkpoint(symmetric_edges(edges))
     verts = vertex_ids(sym).select(F.col("v").alias("vtx"))
     spark = sym.sparkSession
-    if verts.limit(1).count() == 0:
+    n = verts.count()
+    if n == 0:
         return spark.createDataFrame([], "vtx long, katz double")
+    # checkpointed state is stats-free (plans/lineage.py): hint the small
+    # walk-term side broadcast while the vertex count fits, shuffle-hash
+    # past that — never a per-iteration sort-merge of the edge side
+    hint = (
+        (lambda df: F.broadcast(df))
+        if n <= broadcast_vertex_threshold
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     # state: walk term c (sparse join source) + accumulator katz
     term = verts.select("vtx", F.lit(1.0).alias("c"))
     acc = verts.select("vtx", F.lit(0.0).alias("katz"))
     for _ in range(max_iter):
         new_term = (
-            sym.join(term.withColumnRenamed("vtx", "src"), "src")
+            sym.join(hint(term.withColumnRenamed("vtx", "src")), "src")
             .groupBy(F.col("dst").alias("vtx"))
             .agg((F.lit(beta) * F.sum(F.col("weight") * F.col("c"))).alias("c"))
         )
         new_term = fresh_checkpoint(new_term)
         acc = fresh_checkpoint(
-            acc.join(new_term, "vtx", "left").select(
+            acc.join(hint(new_term), "vtx", "left").select(
                 "vtx",
                 (F.col("katz") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
                     "katz"
