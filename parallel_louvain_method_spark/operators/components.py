@@ -29,14 +29,17 @@ from pyspark.storagelevel import StorageLevel
 from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 from parallel_louvain_method_spark.operators.graph import (
     symmetric_edges,
+    symmetrize,
     vertex_ids,
 )
 
 
-def _cc_broadcast(sym: DataFrame, n: int, max_iter: int) -> DataFrame:
-    """Broadcast-state engine; caller guarantees dense ids 0..n-1."""
+def _cc_labels(sym: DataFrame, n: int, max_iter: int):
+    """Broadcast-state label loop over ``sym`` (dense int ids 0..n-1,
+    any column types castable to int).  Returns the final numpy label
+    array of length ``n`` — shared by the dense engine and the
+    sparse-id relabel path below."""
     import numpy as np
-    import pandas as pd
 
     spark = sym.sparkSession
     sc = spark.sparkContext
@@ -103,8 +106,64 @@ def _cc_broadcast(sym: DataFrame, n: int, max_iter: int) -> DataFrame:
         labels = new_labels
 
     ep.unpersist()
-    return spark.createDataFrame(
+    return labels
+
+
+def _cc_broadcast(sym: DataFrame, n: int, max_iter: int) -> DataFrame:
+    """Broadcast-state engine; caller guarantees dense ids 0..n-1."""
+    import numpy as np
+    import pandas as pd
+
+    labels = _cc_labels(sym, n, max_iter)
+    return sym.sparkSession.createDataFrame(
         pd.DataFrame({"vtx": np.arange(n, dtype=np.int64), "component": labels}),
+        schema="vtx long, component long",
+    ).localCheckpoint(eager=True)
+
+
+def _cc_broadcast_sparse(
+    sym: DataFrame, verts: DataFrame, n: int, max_iter: int
+) -> DataFrame:
+    """Broadcast-state engine for SPARSE/arbitrary long ids that still fit
+    the vertex threshold: relabel ids to dense 0..n-1 through a MONOTONE
+    (sorted) mapping, run the dense label loop, and map the labels back.
+
+    Monotonicity is what preserves the min-label contract exactly: the
+    minimum dense index of a component maps back to the minimum original
+    vertex id, so the output is row-identical to the DataFrame engine's —
+    without its per-round join + checkpoint + count cadence (measured the
+    dominant cost of components over LSH pair graphs and Boruvka
+    contraction graphs, whose ids are sparse by construction).  The two
+    id-attach joins are explicit broadcasts (n is at most the broadcast
+    threshold); the label loop is the same one the dense engine runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = sym.sparkSession
+    ids = np.sort(verts.toPandas()["vtx"].to_numpy())
+    m = spark.createDataFrame(
+        pd.DataFrame({"v": ids, "d": np.arange(len(ids), dtype=np.int64)}),
+        schema="v long, d long",
+    )
+    dsym = (
+        sym.join(
+            F.broadcast(
+                m.select(F.col("v").alias("src"), F.col("d").alias("__ds"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                m.select(F.col("v").alias("dst"), F.col("d").alias("__dd"))
+            ),
+            "dst",
+        )
+        .select(F.col("__ds").alias("src"), F.col("__dd").alias("dst"))
+    )
+    labels = _cc_labels(dsym, n, max_iter)
+    return spark.createDataFrame(
+        pd.DataFrame({"vtx": ids, "component": ids[labels]}),
         schema="vtx long, component long",
     ).localCheckpoint(eager=True)
 
@@ -113,6 +172,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     broadcast_vertex_threshold: int = 5_000_000,
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Returns ``DataFrame[vtx: long, component: long]`` with
     ``component = min vertex id of the component``.
@@ -124,14 +184,29 @@ def connected_components(
     self-join, a doubly-exponential BigInt blowup in the stats visitor),
     so the planner would otherwise sort-merge-join, re-sorting the cached
     edge side every round.
+
+    ``input_symmetric=True`` declares ``edges`` already holds both
+    directions of every edge with distinct (src, dst) rows — the louvain
+    ``input_symmetric`` contract — and skips the symmetrize union +
+    distinct (one full shuffle of the biggest table here); a wrong
+    declaration under-connects one direction.
     """
-    sym = (
-        symmetric_edges(edges)
-        .select("src", "dst")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    verts = vertex_ids(edges).withColumnRenamed("v", "vtx")
+    if input_symmetric:
+        sym = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # one distinct over the symmetrize union: reachability only needs
+        # the (src, dst) pair set, so the weight-aware dedup pass of
+        # symmetric_edges would be a second, redundant hash aggregation
+        sym = (
+            symmetrize(edges)
+            .select("src", "dst")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    # the symmetric table's src column covers every vertex (both endpoints
+    # appear as src), so the vertex set is a one-sided distinct of the
+    # (cached) sym table instead of a union+distinct over the raw input
+    verts = sym.select(F.col("src").alias("vtx")).distinct()
     n = verts.count()
     if n == 0:
         sym.unpersist()
@@ -139,13 +214,16 @@ def connected_components(
     if n <= broadcast_vertex_threshold:
         # dense gate needs BOTH bounds: {-1, 0, 1, 3} has n == max+1 but a
         # negative id would silently wrap numpy indexing in the broadcast
-        # engine — require min >= 0, else fall through to the DataFrame
-        # engine (correct for arbitrary long ids)
+        # engine — require min >= 0; sparse/negative ids that still fit
+        # the threshold take the monotone-relabel broadcast path instead
+        # (row-identical output, see _cc_broadcast_sparse)
         mx, mn = verts.agg(F.max("vtx"), F.min("vtx")).first()
         if mx is not None and int(mx) == n - 1 and int(mn) >= 0:
             out = _cc_broadcast(sym, n, max_iter)
-            sym.unpersist()
-            return out
+        else:
+            out = _cc_broadcast_sparse(sym, verts, n, max_iter)
+        sym.unpersist()
+        return out
     hint = (
         (lambda df: F.broadcast(df))
         if n <= broadcast_vertex_threshold
@@ -288,7 +366,12 @@ def refine_communities(
         .filter(F.col("cs") == F.col("cd"))
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
-    parts = connected_components(intra, max_iter=max_iter)
+    # intra inherits symmetry + distinctness from the base (the filter is
+    # symmetric in (src, dst)), so components can skip its own
+    # symmetrize-union + distinct — one fewer full shuffle per refine call
+    parts = connected_components(
+        intra, max_iter=max_iter, input_symmetric=True
+    )
     return a.join(parts, "vtx", "left").select(
         "vtx", F.coalesce(F.col("component"), F.col("vtx")).alias("comm")
     )
