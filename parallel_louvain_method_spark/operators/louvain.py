@@ -1938,6 +1938,7 @@ def louvain(
     )
 
     flat: DataFrame | None = None
+    flat_np: "tuple | None" = None  # (vtx array, comm array) fast-path flat
     levels: list[LevelStats] = []
     q_prev = -math.inf
     start_level = 0
@@ -2062,27 +2063,122 @@ def louvain(
         levels.append(stats)
         moved = sum(stats.moves_per_sweep) > 0
         t_co = time.monotonic()
-        # broadcast the assignment only while its hash relation builds in
-        # well under a second (~200k rows) — the build is SERIAL driver
-        # work; past that the shuffle_hash fallback inside coarsen keeps
-        # every byte of the join parallel
-        coarse, cmap = coarsen(
-            sym, assign,
-            broadcast_assign=nv_hint is not None and nv_hint <= 200_000,
+        # Coarsen + flat composition.  FAST PATH while the assignment fits
+        # driver memory (the same O(|V|)-state budget the barrier /
+        # broadcast engines already spend): the community renumber
+        # (np.unique = sorted distinct, exactly dense_ids' rank), the
+        # relabel, and the flat-composition join all run as numpy array
+        # ops, and the coarse-graph aggregation joins the edge table
+        # against ONE small relabeled map — replacing dense_ids' range
+        # shuffle + window, the cmap count, and two checkpointed
+        # DataFrame joins (~6 driver-serial jobs per level, measured
+        # ~1.6-2.3 s/level at sf0.1).  Past the threshold — or when
+        # per-level parquet checkpoints need the flat table as a
+        # DataFrame — the original distributed coarsen runs unchanged;
+        # both paths produce row-identical output (monotone renumber,
+        # same inner-join drop semantics).
+        use_np = (
+            nv_hint is not None
+            and nv_hint <= 5_000_000
+            and checkpoint_dir is None
         )
-        nv_hint = cmap.count()  # communities = next level's dense 0..k-1
-        relabeled = assign.join(
-            cmap.withColumnRenamed("new_comm", "final_comm"), "comm"
-        ).select("vtx", F.col("final_comm").alias("comm"))
-        if flat is None:
-            flat = relabeled
-        else:
-            flat = (
-                flat.withColumnRenamed("comm", "mid")
-                .join(relabeled.withColumnRenamed("vtx", "mid"), "mid")
-                .select("vtx", "comm")
+        if use_np and flat_np is None and flat is not None:
+            use_np = False  # resumed mid-run with a DataFrame flat
+        if use_np:
+            import numpy as np
+            import pandas as pd
+
+            apdf = assign.select("vtx", "comm").toPandas()
+            av = apdf["vtx"].to_numpy()
+            ac = apdf["comm"].to_numpy()
+            uniq = np.unique(ac)  # sorted distinct = dense_ids' rank order
+            newc = np.searchsorted(uniq, ac)
+            amap = spark.createDataFrame(
+                pd.DataFrame({"vtx": av, "comm": newc.astype("int64")}),
+                schema=ASSIGN_SCHEMA,
             )
-        flat = fresh_checkpoint(flat)
+            # the map is a LocalRelation (known size); hint it exactly as
+            # coarsen would: broadcast while small, shuffle-hash past that
+            hint = (
+                (lambda df: F.broadcast(df))
+                if len(av) <= 200_000
+                else (lambda df: df.hint("shuffle_hash"))
+            )
+            coarse = (
+                sym.join(
+                    hint(
+                        amap.select(
+                            F.col("vtx").alias("src"),
+                            F.col("comm").alias("c_src"),
+                        )
+                    ),
+                    "src",
+                )
+                .join(
+                    hint(
+                        amap.select(
+                            F.col("vtx").alias("dst"),
+                            F.col("comm").alias("c_dst"),
+                        )
+                    ),
+                    "dst",
+                )
+                .groupBy(
+                    F.col("c_src").alias("src"), F.col("c_dst").alias("dst")
+                )
+                .agg(F.sum("weight").alias("weight"))
+            )
+            prev_k = int(nv_hint)
+            nv_hint = int(len(uniq))
+            if flat_np is None and flat is None:
+                # level 0: the relabeled assignment IS the flat table
+                flat_np = (av.copy(), newc.astype(np.int64))
+            else:
+                fv, fc = flat_np
+                # inner join flat.mid == assign.vtx, exactly as the
+                # DataFrame path: ids absent from assign drop out
+                lut = np.full(prev_k, -1, dtype=np.int64)
+                lut[av] = newc
+                mapped = lut[fc]
+                keep = mapped >= 0
+                flat_np = (fv[keep], mapped[keep])
+        else:
+            if flat_np is not None:
+                # crossed the threshold downward is impossible (levels
+                # shrink), but guard anyway: materialize the numpy flat
+                # into a DataFrame before continuing on the general path
+                import pandas as pd
+
+                flat = fresh_checkpoint(
+                    spark.createDataFrame(
+                        pd.DataFrame(
+                            {"vtx": flat_np[0], "comm": flat_np[1]}
+                        ),
+                        schema=ASSIGN_SCHEMA,
+                    )
+                )
+                flat_np = None
+            # broadcast the assignment only while its hash relation builds
+            # in well under a second (~200k rows) — the build is SERIAL
+            # driver work; past that the shuffle_hash fallback inside
+            # coarsen keeps every byte of the join parallel
+            coarse, cmap = coarsen(
+                sym, assign,
+                broadcast_assign=nv_hint is not None and nv_hint <= 200_000,
+            )
+            nv_hint = cmap.count()  # communities = next level's dense 0..k-1
+            relabeled = assign.join(
+                cmap.withColumnRenamed("new_comm", "final_comm"), "comm"
+            ).select("vtx", F.col("final_comm").alias("comm"))
+            if flat is None:
+                flat = relabeled
+            else:
+                flat = (
+                    flat.withColumnRenamed("comm", "mid")
+                    .join(relabeled.withColumnRenamed("vtx", "mid"), "mid")
+                    .select("vtx", "comm")
+                )
+            flat = fresh_checkpoint(flat)
         if os.environ.get("PLM_DEBUG_SWEEPS"):
             print(
                 f"[louvain] level {level_no}: wall {stats.wall_sec:.1f}s "
@@ -2123,6 +2219,13 @@ def louvain(
 
     if level0_cache is not None:
         level0_cache.unpersist()
+    if flat_np is not None:
+        import pandas as pd
+
+        flat = spark.createDataFrame(
+            pd.DataFrame({"vtx": flat_np[0], "comm": flat_np[1]}),
+            schema=ASSIGN_SCHEMA,
+        ).localCheckpoint(eager=True)
     assert flat is not None
     if restore_map is not None:
         flat = (
