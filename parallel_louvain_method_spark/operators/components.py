@@ -55,42 +55,34 @@ def _cc_labels(sym: DataFrame, n: int, max_iter: int):
     ep.count()
 
     labels = np.arange(n, dtype=np.int64)
+    nv = int(n)
     for _ in range(max_iter):
         state_bc = sc.broadcast(labels)
 
-        def nbr_min(batches, _l=state_bc):
+        def nbr_min(batches, _l=state_bc, _n=nv):
+            # mapInArrow + a dense scatter-min accumulator (min is
+            # order-free, so the result is exact): one O(rows) pass per
+            # batch instead of per-batch np.unique + union1d merges, and
+            # no pandas Series wrapper on the per-round bulk transfer.
+            # Per-task memory is one int64[n] — the O(n) budget the label
+            # broadcast already spends.
             import numpy as _np
-            import pandas as _pd
+            import pyarrow as _pa
 
             lab = _l.value
-            acc_v = None
-            acc_m = None
+            sentinel = _np.iinfo(_np.int64).max
+            acc = _np.full(_n, sentinel)
             for b in batches:
-                s = b["src"].to_numpy()
-                d = b["dst"].to_numpy()
-                dv, inv = _np.unique(d, return_inverse=True)
+                s = b.column(0).to_numpy(zero_copy_only=False)
+                d = b.column(1).to_numpy(zero_copy_only=False)
                 # per-dst min over neighbor labels (exact: dst-partitioned)
-                m = _np.full(len(dv), _np.iinfo(_np.int64).max)
-                _np.minimum.at(m, inv, lab[s])
-                if acc_v is None:
-                    acc_v, acc_m = dv, m
-                else:
-                    allv = _np.union1d(acc_v, dv)
-                    news = _np.full(len(allv), _np.iinfo(_np.int64).max)
-                    i1 = _np.searchsorted(allv, acc_v)
-                    news[i1] = _np.minimum(news[i1], acc_m)
-                    i2 = _np.searchsorted(allv, dv)
-                    news[i2] = _np.minimum(news[i2], m)
-                    acc_v, acc_m = allv, news
-            if acc_v is None:
-                yield _pd.DataFrame(
-                    {"vtx": _pd.Series(dtype="int64"),
-                     "m": _pd.Series(dtype="int64")}
-                )
-            else:
-                yield _pd.DataFrame({"vtx": acc_v.astype("int64"), "m": acc_m})
+                _np.minimum.at(acc, d, lab[s])
+            dv = _np.flatnonzero(acc != sentinel)
+            yield _pa.RecordBatch.from_pydict(
+                {"vtx": dv.astype("int64"), "m": acc[dv]}
+            )
 
-        pdf = ep.mapInPandas(nbr_min, schema="vtx long, m long").toPandas()
+        pdf = ep.mapInArrow(nbr_min, schema="vtx long, m long").toPandas()
         state_bc.destroy()
         new_labels = labels.copy()
         v = pdf["vtx"].to_numpy()
