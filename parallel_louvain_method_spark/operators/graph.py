@@ -161,6 +161,11 @@ def dense_ids(ids: DataFrame, col: str = "v") -> DataFrame:
         .localCheckpoint(eager=True)
     )
     with_pid.unpersist()
+    # the checkpoint erased Catalyst's statistics, but the prefix-sum
+    # already computed the exact row count — stash it so consumers
+    # (corpus builders, the louvain driver) can pick broadcast vs shuffle
+    # join strategies without an extra count job
+    out._plm_count = acc  # type: ignore[attr-defined]
     return out
 
 

@@ -198,17 +198,32 @@ def densify(string_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     mapping = dense_ids(ids, "name")
     edges = (
-        string_edges.join(mapping.withColumnRenamed("name", "node_a"), "node_a")
+        string_edges.join(
+            _map_hint(mapping).withColumnRenamed("name", "node_a"), "node_a"
+        )
         .withColumnRenamed("new_id", "src")
         .join(
-            mapping.withColumnRenamed("name", "node_b").withColumnRenamed(
-                "new_id", "dst"
-            ),
+            _map_hint(mapping)
+            .withColumnRenamed("name", "node_b")
+            .withColumnRenamed("new_id", "dst"),
             "node_b",
         )
         .select("src", "dst", "weight")
     )
     return edges, mapping
+
+
+def _map_hint(mapping: DataFrame) -> DataFrame:
+    """Join-strategy hint for a ``dense_ids`` name→id map: its checkpoint
+    erased Catalyst's statistics (the planner would sort-merge the big
+    corpus side), but dense_ids stashed the exact row count — broadcast
+    while it fits, shuffle-hash past that.  At broadcast size the corpus
+    strings never cross a shuffle at all: the one string exchange the
+    ints-early design budgeted for disappears."""
+    k = getattr(mapping, "_plm_count", None)
+    if k is not None and k <= 5_000_000:
+        return F.broadcast(mapping)
+    return mapping.hint("shuffle_hash")
 
 
 def _capped_pair_edges_int(
@@ -233,7 +248,11 @@ def _capped_pair_edges_int(
     a = ok.select("bucket", F.col("id").alias("src"))
     b = ok.select("bucket", F.col("id").alias("dst"))
     edges = (
-        a.join(b, "bucket")
+        # shuffle_hash, not the planner's default sort-merge: the
+        # checkpointed keyed table is a stats-free leaf, and sorting both
+        # 8-byte-keyed sides is pure overhead for a self-join whose group
+        # sizes the cap already bounds at max_group
+        a.join(b.hint("shuffle_hash"), "bucket")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
@@ -271,7 +290,7 @@ def build_repo_graph(
             F.col("repo").alias("name"),
             F.xxhash64("content").alias("bucket"),
         )
-        .join(mapping, "name")
+        .join(_map_hint(mapping), "name")
         .select("bucket", F.col("new_id").alias("id"))
         .distinct()
     )
@@ -296,7 +315,7 @@ def build_file_graph(
             name.alias("name"),
             F.xxhash64("repo", "commit").alias("bucket"),
         )
-        .join(mapping, "name")
+        .join(_map_hint(mapping), "name")
         .select("bucket", F.col("new_id").alias("id"))
         .distinct()
     )
