@@ -724,7 +724,9 @@ def _barrier_superstep_level(
 
         t0 = _time.monotonic()
         degv = _np.zeros(nv, dtype=_np.float64)
-        if n_parts_ > 1:
+        if n_parts_ > 1 and force_ag_:
+            # coordinator-only mode (transport-failure retry): one
+            # combined gather carries the degree partials, as before
             deg_payload = base64.b64encode(
                 pickle.dumps(
                     (my_v.astype(_np.int32), my_deg, hub_addr), protocol=4
@@ -736,6 +738,21 @@ def _barrier_superstep_level(
                     hub_addr = gaddr
                 if len(gv):
                     degv[gv.astype(_np.int64)] = gd
+        elif n_parts_ > 1:
+            # each coordinator allGather has a measured ~1 s latency
+            # floor: keep round 1 minimal (the hub address only) and ride
+            # the degree partials on round 2, which the handshake needs
+            # anyway — two floors total instead of three, and the bulky
+            # partials cross the coordinator once, not alongside an
+            # already-serialized address round
+            for g in ctx.allGather(
+                base64.b64encode(pickle.dumps(hub_addr, protocol=4)).decode(
+                    "ascii"
+                )
+            ):
+                gaddr = pickle.loads(base64.b64decode(g))
+                if gaddr is not None:
+                    hub_addr = gaddr
         elif len(my_v):
             # single partition: everything is local, no sync needed
             degv[my_v] = my_deg
@@ -756,6 +773,26 @@ def _barrier_superstep_level(
                 st = f"fail: {e!r}"
             statuses = ctx.allGather(st)
             use_sockets = all(x == "ok" for x in statuses)
+            # degree partials: over the raw-TCP star when it came up
+            # (sub-second), over the coordinator only on the rare
+            # handshake-failure fallback — either way every task applies
+            # the same disjoint (src-partitioned) partials
+            deg_blob = pickle.dumps(
+                (my_v.astype(_np.int32), my_deg), protocol=4
+            )
+            if use_sockets:
+                deg_frames = xg.exchange(deg_blob)
+            else:
+                deg_frames = [
+                    base64.b64decode(g)
+                    for g in ctx.allGather(
+                        base64.b64encode(deg_blob).decode("ascii")
+                    )
+                ]
+            for fr in deg_frames:
+                gv, gd = pickle.loads(fr)
+                if len(gv):
+                    degv[gv.astype(_np.int64)] = gd
             if not use_sockets:
                 xg.close()
                 if pid == 0:
