@@ -184,10 +184,17 @@ def neighborhood_function(
 
     if max_hops < 1:
         raise ValueError("neighborhood_function requires max_hops >= 1")
-    sym = exclude_self_loops(symmetric_edges(edges)).select("src", "dst")
+    # checkpoint once: the per-hop loop otherwise re-runs the symmetrize
+    # union + dedup every hop
+    sym = fresh_checkpoint(
+        exclude_self_loops(symmetric_edges(edges)).select("src", "dst")
+    )
+    # vertex set from the RAW edges (not sym): a vertex with only
+    # self-loop edges still counts a size-1 ball here
     verts = vertex_ids(edges)
     rows: list[tuple[int, int]] = []
     if method == "hll":
+        hint = _sketch_hint(verts.count(), lg_k)
         state = verts.groupBy(F.col("v").alias("vtx")).agg(
             F.hll_sketch_agg("v", F.lit(lg_k)).alias("sketch")
         )
@@ -195,7 +202,7 @@ def neighborhood_function(
         prev = None
         for h in range(1, max_hops + 1):
             contrib = sym.join(
-                state.select(F.col("vtx").alias("dst"), "sketch"), "dst"
+                hint(state.select(F.col("vtx").alias("dst"), "sketch")), "dst"
             ).select(F.col("src").alias("vtx"), "sketch")
             state = fresh_checkpoint(
                 state.select("vtx", "sketch")
@@ -247,6 +254,17 @@ def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> int:
     return pts[-1][0]
 
 
+def _sketch_hint(n_verts: int, lg_k: int, budget_bytes: int = 128 << 20):
+    """Join-strategy hint for a per-vertex HLL-sketch state table: the
+    per-round checkpoint leaves it stats-free, so without a hint the
+    planner sort-merge-joins it onto the big edge side every hop.
+    Broadcast while the worst-case sketch bytes (n · 2^lg_k) fit the
+    budget; shuffle-hash past that (never a per-hop sort of the edges)."""
+    if n_verts * (1 << lg_k) <= budget_bytes:
+        return lambda df: F.broadcast(df)
+    return lambda df: df.hint("shuffle_hash")
+
+
 def _ball_centrality_scan(
     edges: DataFrame,
     max_hops: int,
@@ -282,6 +300,7 @@ def _ball_centrality_scan(
     )
     verts = sym.select(F.col("src").alias("v")).distinct()
     if method == "hll":
+        hint = _sketch_hint(verts.count(), lg_k)
         state = fresh_checkpoint(
             verts.groupBy(F.col("v").alias("vtx"))
             .agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("sketch"))
@@ -296,7 +315,7 @@ def _ball_centrality_scan(
         prev_total = None
         for h in range(1, max_hops + 1):
             contrib = sym.join(
-                state.select(F.col("vtx").alias("dst"), "sketch"), "dst"
+                hint(state.select(F.col("vtx").alias("dst"), "sketch")), "dst"
             ).select(F.col("src").alias("vtx"), "sketch")
             merged = state.select(
                 "vtx", "sketch", "est", "harm", "dsum"
