@@ -44,6 +44,7 @@ def topological_levels(edges: DataFrame) -> DataFrame:
             F.col("vtx").cast("long"), F.lit(0).cast("long").alias("level")
         )
     state = fresh_checkpoint(verts.select("vtx", F.lit(0).alias("level")))
+    prev_sum = 0
     for _ in range(n):
         cand = (
             rel.join(state.withColumnRenamed("vtx", "src"), "src")
@@ -58,18 +59,17 @@ def topological_levels(edges: DataFrame) -> DataFrame:
                 ).alias("level"),
             )
         )
-        improved = (
-            nxt.withColumnRenamed("level", "new_level")
-            .join(state, "vtx")
-            .filter(F.col("new_level") > F.col("level"))
-            .count()
-        )
+        # levels only ever increase, so an unchanged level SUM proves an
+        # unchanged state — one aggregate on the just-checkpointed frame
+        # instead of a join-and-count against the previous round
+        level_sum = int(nxt.agg(F.sum("level")).first()[0] or 0)
         state = nxt
-        if improved == 0:
+        if level_sum == prev_sum:
             return state.select(
                 F.col("vtx").cast("long"),
                 F.col("level").cast("long").alias("level"),
             )
+        prev_sum = level_sum
     raise ValueError(
         "topological_levels: no fixpoint within |V| rounds — the graph "
         "has a cycle; run scc.condensation first"
