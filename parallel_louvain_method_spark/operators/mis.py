@@ -101,8 +101,13 @@ def _luby_round(
     vertices have no neighbor row and always win)."""
     keyed = live_v.select("vtx", _key(F.col("vtx"), round_no, seed).alias("k"))
     nbr_min = (
+        # live_v/live_e are stats-free checkpoint leaves: hash-join with
+        # the per-vertex key table as build side instead of the planner's
+        # default sort-merge of both sides every round
         live_e.join(
-            keyed.select(F.col("vtx").alias("dst"), F.col("k").alias("nk")),
+            keyed.select(
+                F.col("vtx").alias("dst"), F.col("k").alias("nk")
+            ).hint("shuffle_hash"),
             "dst",
         )
         .groupBy(F.col("src").alias("vtx"))

@@ -95,10 +95,16 @@ def _forward_colors(live_v: DataFrame, live_e: DataFrame) -> DataFrame:
     """Fixpoint of min-forward-reachable-id, with pointer jumping:
     ``DataFrame[vtx, f]``."""
     f = fresh_checkpoint(live_v.select("vtx", F.col("vtx").alias("f")))
+    prev_sum = None
     while True:
         cand = (
+            # both sides are stats-free checkpoint leaves, so the planner
+            # would sort-merge every round; hash-join with the (small)
+            # color state as build side instead (the hits/eigen fix)
             live_e.join(
-                f.select(F.col("vtx").alias("dst"), F.col("f").alias("nf")),
+                f.select(
+                    F.col("vtx").alias("dst"), F.col("f").alias("nf")
+                ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy(F.col("src").alias("vtx"))
@@ -124,15 +130,14 @@ def _forward_colors(live_v: DataFrame, live_e: DataFrame) -> DataFrame:
             )
         )
         jumped = fresh_checkpoint(jumped)
-        improved = (
-            jumped.withColumnRenamed("f", "new_f")
-            .join(f, "vtx")
-            .filter(F.col("new_f") != F.col("f"))
-            .count()
-        )
+        # colors only ever decrease (min-propagation + pointer jumps), so
+        # an unchanged SUM proves an unchanged state — one aggregate
+        # replaces the per-round join-and-count
+        f_sum = int(jumped.agg(F.sum("f")).first()[0] or 0)
         f = jumped
-        if improved == 0:
+        if prev_sum is not None and f_sum == prev_sum:
             return f
+        prev_sum = f_sum
 
 
 def _backward_match(f: DataFrame, live_e: DataFrame) -> DataFrame:
@@ -140,10 +145,16 @@ def _backward_match(f: DataFrame, live_e: DataFrame) -> DataFrame:
     color class: ``DataFrame[vtx]`` (= the union of the roots' SCCs)."""
     colored = (
         live_e.join(
-            f.select(F.col("vtx").alias("src"), F.col("f").alias("fs")), "src"
+            f.select(
+                F.col("vtx").alias("src"), F.col("f").alias("fs")
+            ).hint("shuffle_hash"),
+            "src",
         )
         .join(
-            f.select(F.col("vtx").alias("dst"), F.col("f").alias("fd")), "dst"
+            f.select(
+                F.col("vtx").alias("dst"), F.col("f").alias("fd")
+            ).hint("shuffle_hash"),
+            "dst",
         )
         .filter(F.col("fs") == F.col("fd"))
         .select("src", "dst")
@@ -156,7 +167,11 @@ def _backward_match(f: DataFrame, live_e: DataFrame) -> DataFrame:
     while True:
         new = fresh_checkpoint(
             colored.join(
-                frontier.withColumnRenamed("vtx", "src"), "src", "left_semi"
+                frontier.withColumnRenamed("vtx", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+                "left_semi",
             )
             .select(F.col("dst").alias("vtx"))
             .distinct()
@@ -247,7 +262,11 @@ def _closure(rel: DataFrame, seeds: DataFrame) -> DataFrame:
     while True:
         new = fresh_checkpoint(
             rel.join(
-                frontier.withColumnRenamed("vtx", "src"), "src", "left_semi"
+                frontier.withColumnRenamed("vtx", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+                "left_semi",
             )
             .select(F.col("dst").alias("vtx"))
             .distinct()
