@@ -39,6 +39,254 @@ from parallel_louvain_method_spark.operators.graph import vertex_ids
 from parallel_louvain_method_spark.plans.lineage import fresh_checkpoint
 
 
+def _pagerank_barrier(
+    edges: DataFrame,
+    n: int,
+    damping: float,
+    max_iter: int,
+    tol: float | None,
+    weighted: bool,
+    p=None,
+) -> DataFrame | None:
+    """Whole-run barrier engine: ALL iterations inside ONE Spark stage.
+
+    The broadcast engine's measured per-iteration bound is not the kernel
+    (bincount A/B parity) but Spark re-reading the cached edge table and
+    re-serializing it JVM→Arrow→Python EVERY iteration — the same finding
+    that motivated the Louvain barrier engine, re-applied here.  Each
+    dst-partitioned slice crosses the boundary ONCE (zstd-packed blob);
+    per-iteration traffic is the task's own per-dst partial sums
+    (disjoint under dst-partitioning, ~12 B per touched dst) over the
+    raw-TCP star exchange (functions/exchange.py), with the coordinator
+    ``allGather`` as handshake and fallback.  Every task applies the same
+    gathered partials to its full rank vector, so all tasks hold
+    identical state and take identical tol-exit decisions — the Louvain
+    barrier invariant.
+
+    Returns None when barrier scheduling is unavailable (dynamic
+    allocation, no slots) — the caller falls back to the per-iteration
+    broadcast engine.  Values match the broadcast engine's to within
+    summation-order ulps (both engines' per-dst sums are bincounts over
+    partition rows; the gate's 8-decimal rounding and the cross-engine
+    parity tests bound the difference).
+    """
+    import numpy as np
+
+    from parallel_louvain_method_spark.operators.louvain import (
+        _barrier_supported,
+    )
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if not _barrier_supported(sc):
+        return None
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        sc.defaultParallelism,
+    )
+    wcol = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    ep = (
+        edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            wcol.alias("weight"),
+        )
+        .repartition(n_parts, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ep.count()
+
+    # out-weight per src (iteration-invariant): one JVM aggregation over
+    # the cache, broadcast once — identical to the broadcast engine's
+    ow_pdf = ep.groupBy("src").agg(F.sum("weight").alias("w")).toPandas()
+    out_w = np.zeros(n, dtype=np.float64)
+    out_w[ow_pdf["src"].to_numpy(dtype=np.int64)] = ow_pdf["w"].to_numpy()
+    dangling_mask = out_w == 0.0
+    has_danglings = bool(dangling_mask.any())
+    safe_out = np.where(dangling_mask, 1.0, out_w)
+    ow_bc = sc.broadcast(safe_out)
+    dm_bc = sc.broadcast(dangling_mask)
+    p_bc = sc.broadcast(p) if p is not None else None
+
+    def _pack(batches):
+        import pickle
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        ss, dd, ww = [], [], []
+        for b in batches:
+            ss.append(b.column(0).to_numpy(zero_copy_only=False))
+            dd.append(b.column(1).to_numpy(zero_copy_only=False))
+            ww.append(b.column(2).to_numpy(zero_copy_only=False))
+        s = _np.concatenate(ss) if ss else _np.empty(0, _np.int32)
+        d = _np.concatenate(dd) if dd else _np.empty(0, _np.int32)
+        w = _np.concatenate(ww) if ww else _np.empty(0, _np.float64)
+        raw = pickle.dumps((s, d, w), protocol=4)
+        comp = _pa.Codec("zstd", compression_level=1).compress(
+            raw, asbytes=True
+        )
+        yield _pa.RecordBatch.from_pydict(
+            {"raw_len": [len(raw)], "blob": [comp]}
+        )
+
+    blobs = ep.mapInArrow(_pack, schema="raw_len long, blob binary")
+
+    nv = int(n)
+    d_ = float(damping)
+    mi_ = int(max_iter)
+    tol_ = tol
+    np_ = int(n_parts)
+    has_d_ = has_danglings
+
+    def _run(rows):
+        import base64
+        import pickle
+
+        import numpy as _np
+        from pyspark import BarrierTaskContext
+
+        from parallel_louvain_method_spark.functions.exchange import (
+            StarAllGather,
+        )
+
+        ctx = BarrierTaskContext.get()
+        pid = ctx.partitionId()
+        blob = None
+        raw_len = 0
+        for r in rows:
+            blob = r["blob"]
+            raw_len = r["raw_len"]
+        if blob is not None:
+            import pyarrow as _pa
+
+            s, dcol, w = pickle.loads(
+                _pa.Codec("zstd").decompress(
+                    bytes(blob), int(raw_len), asbytes=True
+                )
+            )
+        else:
+            s = _np.empty(0, _np.int32)
+            dcol = _np.empty(0, _np.int32)
+            w = _np.empty(0, _np.float64)
+        s64 = s.astype(_np.int64)
+        d64 = dcol.astype(_np.int64)
+        ow = ow_bc.value
+        dmask = dm_bc.value
+        pv = p_bc.value if p_bc is not None else None
+
+        xg = StarAllGather(pid, np_)
+        hub_addr = None
+        if pid == 0 and np_ > 1:
+            try:
+                hub_addr = xg.listen()
+            except OSError:
+                hub_addr = None
+        use_sockets = np_ == 1
+        if np_ > 1:
+            for g in ctx.allGather(
+                base64.b64encode(pickle.dumps(hub_addr, protocol=4)).decode(
+                    "ascii"
+                )
+            ):
+                ga = pickle.loads(base64.b64decode(g))
+                if ga is not None:
+                    hub_addr = ga
+            try:
+                if hub_addr is None:
+                    raise ConnectionError("no hub advertised")
+                if pid == 0:
+                    xg.accept_all()
+                else:
+                    xg.connect(tuple(hub_addr))
+                st = "ok"
+            except Exception as e:
+                st = f"fail: {e!r}"
+            use_sockets = all(x == "ok" for x in ctx.allGather(st))
+            if not use_sockets:
+                xg.close()
+
+        if pv is None:
+            ranks = _np.full(nv, 1.0 / nv, dtype=_np.float64)
+            base = (1.0 - d_) / nv
+        else:
+            ranks = pv.copy()
+            base = (1.0 - d_) * pv
+        try:
+            for _it in range(mi_):
+                if len(s64):
+                    contrib = w / ow[s64] * ranks[s64]
+                    part = _np.bincount(
+                        d64, weights=contrib, minlength=nv
+                    )
+                    dv = _np.flatnonzero(part)
+                else:
+                    part = None
+                    dv = _np.empty(0, _np.int64)
+                payload = pickle.dumps(
+                    (
+                        dv.astype(_np.int32),
+                        part[dv] if part is not None else
+                        _np.empty(0, _np.float64),
+                    ),
+                    protocol=4,
+                )
+                if use_sockets:
+                    frames = xg.exchange(payload)
+                else:
+                    frames = [
+                        base64.b64decode(g)
+                        for g in ctx.allGather(
+                            base64.b64encode(payload).decode("ascii")
+                        )
+                    ]
+                in_sum = _np.zeros(nv, dtype=_np.float64)
+                for fr in frames:
+                    gv, gs = pickle.loads(fr)
+                    if len(gv):
+                        # dst-partitioned: partials are disjoint scatters
+                        in_sum[gv.astype(_np.int64)] = gs
+                dangling = (
+                    float(ranks[dmask].sum()) if has_d_ else 0.0
+                )
+                if pv is None:
+                    new_ranks = base + d_ * in_sum + d_ * dangling / nv
+                else:
+                    new_ranks = base + d_ * in_sum + d_ * dangling * pv
+                delta = float(_np.abs(new_ranks - ranks).max())
+                ranks = new_ranks
+                # identical state everywhere -> identical exit decision
+                if tol_ is not None and delta < tol_:
+                    break
+        finally:
+            xg.close()
+        # strided slice: tasks hold identical ranks, driver reassembles
+        yield (pid, pickle.dumps(ranks[pid::np_], protocol=4))
+
+    results = blobs.rdd.barrier().mapPartitions(_run).collect()
+    import pickle as _pickle
+
+    ranks_arr = np.empty(nv, dtype=np.float64)
+    for pid, rblob in results:
+        ranks_arr[pid::np_] = _pickle.loads(bytes(rblob))
+    ow_bc.destroy()
+    dm_bc.destroy()
+    if p_bc is not None:
+        p_bc.destroy()
+    ep.unpersist()
+    import pandas as pd
+
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"vtx": np.arange(nv, dtype=np.int64), "rank": ranks_arr}
+            ),
+            schema="vtx long, rank double",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _pagerank_broadcast(
     edges: DataFrame,
     n: int,
@@ -215,6 +463,14 @@ def pagerank(
                 p_vec = np.zeros(n, dtype=np.float64)
                 p_vec[vs] = rp["p"].to_numpy(dtype=np.float64)
             verts.unpersist()
+            # whole-run barrier stage while the cluster can schedule one
+            # (edges cross the Python boundary once, not once per
+            # iteration); per-iteration broadcast engine otherwise
+            res = _pagerank_barrier(
+                edges, n, damping, max_iter, tol, weighted, p=p_vec
+            )
+            if res is not None:
+                return res
             return _pagerank_broadcast(
                 edges, n, damping, max_iter, tol, weighted, p=p_vec
             )

@@ -75,6 +75,31 @@ def test_pagerank_golden16(spark, golden16_df):
         assert got[v] == pytest.approx(want[v], abs=1e-6), f"vtx {v}"
 
 
+def test_pagerank_barrier_matches_broadcast(spark, golden16_df):
+    """The whole-run barrier engine must agree with the per-iteration
+    broadcast engine bit-for-bit on both fixed-k and tol modes (identical
+    kernels, disjoint dst-partitioned partials, same update expression)."""
+    from parallel_louvain_method_spark.operators.pagerank import (
+        _pagerank_barrier,
+        _pagerank_broadcast,
+    )
+
+    sym = symmetric_edges(golden16_df)
+    for kwargs in ({"max_iter": 7, "tol": None}, {"max_iter": 50, "tol": 1e-6}):
+        bar = _pagerank_barrier(sym, 16, 0.85, kwargs["max_iter"], kwargs["tol"], True)
+        assert bar is not None  # local mode always schedules barrier stages
+        a = {r["vtx"]: r["rank"] for r in bar.collect()}
+        b = {
+            r["vtx"]: r["rank"]
+            for r in _pagerank_broadcast(
+                sym, 16, 0.85, kwargs["max_iter"], kwargs["tol"], True
+            ).collect()
+        }
+        assert set(a) == set(b) == set(range(16))
+        for v in range(16):
+            assert a[v] == pytest.approx(b[v], abs=1e-12), f"vtx {v}"
+
+
 def _np_ppr(edges, n, p, damping=0.85, iters=30):
     """Dense personalized power iteration oracle (symmetric, unit w)."""
     A = np.zeros((n, n))
