@@ -276,28 +276,6 @@ def _make_block_udf(m2: float, min_gain: float, kernel: str = "local", sweep: in
     return block_moves
 
 
-def _local_level_udf(m2: float, max_sweeps: int, local_kernel: str, anneal: bool = False):
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        fn = (
-            kernels.louvain_sequential_edges
-            if local_kernel == "sequential"
-            else kernels.louvain_vectorized_edges
-        )
-        v, c, sweeps, q, improved = fn(
-            pdf["src"].to_numpy(),
-            pdf["dst"].to_numpy(),
-            pdf["weight"].to_numpy(),
-            m2=m2,
-            max_sweeps=max_sweeps,
-            anneal=anneal,
-        )
-        return pd.DataFrame(
-            {"vtx": v, "comm": c, "sweeps": sweeps, "moved": int(improved), "q": q}
-        )
-
-    return run
-
-
 def _broadcast_superstep_level(
     spark: SparkSession,
     sym_edges: DataFrame,
@@ -1567,22 +1545,41 @@ def louvain_level(
             "sequential" if n_edges_sym <= sequential_threshold else "vectorized"
         )
         stats.engine = f"local/{local_kernel}"
-        out = (
-            sym_edges.groupBy(F.lit(0).alias("g"))
-            .applyInPandas(
-                _local_level_udf(m2, max_sweeps, local_kernel, anneal),
-                schema="vtx long, comm long, sweeps int, moved int, q double",
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # run the kernel IN-DRIVER: the old path shipped the whole level
+        # to one applyInPandas task anyway (same O(level) memory, just on
+        # a worker), paying a shuffle + Python-worker round trip + an
+        # aggregation job for the metadata.  One Arrow toPandas + one
+        # createDataFrame replaces all of that; the kernel densifies and
+        # sorts internally, so it is invariant to row order (the grouped
+        # shuffle's arrival order was arbitrary already).
+        pdf = sym_edges.select("src", "dst", "weight").toPandas()
+        if len(pdf) == 0:
+            assign = spark.createDataFrame([], ASSIGN_SCHEMA)
+            stats.modularity = 0.0
+            stats.wall_sec = time.monotonic() - t0
+            if deg is None:
+                deg = degrees_op(sym_edges)
+            return assign, deg, m2, stats
+        fn = (
+            kernels.louvain_sequential_edges
+            if local_kernel == "sequential"
+            else kernels.louvain_vectorized_edges
         )
-        meta = out.agg(F.max("sweeps"), F.max("moved"), F.max("q")).first()
-        stats.sweeps = int(meta[0] or 0)
-        any_moved = bool(meta[1])
-        assign = fresh_checkpoint(out.select("vtx", "comm"))
-        out.unpersist()
-        # the kernel already computed level modularity over its own CSR —
-        # one applyInPandas job per level, no extra multi-join query
-        stats.modularity = float(meta[2]) if meta[2] is not None else 0.0
+        v, c, sweeps, q, improved = fn(
+            pdf["src"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            pdf["weight"].to_numpy(),
+            m2=m2,
+            max_sweeps=max_sweeps,
+            anneal=anneal,
+        )
+        assign = spark.createDataFrame(
+            pd.DataFrame({"vtx": v, "comm": c}), schema=ASSIGN_SCHEMA
+        ).localCheckpoint(eager=True)
+        stats.sweeps = int(sweeps)
+        any_moved = bool(improved)
+        # the kernel already computed level modularity over its own CSR
+        stats.modularity = float(q)
         # kernel-internal sweeps aren't individually observable; record the
         # level's total move signal so the multilevel driver can stop
         stats.moves_per_sweep = [1 if any_moved else 0] * stats.sweeps
