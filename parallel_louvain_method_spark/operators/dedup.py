@@ -233,7 +233,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed: three plan arms consume it (bucket sizes + both
+    # self-join sides) — without materialization each re-runs the
+    # band-hash explode over the signature table
     banded, dropped = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     cand = (
         banded.alias("x")
@@ -405,7 +408,8 @@ def simhash_near_dups(
                 ]
             )
         ).alias("chunk_no", "chunk"),
-    )
+    ).localCheckpoint(eager=True)
+    # same three-consumer shape as the MinHash banding — materialize once
     chunks, dropped = _cap_buckets(chunks, ["chunk_no", "chunk"], max_bucket)
     cand = (
         chunks.alias("x")
