@@ -90,10 +90,22 @@ def betweenness_centrality(
     depth = 0
     while max_hops is None or depth < max_hops:
         new = (
-            rel.join(frontier.withColumnRenamed("vtx", "src"), "src")
+            # rel/frontier/state are stats-free checkpoint leaves every
+            # hop: hash-join with the small per-(vtx, root) side as build
+            # instead of the planner's default sort-merge of both sides
+            rel.join(
+                frontier.withColumnRenamed("vtx", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("vtx"), "root")
             .agg(F.sum("sigma").alias("sigma"))
-            .join(state.select("vtx", "root"), ["vtx", "root"], "left_anti")
+            .join(
+                state.select("vtx", "root").hint("shuffle_hash"),
+                ["vtx", "root"],
+                "left_anti",
+            )
             .select(
                 "vtx", "root", F.lit(depth + 1).alias("dist"), "sigma"
             )
@@ -113,7 +125,7 @@ def betweenness_centrality(
                 "root",
                 F.col("dist").alias("dv"),
                 F.col("sigma").alias("sv"),
-            ),
+            ).hint("shuffle_hash"),
             "src",
         )
         .join(
